@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths, same contract (query ids → top-k neighbor ids):
+
+- **brute force** — broadcast the (small) query set against the corpus;
+  dot products via ``zip_with``/``aggregate`` entirely JVM-side. The
+  corpus is never shuffled: each partition scores its rows against the
+  broadcast queries and a TakeOrderedAndProject per query finishes it.
+  This is the exact baseline and stays viable at any corpus size as
+  long as the query batch is broadcastable.
+- **LSH-bucketed (random hyperplanes)** — the scale path: corpus rows
+  hash to sign-pattern buckets of fixed hyperplanes; queries probe only
+  their own bucket. Hyperplanes are derived deterministically from a
+  seed, so results are reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with double accumulation, element order fixed by the
+    array — deterministic across partitionings."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    Returns (query_id, neighbor_id, score, rank); ranking breaks score
+    ties on neighbor id for full determinism (scores rounded to 6
+    decimals first so ulp-level float noise cannot flip the order).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = F.broadcast(q).crossJoin(c)
+    if not include_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes via a tiny
+    splitmix-style generator — no RNG state, reproducible everywhere."""
+    planes = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            # map to (-1, 1)
+            row.append((z / 2**63) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff vec · plane_p > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot_expr(F.col(vec_col), lit_plane) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's
+    hyperplane bucket. Recall trades off with ``n_planes``; at scale,
+    multi-probe (flipping low-margin bits) narrows the gap. The join is
+    equi on the bucket id — a plain shuffle-hash join instead of a
+    cross product."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), _bucket_expr(vec_col, planes).alias("bucket"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), _bucket_expr(vec_col, planes).alias("bucket"))
+    scored = (
+        F.broadcast(q)
+        .join(c, on="bucket", how="inner")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥
+    threshold), LSH-blocked: near-identical vectors land in the same
+    sign bucket with high probability, so candidate generation is an
+    equi self-join on bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    tagged = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"), _bucket_expr(vec_col, planes).alias("bucket"))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(b, on=(F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")), how="inner")
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )

@@ -1,0 +1,77 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+Beyond-reference layer (the reference has no document processing): these
+are the text ops a 100 TB training-data pipeline needs, expressed as
+native Column expressions so they run JVM-side inside whole-stage
+codegen — no Python in the hot path.
+
+All expressions are deterministic and mirrored 1:1 by ANSI-SQL oracles
+in ``plans/queries.py``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Words whose presence marks English text — tiny stopword head-list,
+# shared verbatim with the DuckDB oracle regex.
+EN_STOPWORD_PATTERN = r"\b(the|and|of|to|in|is|a|for|with|on)\b"
+PUNCT_PATTERN = r"[.,!?;:]"
+
+
+def token_count_expr(col: str = "text") -> Column:
+    """Whitespace tokenization count (regex split, not single-space)."""
+    return F.size(F.split(F.trim(F.col(col)), r"\s+")).cast("int")
+
+
+def char_count_expr(col: str = "text") -> Column:
+    return F.length(F.col(col)).cast("int")
+
+
+def punct_ratio_expr(col: str = "text") -> Column:
+    """Punctuation chars / total chars — double division is IEEE-exact
+    given identical operands, so it is oracle-safe without rounding."""
+    return F.regexp_count(F.col(col), F.lit(PUNCT_PATTERN)).cast("double") / F.length(F.col(col)).cast("double")
+
+
+def stopword_hits_expr(col: str = "text") -> Column:
+    return F.regexp_count(F.lower(F.col(col)), F.lit(EN_STOPWORD_PATTERN)).cast("int")
+
+
+def stopword_ratio_expr(col: str = "text") -> Column:
+    return stopword_hits_expr(col).cast("double") / token_count_expr(col).cast("double")
+
+
+def lang_id_expr(col: str = "text", min_hits: int = 3) -> Column:
+    """N-gram/stopword heuristic language ID: enough English stopword
+    hits → 'en', else 'unknown'. (A real pipeline would plug a model
+    here; the classifier interface — one label column out — is what
+    downstream operators depend on.)"""
+    return F.when(stopword_hits_expr(col) >= min_hits, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def quality_score_expr(col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length in a sane band,
+    low punctuation density, high stopword density. Deterministic
+    double arithmetic, mirrored in the oracle."""
+    len_ok = (F.length(F.col(col)) >= 100) & (F.length(F.col(col)) <= 20000)
+    return (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio_expr(col) <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stopword_ratio_expr(col) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+
+
+def normalized_text_expr(col: str = "text") -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def fingerprint_expr(col: str = "text") -> Column:
+    """Portable document fingerprint: md5 hex of the normalized text.
+    md5 is identical across Spark/DuckDB/Python — unlike ``F.hash``
+    (Spark-private Murmur3, the reference's choice in ``utils.py:8-31``)
+    — so fingerprints are stable across engines and releases."""
+    return F.md5(normalized_text_expr(col))

@@ -1,0 +1,926 @@
+"""Named query registry: every SURVEY.md §2 operator as a
+(Spark DataFrame query, DuckDB oracle SQL) pair.
+
+Each entry's Spark side and SQL side MUST produce identical column
+names and exact-equal values (the driver hash-compares order-
+insensitively at sf0.01). Ground rules that make that possible:
+
+- money/measure arithmetic is done in ``DecimalType`` from the first
+  expression on (exact, order-independent) and scale is never reduced
+  (Spark rounds HALF_UP on downcast, DuckDB doesn't — verified);
+- double division/comparison only on identical operands (IEEE exact);
+- every ranking window and LIMIT has a full deterministic ORDER BY
+  including a tiebreak column;
+- float-derived scores are rounded before ranking so ulp noise cannot
+  flip orders.
+
+Queries with no SQL-expressible oracle (MinHash/SimHash need xxhash64)
+set ``oracle=None`` → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.dates import build_date_dim, season_name_expr, season_number_expr
+from ..operators import dedup, similarity, text
+from ..operators.scd import create_scd_from_input, scd_point_in_time_join, scd_update_and_insert
+from ..sources.tables import load_table
+from .warehouse import COST_SQL, PROFIT_SQL, REVENUE_SQL, fact_sales
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# §2.4 A5 / A1 — flagship aggregation (TPC-H Q1 shape on lineitem)
+# =====================================================================
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(12,2)))      AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base,
+           SUM({REVENUE_SQL})                          AS sum_rev,
+           SUM({PROFIT_SQL})                           AS sum_profit,
+           COUNT(*)                                    AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "Flagship scan→filter→hash-aggregate; filter pushed to parquet, decimal sums exact",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_base"),
+        F.sum(F.expr(REVENUE_SQL)).alias("sum_rev"),
+        F.sum(F.expr(PROFIT_SQL)).alias("sum_profit"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# =====================================================================
+# §2.2 — projections / filters / expressions
+# =====================================================================
+
+@register(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount >= 0.05
+    """,
+    "P1/P4: aliased projection + SQL-string predicate, both pushed to the scan",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where("l_quantity > 45 AND l_discount >= 0.05")
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "q03_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "P10: dedup via distinct()",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "q17_case_bucket",
+    f"""
+    SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+                WHEN l_discount < 0.07 THEN 'mid'
+                ELSE 'high' END AS discount_band,
+           COUNT(*) AS n_rows,
+           SUM({REVENUE_SQL}) AS sum_rev
+    FROM lineitem
+    GROUP BY 1
+    """,
+    "P6: when/otherwise conditional bucketing",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = (
+        F.when(F.col("l_discount") < 0.03, F.lit("low"))
+        .when(F.col("l_discount") < 0.07, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(band.alias("discount_band"))
+        .agg(F.count("*").alias("n_rows"), F.sum(F.expr(REVENUE_SQL)).alias("sum_rev"))
+    )
+
+
+@register(
+    "q18_null_fill_geo",
+    """
+    SELECT COALESCE(n.n_name, 'unknown') AS nation_name,
+           COUNT(*) AS n_customers
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    "P7: left join + coalesce 'unknown' member (reference fillna pattern)",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .groupBy(F.coalesce("n_name", F.lit("unknown")).alias("nation_name"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q19_derived_measures",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {REVENUE_SQL} AS revenue_usd,
+           {COST_SQL}    AS total_cost_usd,
+           {PROFIT_SQL}  AS gross_profit_usd
+    FROM lineitem
+    """,
+    "P8/F3: ingest decimal casts + derived money measures (fact derivation recipe)",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(REVENUE_SQL).alias("revenue_usd"),
+        F.expr(COST_SQL).alias("total_cost_usd"),
+        F.expr(PROFIT_SQL).alias("gross_profit_usd"),
+    )
+
+
+# =====================================================================
+# §2.3 — joins
+# =====================================================================
+
+@register(
+    "q04_join_inner_agg",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS sum_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    "J1: inner equi-join (broadcast dim) + aggregate",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_orders"), F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("sum_totalprice"))
+    )
+
+
+@register(
+    "q05_join_left",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    "J3: left outer join preserving customers with zero orders",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q06_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+    "J4: left-anti join (SCD to_insert pattern)",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where("o_orderstatus = 'P'").select("o_custkey")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q07_join_semi",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    "left-semi join (EXISTS)",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where("o_orderstatus = 'F'").select("o_custkey")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q08_cross_join",
+    """
+    SELECT r.r_name AS region_name, s.o_orderstatus AS order_status
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    "J7: cross join of small distinct sets (DimPackaging pattern)",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    s = _t(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("order_status")).distinct()
+    return r.crossJoin(s)
+
+
+@register(
+    "q16_count_distinct",
+    """
+    SELECT l_partkey,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+    "A2: count_distinct (same-day-flip detection pattern)",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"), F.count("*").alias("n_rows"))
+    )
+
+
+# =====================================================================
+# §2.5 / §2.6 — windows, top-k
+# =====================================================================
+
+@register(
+    "q09_topn_parts",
+    f"""
+    SELECT p.p_partkey, p.p_name, s.sum_rev
+    FROM (
+      SELECT l_partkey, SUM({REVENUE_SQL}) AS sum_rev
+      FROM lineitem GROUP BY l_partkey
+    ) s JOIN part p ON s.l_partkey = p.p_partkey
+    ORDER BY s.sum_rev DESC, p.p_partkey ASC
+    LIMIT 10
+    """,
+    "O3: top-N by measure (dashboard Top-products bar)",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    agg = li.groupBy("l_partkey").agg(F.sum(F.expr(REVENUE_SQL)).alias("sum_rev"))
+    return (
+        agg.join(F.broadcast(p), agg["l_partkey"] == p["p_partkey"], "inner")
+        .select("p_partkey", "p_name", "sum_rev")
+        .orderBy(F.col("sum_rev").desc(), F.col("p_partkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q10_top_orders_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    "W1: ranking window (top-k per group)",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q11_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           LAG(CAST(o_orderdate AS DATE))  OVER w AS prev_order_date,
+           LEAD(CAST(o_orderdate AS DATE)) OVER w AS next_order_date,
+           date_diff('day', LAG(CAST(o_orderdate AS DATE)) OVER w, CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    "W2/W3: lead/lag analytic windows (replaces reference offset self-joins)",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    d = F.to_date("o_orderdate")
+    prev = F.lag(d).over(w)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("order_date"),
+        prev.alias("prev_order_date"),
+        F.lead(d).over(w).alias("next_order_date"),
+        F.datediff(d, prev).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@register(
+    "q12_watermark",
+    """
+    SELECT max(o_orderdate) AS high_watermark,
+           min(o_orderdate) AS low_watermark,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+    "A3: global watermark aggregate (incremental-load gate)",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("high_watermark"),
+        F.min("o_orderdate").alias("low_watermark"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# =====================================================================
+# §2.7 — set operations
+# =====================================================================
+
+@register(
+    "q13_union",
+    """
+    SELECT o_orderkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    "U1: unionByName of tagged partitions",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where("o_orderpriority = '1-URGENT'").select("o_orderkey", F.lit("urgent").alias("bucket"))
+    high = o.where("o_orderpriority = '2-HIGH'").select("o_orderkey", F.lit("high").alias("bucket"))
+    return urgent.unionByName(high)
+
+
+@register(
+    "q14_except_all",
+    """
+    SELECT l_orderkey FROM lineitem
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    "U3: exceptAll multiset difference",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey").exceptAll(li.where("l_returnflag = 'R'").select("l_orderkey"))
+
+
+@register(
+    "q15_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "set intersection (customers active in both states)",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where("o_orderstatus = 'O'").select("o_custkey").intersect(o.where("o_orderstatus = 'F'").select("o_custkey"))
+    )
+
+
+# =====================================================================
+# date dimension + star-schema dashboard queries (§2.4 A5, F4)
+# =====================================================================
+
+_DATE_DIM_LO, _DATE_DIM_HI = "2020-01-01", "2021-12-31"
+
+_SEASON_SQL_NUM = """
+    CASE WHEN (m > 12 OR (m = 12 AND dd >= 22)) OR (m < 3 OR (m = 3 AND dd < 21)) THEN 4
+         WHEN (m > 9 OR (m = 9 AND dd >= 23)) THEN 3
+         WHEN (m > 6 OR (m = 6 AND dd >= 22)) THEN 2
+         ELSE 1 END
+"""
+
+@register(
+    "q20_date_dim",
+    f"""
+    WITH spine AS (
+      SELECT CAST(d AS DATE) AS "FullDate",
+             month(CAST(d AS DATE)) AS m, dayofmonth(CAST(d AS DATE)) AS dd
+      FROM generate_series(DATE '{_DATE_DIM_LO}', DATE '{_DATE_DIM_HI}', INTERVAL 1 DAY) t(d)
+    )
+    SELECT CAST(date_diff('day', DATE '{_DATE_DIM_LO}', "FullDate") + 1 AS INT) AS "DateId",
+           "FullDate",
+           CAST(dayofyear("FullDate") AS INT)  AS "DayOfYearNumber",
+           CAST(dd AS INT)                     AS "DayOfMonthNumber",
+           CAST(isodow("FullDate") AS INT)     AS "DayOfWeekNumber",
+           dayname("FullDate")                 AS "DayOfWeekName",
+           isodow("FullDate") >= 6             AS "IsWeekend",
+           CAST({_SEASON_SQL_NUM} AS INT)      AS "AstronomicalSeasonNumber",
+           ['spring','summer','autumn','winter'][{_SEASON_SQL_NUM}] AS "AstronomicalSeasonName",
+           CAST(m AS INT)                      AS "MonthNumber",
+           monthname("FullDate")               AS "MonthLongName",
+           strftime("FullDate", '%b')          AS "MonthShortName",
+           CAST(year("FullDate") AS INT)       AS "Year",
+           strftime("FullDate", '%Y/%m')       AS "YearMonth"
+    FROM spine
+    """,
+    "F4: generated date dimension with 13 derived attributes (DimDateTable)",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_date_dim(spark, _DATE_DIM_LO, _DATE_DIM_HI)
+
+
+_FACT_JOIN_SQL = "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+
+
+@register(
+    "q23_star_weekday",
+    f"""
+    SELECT CAST(isodow(CAST(o.o_orderdate AS DATE)) AS INT) AS "DayOfWeekNumber",
+           dayname(CAST(o.o_orderdate AS DATE)) AS "DayOfWeekName",
+           SUM({REVENUE_SQL}) AS sum_rev,
+           SUM({PROFIT_SQL})  AS sum_profit,
+           COUNT(*) AS n_sales
+    {_FACT_JOIN_SQL}
+    GROUP BY 1, 2
+    """,
+    "Dashboard: revenue/profit/count by weekday via date-dim star join",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = fact_sales(spark, sf_dir)
+    dates = build_date_dim(spark, "1992-01-01", "2002-12-31").select(
+        "FullDate", "DayOfWeekNumber", "DayOfWeekName"
+    )
+    return (
+        fact.join(F.broadcast(dates), fact["sale_date"] == dates["FullDate"], "inner")
+        .groupBy("DayOfWeekNumber", "DayOfWeekName")
+        .agg(
+            F.sum("revenue_usd").alias("sum_rev"),
+            F.sum("gross_profit_usd").alias("sum_profit"),
+            F.count("*").alias("n_sales"),
+        )
+    )
+
+
+@register(
+    "q24_star_month",
+    f"""
+    SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y/%m') AS "YearMonth",
+           SUM({REVENUE_SQL}) AS sum_rev,
+           COUNT(*) AS n_sales
+    {_FACT_JOIN_SQL}
+    GROUP BY 1
+    """,
+    "Dashboard: monthly revenue time series",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = fact_sales(spark, sf_dir)
+    dates = build_date_dim(spark, "1992-01-01", "2002-12-31").select("FullDate", "YearMonth")
+    return (
+        fact.join(F.broadcast(dates), fact["sale_date"] == dates["FullDate"], "inner")
+        .groupBy("YearMonth")
+        .agg(F.sum("revenue_usd").alias("sum_rev"), F.count("*").alias("n_sales"))
+    )
+
+
+@register(
+    "q25_topn_vendors",
+    f"""
+    SELECT s.s_suppkey, s.s_name, v.sum_rev, v.n_sales
+    FROM (
+      SELECT l_suppkey, SUM({REVENUE_SQL}) AS sum_rev, COUNT(*) AS n_sales
+      FROM lineitem GROUP BY l_suppkey
+    ) v JOIN supplier s ON v.l_suppkey = s.s_suppkey
+    ORDER BY v.sum_rev DESC, s.s_suppkey ASC
+    LIMIT 10
+    """,
+    "Dashboard: top vendors by revenue",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    agg = li.groupBy("l_suppkey").agg(F.sum(F.expr(REVENUE_SQL)).alias("sum_rev"), F.count("*").alias("n_sales"))
+    return (
+        agg.join(F.broadcast(s), agg["l_suppkey"] == s["s_suppkey"], "inner")
+        .select("s_suppkey", "s_name", "sum_rev", "n_sales")
+        .orderBy(F.col("sum_rev").desc(), F.col("s_suppkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q26_rollup_geo",
+    f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           SUM({REVENUE_SQL}) AS sum_rev, COUNT(*) AS n_sales
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "Dashboard drill-down: region→nation rollup (GROUPING SETS)",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"), F.expr(REVENUE_SQL).alias("rev"))
+    )
+    return joined.rollup("region_name", "nation_name").agg(
+        F.sum("rev").alias("sum_rev"), F.count("*").alias("n_sales")
+    )
+
+
+@register(
+    "q27_kpi_totals",
+    f"""
+    SELECT SUM({REVENUE_SQL}) AS total_revenue,
+           SUM({PROFIT_SQL})  AS total_profit,
+           COUNT(*)           AS n_lineitems,
+           COUNT(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l
+    """,
+    "Dashboard KPI card: grand totals",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.sum(F.expr(REVENUE_SQL)).alias("total_revenue"),
+        F.sum(F.expr(PROFIT_SQL)).alias("total_profit"),
+        F.count("*").alias("n_lineitems"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "q28_season",
+    f"""
+    WITH d AS (
+      SELECT month(CAST(o.o_orderdate AS DATE)) AS m,
+             dayofmonth(CAST(o.o_orderdate AS DATE)) AS dd,
+             {REVENUE_SQL} AS rev
+      {_FACT_JOIN_SQL}
+    )
+    SELECT CAST({_SEASON_SQL_NUM} AS INT) AS season_number,
+           ['spring','summer','autumn','winter'][{_SEASON_SQL_NUM}] AS season_name,
+           SUM(rev) AS sum_rev, COUNT(*) AS n_sales
+    FROM d GROUP BY 1, 2
+    """,
+    "F4: astronomical-season bucketing (reference season ladder)",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = fact_sales(spark, sf_dir).withColumn("FullDate", F.col("sale_date"))
+    return fact.groupBy(
+        season_number_expr().alias("season_number"), season_name_expr().alias("season_name")
+    ).agg(F.sum("revenue_usd").alias("sum_rev"), F.count("*").alias("n_sales"))
+
+
+# =====================================================================
+# §2.11 — SCD2 algorithms on the events change-log
+# =====================================================================
+
+_SCD_CTE = """
+    versions AS (
+      SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS start_date
+      FROM events GROUP BY user_id, event_type
+    ),
+    scd AS (
+      SELECT user_id, event_type, start_date,
+             LEAD(start_date) OVER w AS end_date,
+             LEAD(start_date) OVER w IS NULL AS is_current
+      FROM versions
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_date ASC, event_type ASC)
+    )
+"""
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("change_date")
+    )
+
+
+@register(
+    "q21_scd_build",
+    f"WITH {_SCD_CTE} SELECT user_id, event_type, start_date, end_date, is_current FROM scd",
+    "SCD2 build from change log: min-date versions + lead() interval close (scd.py:11-65 parity)",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return create_scd_from_input(
+        _events_changelog(spark, sf_dir), ["user_id", "event_type"], "change_date", "user_id"
+    )
+
+
+@register(
+    "q22_scd_as_of",
+    f"""
+    WITH {_SCD_CTE}
+    SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+           s.event_type AS version_type, s.start_date AS version_start
+    FROM events e
+    JOIN scd s ON e.user_id = s.user_id
+       AND CAST(e.ts AS DATE) >= s.start_date
+       AND (s.end_date IS NULL OR CAST(e.ts AS DATE) < s.end_date)
+    """,
+    "J5: point-in-time (as-of) SCD lookup — equi join + validity-interval filter, dim broadcast",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scd = create_scd_from_input(
+        _events_changelog(spark, sf_dir), ["user_id", "event_type"], "change_date", "user_id"
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", F.to_date("ts").alias("event_date"))
+    joined = scd_point_in_time_join(ev, scd, "user_id", "event_date")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_date",
+        F.col("event_type").alias("version_type"),
+        F.col("start_date").alias("version_start"),
+    )
+
+
+# events span 2024-01-01 .. 2024-01-30 at every scale factor. The old
+# warehouse sees only the first days, the delta the following window —
+# narrow enough that the delta still contains first-ever (user, type)
+# combos, so to_insert is non-trivially exercised.
+_SCD_OLD_END = "2024-01-04"
+_SCD_DELTA_END = "2024-01-16"
+
+@register(
+    "q29_scd_merge_insert",
+    f"""
+    WITH old_versions AS (
+      SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS start_date
+      FROM events WHERE CAST(ts AS DATE) < DATE '{_SCD_OLD_END}'
+      GROUP BY user_id, event_type
+    ),
+    old_scd AS (
+      SELECT user_id, event_type, start_date,
+             LEAD(start_date) OVER w AS end_date,
+             LEAD(start_date) OVER w IS NULL AS is_current
+      FROM old_versions
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_date ASC, event_type ASC)
+    ),
+    replay AS (
+      SELECT user_id, event_type, start_date AS change_date FROM old_scd
+      UNION ALL
+      SELECT user_id, event_type, CAST(ts AS DATE) AS change_date
+      FROM events
+      WHERE CAST(ts AS DATE) >= DATE '{_SCD_OLD_END}'
+        AND CAST(ts AS DATE) < DATE '{_SCD_DELTA_END}'
+    ),
+    rebuilt_versions AS (
+      SELECT user_id, event_type, MIN(change_date) AS start_date FROM replay GROUP BY 1, 2
+    ),
+    rebuilt AS (
+      SELECT user_id, event_type, start_date,
+             LEAD(start_date) OVER w AS end_date,
+             LEAD(start_date) OVER w IS NULL AS is_current
+      FROM rebuilt_versions
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_date ASC, event_type ASC)
+    )
+    SELECT r.user_id, r.event_type, r.start_date, r.end_date, r.is_current
+    FROM rebuilt r ANTI JOIN old_scd o
+      ON r.user_id = o.user_id AND r.start_date = o.start_date
+    """,
+    "Incremental SCD merge (scd.py:230-265 parity): replay current rows + delta → rebuilt, to_insert split",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _events_changelog(spark, sf_dir)
+    old_scd = create_scd_from_input(
+        log.where(F.col("change_date") < F.lit(_SCD_OLD_END)), ["user_id", "event_type"], "change_date", "user_id"
+    )
+    delta = log.where(
+        (F.col("change_date") >= F.lit(_SCD_OLD_END)) & (F.col("change_date") < F.lit(_SCD_DELTA_END))
+    )
+    _, to_insert = scd_update_and_insert(old_scd, delta, "user_id", "change_date", ["user_id", "event_type"])
+    return to_insert.select("user_id", "event_type", "start_date", "end_date", "is_current")
+
+
+# =====================================================================
+# beyond-reference: dedup / text / similarity on documents & embeddings
+# =====================================================================
+
+@register(
+    "q30_dedup_exact",
+    """
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    "Exact dedup via content-hash groupBy (shuffles fingerprints, not bodies)",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_keys(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+@register(
+    "q31_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    """,
+    "Token counting (whitespace regex), JVM-side",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_expr().alias("n_tokens"),
+        text.char_count_expr().alias("n_chars"),
+    )
+
+
+@register(
+    "q32_text_quality",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(regexp_extract_all(lower(text), '{text.EN_STOPWORD_PATTERN}')) AS INT) AS stopword_hits,
+           (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+            + CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) <= 0.1 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+            + CASE WHEN CAST(len(regexp_extract_all(lower(text), '{text.EN_STOPWORD_PATTERN}')) AS DOUBLE)
+                        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) >= 0.05 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+           ) AS quality_score
+    FROM documents
+    """,
+    "Quality scoring: length/punct/stopword heuristics as pure column exprs",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.punct_ratio_expr().alias("punct_ratio"),
+        text.stopword_hits_expr().alias("stopword_hits"),
+        text.quality_score_expr().alias("quality_score"),
+    )
+
+
+@register(
+    "q33_lang_id",
+    rf"""
+    SELECT doc_id, lang,
+           CASE WHEN len(regexp_extract_all(lower(text), '{text.EN_STOPWORD_PATTERN}')) >= 3
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM documents
+    """,
+    "Language-ID heuristic (stopword n-grams)",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text.lang_id_expr().alias("lang_pred"))
+
+
+@register(
+    "q34_fingerprint",
+    r"""
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    "Document fingerprinting: md5 of whitespace-normalized text (engine-portable)",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_expr().alias("fingerprint"))
+
+
+@register(
+    "q35_minhash_lsh",
+    None,  # xxhash64 has no DuckDB equivalent → rows-only check
+    "MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket join)",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+@register(
+    "q36_simhash",
+    None,  # xxhash64-based
+    "SimHash near-dup pairs, 16-bit-quarter blocked Hamming join",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), "doc_id", max_hamming=8)
+
+
+@register(
+    "q37_ngram_jaccard",
+    None,  # candidates come from the xxhash64 LSH pass
+    "Exact n-gram Jaccard verification over LSH candidate pairs",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, "doc_id")
+    return dedup.ngram_jaccard_pairs(docs, cands, "doc_id")
+
+
+@register(
+    "q38_knn_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(list_zip(q.qv, c.embedding),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS score
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    "Brute-force cosine top-k ANN baseline (broadcast queries, no corpus shuffle)",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.where("vec_id < 5"), k=10)
+
+
+@register(
+    "q39_knn_lsh",
+    None,  # approximate path; validated against q38 in tests
+    "LSH-bucketed (random hyperplane) approximate top-k — the scale path",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # 4 planes = 16 buckets: sized so buckets hold enough candidates to
+    # fill k=10 at this corpus size (recall/probe-cost tradeoff)
+    return similarity.cosine_topk_lsh(emb, emb.where("vec_id < 5"), k=10, n_planes=4)
+
+
+@register(
+    "q40_embedding_near_dup",
+    None,
+    "Embedding-cosine near-duplicate pairs, hyperplane-blocked",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ≈0.51), so 0.35 is the "near-dup" band that actually exists here
+    return similarity.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4)

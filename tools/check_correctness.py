@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
+sf0.01, compare row count, column names, and exact (order-insensitive)
+values. Usage:
+
+    python tools/check_correctness.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import decimal
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, decimal.Decimal):
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s or "0"
+    if isinstance(v, float):
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark import get_spark
+
+    spark = get_spark(cores=8)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    names = args.names or sorted(qs)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        elif len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            ok = False
+        else:
+            ns, nd = norm_rows(scols, srows), norm_rows(dcols, drows)
+            if ns != nd:
+                diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+                print(f"FAIL {name}: values differ, first diffs: {diff}")
+                ok = False
+        if ok:
+            print(f"PASS {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+        else:
+            failures += 1
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
