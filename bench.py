@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with the `noop` sink
+(no driver collect cost, no output I/O cost — pure plan execution).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of the registry: flagship agg, joins/set ops,
+# windows, SCD build + as-of, star dashboards, dedup, ANN.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q09_topn_parts",
+    "q14_except_all",
+    "q16_count_distinct",
+    "q21_scd_build",
+    "q22_scd_as_of",
+    "q23_star_weekday",
+    "q26_rollup_geo",
+    "q30_dedup_exact",
+    "q35_minhash_lsh",
+    "q38_knn_cosine",
+]
+
+
+def main() -> None:
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark import get_spark
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import registry
+
+    spark = get_spark("bench")
+    reg = registry()
+
+    # warm the JVM/codegen path once with a trivial plan
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        reg[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Operator-level tests: same-day repair, point-in-time join, date
+dimension, dedup, similarity."""
+
+import datetime
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.functions import build_date_dim
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+    remove_one_day_changes,
+    scd_point_in_time_join,
+)
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.dedup import (
+    exact_dedup_keys,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+)
+
+
+def test_remove_one_day_changes(spark):
+    """Reference ``ingest_utils.py:79-118`` semantics: a same-day
+    conflict takes the value of the key's NEXT later day; keys
+    without a later day keep their values."""
+    df = spark.createDataFrame(
+        [
+            Row(store=1, date=datetime.date(2024, 1, 1), name="A"),
+            Row(store=1, date=datetime.date(2024, 1, 1), name="B"),  # conflict day
+            Row(store=1, date=datetime.date(2024, 1, 5), name="C"),  # next later day
+            Row(store=2, date=datetime.date(2024, 1, 1), name="X"),  # no conflict
+            Row(store=3, date=datetime.date(2024, 1, 2), name="P"),
+            Row(store=3, date=datetime.date(2024, 1, 2), name="Q"),  # conflict, no later day
+        ]
+    )
+    out = remove_one_day_changes(df, "name", "store", "date")
+    rows = out.collect()
+    s1_day1 = sorted(r["name"] for r in rows if r["store"] == 1 and r["date"] == datetime.date(2024, 1, 1))
+    assert s1_day1 == ["C", "C"], "conflicted day must take next-day value"
+    assert [r["name"] for r in rows if r["store"] == 2] == ["X"]
+    s3 = sorted(r["name"] for r in rows if r["store"] == 3)
+    assert s3 == ["P", "Q"], "conflict with no later day keeps originals"
+
+
+def test_point_in_time_join(spark):
+    dim = spark.createDataFrame(
+        [
+            Row(nk=1, val="v1", start_date=datetime.date(2024, 1, 1), end_date=datetime.date(2024, 2, 1), is_current=False),
+            Row(nk=1, val="v2", start_date=datetime.date(2024, 2, 1), end_date=None, is_current=True),
+        ]
+    )
+    fact = spark.createDataFrame(
+        [
+            Row(fid=10, nk=1, d=datetime.date(2024, 1, 15)),
+            Row(fid=11, nk=1, d=datetime.date(2024, 2, 1)),  # boundary: new version day
+            Row(fid=12, nk=1, d=datetime.date(2024, 6, 1)),
+        ]
+    )
+    out = scd_point_in_time_join(fact, dim, "nk", "d").select("fid", "val").collect()
+    got = {r["fid"]: r["val"] for r in out}
+    assert got == {10: "v1", 11: "v2", 12: "v2"}
+
+
+def test_date_dim_attributes(spark):
+    dd = build_date_dim(spark, "2024-01-01", "2024-12-31")
+    rows = {r["FullDate"]: r for r in dd.collect()}
+    assert len(rows) == 366  # leap year
+    mar21 = rows[datetime.date(2024, 3, 21)]
+    assert (mar21["AstronomicalSeasonName"], mar21["AstronomicalSeasonNumber"]) == ("spring", 1)
+    mar20 = rows[datetime.date(2024, 3, 20)]
+    assert mar20["AstronomicalSeasonName"] == "winter"
+    dec22 = rows[datetime.date(2024, 12, 22)]
+    assert dec22["AstronomicalSeasonName"] == "winter"
+    sep23 = rows[datetime.date(2024, 9, 23)]
+    assert sep23["AstronomicalSeasonName"] == "autumn"
+    # ISO weekday: 2024-01-01 is a Monday
+    jan1 = rows[datetime.date(2024, 1, 1)]
+    assert jan1["DayOfWeekNumber"] == 1 and jan1["DayOfWeekName"] == "Monday" and not jan1["IsWeekend"]
+    jan6 = rows[datetime.date(2024, 1, 6)]  # Saturday
+    assert jan6["IsWeekend"] and jan6["DayOfWeekNumber"] == 6
+    assert jan1["DateId"] == 1 and rows[datetime.date(2024, 12, 31)]["DateId"] == 366
+    assert jan1["YearMonth"] == "2024/01" and jan1["MonthShortName"] == "Jan"
+
+
+_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away into the woods"),
+    (2, "the quick brown fox jumps over the lazy dog and runs far away into the woods"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat and runs far away into the woods"),  # near dup of 1
+    (4, "completely different content about spark query engines and columnar storage formats"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in _DOCS])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup_keys(_docs_df(spark), "doc_id").collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep[1] == 2  # docs 1+2 collapse
+    assert by_keep[3] == 1 and by_keep[4] == 1
+    assert len(out) == 3
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(_docs_df(spark), "doc_id").collect()}
+    assert (1, 2) in pairs, "exact dup must collide in every band"
+    assert (1, 3) in pairs or (2, 3) in pairs, "near dup should collide in some band"
+    assert (1, 4) not in pairs and (3, 4) not in pairs, "unrelated docs must not collide"
+
+
+def test_ngram_jaccard_values(spark):
+    docs = _docs_df(spark)
+    cands = minhash_lsh_candidates(docs, "doc_id")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, cands, "doc_id").collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 < j.get((1, 3), j.get((2, 3), 0.0)) < 1.0
+
+
+def test_simhash_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(_docs_df(spark), "doc_id", max_hamming=12).collect()}
+    assert pairs.get((1, 2)) == 0, "identical text → identical simhash"
+    assert (1, 3) in pairs, "one-word change → small hamming distance"
+
+
+def test_cosine_topk_exact_and_lsh(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in vecs])
+    top = cosine_topk(df, df.where("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])] == [1, 2]
+    assert top[0]["score"] > 0.999
+
+    # LSH path: the near-identical pair shares every hyperplane sign
+    top_lsh = cosine_topk_lsh(df, df.where("vec_id = 0"), k=2, n_planes=2, dim=4).collect()
+    assert any(r["neighbor_id"] == 1 for r in top_lsh)
