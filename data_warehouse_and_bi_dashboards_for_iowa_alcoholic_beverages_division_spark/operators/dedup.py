@@ -58,11 +58,30 @@ def minhash_signatures(
     shingling n_hashes times (measured ~30× slower). The only shuffle
     is the partial-aggregated (doc, n_hashes mins) rows — map-side
     combine keeps it tiny regardless of document size."""
-    exploded = df.select(
-        F.col(id_col).alias("doc"), F.explode(char_shingles_expr(text_col, shingle_k)).alias("sh")
+    # Explode shingle POSITIONS first: the generator materializes the
+    # lowered text once per document, and each exploded row substrings
+    # the materialized column. Building a shingle array via
+    # transform(sequence(...), substring(lower(text), ...)) instead
+    # re-evaluates lower() per element inside the lambda — measured ~8s
+    # vs ~1s for 1.5M shingles. Duplicate shingles are harmless here
+    # (min over a multiset equals min over its set).
+    lowered = df.select(F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("lt"))
+    positions = lowered.select(
+        "doc",
+        "lt",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("lt") - F.lit(shingle_k - 1), F.lit(1)))
+        ).alias("i"),
     )
-    sig_aggs = [F.min(F.xxhash64("sh", F.lit(seed))).alias(f"h{seed}") for seed in range(n_hashes)]
-    per_seed = exploded.groupBy("doc").agg(*sig_aggs)
+    # One string hash per shingle; the per-seed family then re-hashes
+    # the resulting LONG (fixed-width input) instead of re-hashing the
+    # string n_hashes times. Integer mixing (a*h+b) would be cheaper
+    # still, but Spark's ANSI mode turns the deliberate overflow into a
+    # runtime error, so seeded xxhash64 over the long is the fast path
+    # that works under any session config.
+    base = positions.select("doc", F.xxhash64(F.expr(f"substring(lt, i, {shingle_k})")).alias("h0"))
+    sig_aggs = [F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    per_seed = base.groupBy("doc").agg(*sig_aggs)
     return per_seed.select("doc", F.array(*[f"h{s}" for s in range(n_hashes)]).alias("sig"))
 
 
@@ -124,7 +143,16 @@ def ngram_jaccard_pairs(
     """Exact Jaccard verification over candidate pairs: |A∩B| / |A∪B|
     on distinct shingle sets. Run only on the (small) candidate set —
     the expensive set ops never touch the full corpus cross-product."""
-    shingled = df.select(F.col(id_col).alias("doc"), char_shingles_expr(text_col, shingle_k).alias("sh"))
+    # only shingle documents that appear in some candidate pair — the
+    # expensive set materialization never touches the full corpus
+    member_ids = candidate_pairs.select(F.col("id_a").alias("doc")).unionByName(
+        candidate_pairs.select(F.col("id_b").alias("doc"))
+    ).distinct()
+    shingled = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
+        .join(member_ids, "doc", "left_semi")
+        .select("doc", char_shingles_expr("_txt", shingle_k).alias("sh"))
+    )
     a = shingled.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingled.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.dates import build_date_dim, season_name_expr, season_number_expr
-from ..operators import dedup, similarity, text
+from ..operators import dedup, multimodal, similarity, text
 from ..operators.scd import create_scd_from_input, scd_point_in_time_join, scd_update_and_insert
 from ..sources.tables import load_table
 from .warehouse import COST_SQL, PROFIT_SQL, REVENUE_SQL, fact_sales
@@ -924,3 +924,142 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ≈0.51), so 0.35 is the "near-dup" band that actually exists here
     return similarity.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4)
+
+
+# =====================================================================
+# events: time-grain aggs, JSON, sessionization, pivot (streaming twins)
+# =====================================================================
+
+@register(
+    "q41_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "Tumbling-hour aggregation — batch twin of streaming.hourly_counts",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+    )
+
+
+@register(
+    "q42_json_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+    FROM events
+    """,
+    "Semi-structured extraction: JSON property pull from a string column",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", F.get_json_object("props", "$.k").cast("int").alias("prop_k"))
+
+
+@register(
+    "q43_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY 1, 2
+    """,
+    "Sessionization: lag-gap detection + running session counter (30 min timeout)",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    brk = F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0))
+    sessions = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+@register(
+    "q44_pivot",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'view')     AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'error')    AS error
+    FROM events GROUP BY 1
+    """,
+    "Pivot: per-user event-type count matrix (explicit value list → no extra distinct pass)",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+# =====================================================================
+# multimodal: opaque binary payload plumbing (mapInPandas)
+# =====================================================================
+
+@register(
+    "q45_media_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST(strlen(text) % 640 AS INT) AS width,
+           CAST((strlen(text) * 7) % 480 AS INT) AS height,
+           CAST(strlen(text) % 16 AS INT) AS n_frames
+    FROM documents
+    """,
+    "Multimodal decode pipeline: binary payload → mapInPandas feature extraction "
+    "(deterministic fake decoder; real codec is a one-function swap)",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+@register(
+    "q46_media_metadata",
+    """
+    SELECT doc_id AS media_id, 'text/plain' AS media_type,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+    "Typed metadata for opaque media columns (binary-safe hashing, byte length)",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.documents_as_media(_t(spark, sf_dir, "documents")).drop("payload")

@@ -1,0 +1,2 @@
+from .incremental import high_watermark, incremental_delta, load_or_update  # noqa: F401
+from .stream_ops import events_stream, hourly_counts, run_available_now  # noqa: F401

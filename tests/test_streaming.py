@@ -1,0 +1,77 @@
+"""Streaming & incremental-batch tests: the streaming plan must agree
+with its batch twin on the same input; the watermark-gated incremental
+loader must be idempotent and append-only."""
+
+import datetime
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming import (
+    events_stream,
+    high_watermark,
+    hourly_counts,
+    incremental_delta,
+    load_or_update,
+    run_available_now,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_hourly_matches_batch(spark):
+    """availableNow drain of the events dir == batch aggregation over
+    the same parquet (exactly-once, no duplicates, no loss)."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        stream = hourly_counts(events_stream(spark, SF_DIR))
+        run_available_now(stream, ckpt, "hourly_out")
+        got = {
+            (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM hourly_out").collect()
+        }
+        from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import load_table
+
+        batch = (
+            load_table(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(12,2)")).alias("s"))
+            .select(F.col("win.start").alias("h"), "event_type", "n", "s")
+        )
+        want = {(r["h"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+        assert got == want
+        assert len(got) > 100
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_incremental_load_or_update(spark, tmp_path):
+    target = str(tmp_path / "fact")
+    src1 = spark.createDataFrame(
+        [Row(k=1, d=datetime.date(2024, 1, 1)), Row(k=2, d=datetime.date(2024, 1, 2))]
+    )
+    mode, n = load_or_update(spark, src1, target, "d")
+    assert (mode, n) == ("create", 2)
+
+    # same source again: watermark blocks everything → idempotent
+    mode, n = load_or_update(spark, src1, target, "d")
+    assert (mode, n) == ("update", 0)
+    assert spark.read.parquet(target).count() == 2
+
+    # one newer row arrives → only it is appended
+    src2 = src1.unionByName(spark.createDataFrame([Row(k=3, d=datetime.date(2024, 1, 5))]))
+    mode, n = load_or_update(spark, src2, target, "d")
+    assert (mode, n) == ("update", 1)
+    got = sorted(r["k"] for r in spark.read.parquet(target).collect())
+    assert got == [1, 2, 3]
+
+
+def test_watermark_helpers(spark):
+    df = spark.createDataFrame([Row(d=datetime.date(2024, 1, 1)), Row(d=datetime.date(2024, 2, 1))])
+    wm = high_watermark(df, "d")
+    assert wm == datetime.date(2024, 2, 1)
+    assert incremental_delta(df, "d", wm).count() == 0
+    assert incremental_delta(df, "d", datetime.date(2024, 1, 15)).count() == 1
+    assert incremental_delta(df, "d", None).count() == 2
