@@ -1063,3 +1063,217 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.documents_as_media(_t(spark, sf_dir, "documents")).drop("payload")
+
+
+# =====================================================================
+# remaining §2 surface: string/degenerate dim, geo WKT, date horizon,
+# NULL-repair, grouping sets/cube, running totals, unknown members
+# =====================================================================
+
+@register(
+    "q47_degenerate_invoice",
+    """
+    SELECT l_orderkey, l_linenumber,
+           concat('INV-', CAST(l_orderkey AS VARCHAR)) AS invoice_number,
+           substring(concat('INV-', CAST(l_orderkey AS VARCHAR)), 1,
+                     length(concat('INV-', CAST(l_orderkey AS VARCHAR))) - 2) AS invoice_prefix
+    FROM lineitem
+    """,
+    "F2: degenerate-dimension string derivation (reference invoice substring, "
+    "create_update_liqour_sales_fact_table.py:196)",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inv = F.concat(F.lit("INV-"), F.col("l_orderkey").cast("string"))
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        inv.alias("invoice_number"),
+        F.substring(inv, 1, 32).substr(F.lit(1), F.length(inv) - 2).alias("invoice_prefix"),
+    )
+
+
+@register(
+    "q48_wkt_point",
+    """
+    SELECT s_suppkey,
+           concat('POINT (', CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR), ' ',
+                  CAST(CAST(s_nationkey AS DECIMAL(12,2)) AS VARCHAR), ')') AS wkt,
+           CAST(s_acctbal AS DECIMAL(12,2)) AS x,
+           CAST(s_nationkey AS DECIMAL(12,2)) AS y
+    FROM supplier
+    """,
+    "F5: WKT POINT construction from coordinate columns (reference "
+    "update_store_dim.py:18 geo round-trip; no UDT, plain string expr)",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = F.col("s_acctbal").cast("decimal(12,2)")
+    y = F.col("s_nationkey").cast("decimal(12,2)")
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.concat(F.lit("POINT ("), x.cast("string"), F.lit(" "), y.cast("string"), F.lit(")")).alias("wkt"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+
+
+@register(
+    "q49_date_horizon",
+    """
+    SELECT CAST(max(o_orderdate) AS DATE) AS max_date,
+           CAST(max(o_orderdate) AS DATE) + INTERVAL 5 YEAR AS horizon_end,
+           CAST(min(o_orderdate) AS DATE) AS min_date
+    FROM orders
+    """,
+    "F4: calendar horizon = max date + 5 years (reference main_pipeline.py:305)",
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    mx = F.max(F.to_date("o_orderdate"))
+    return o.agg(
+        mx.alias("max_date"),
+        F.add_months(mx, 60).cast("timestamp").alias("horizon_end"),
+        F.min(F.to_date("o_orderdate")).alias("min_date"),
+    )
+
+
+@register(
+    "q51_null_repair",
+    """
+    SELECT COALESCE(c.c_custkey, -1) AS repaired_custkey,
+           COALESCE(n.n_name, 'unknown') AS repaired_nation,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS sum_totalprice
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 7 <> 0) c
+           ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    "County NULL-repair pattern (§2.11#5): left-join lookups + coalesce to the "
+    "unknown member (-1/'unknown') instead of 4-way NULL-pattern split",
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where("c_custkey % 7 <> 0").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .groupBy(
+            F.coalesce("c_custkey", F.lit(-1)).alias("repaired_custkey"),
+            F.coalesce("n_name", F.lit("unknown")).alias("repaired_nation"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("sum_totalprice"),
+        )
+    )
+
+
+@register(
+    "q52_grouping_sets",
+    f"""
+    SELECT r.r_name AS region_name, c.c_mktsegment AS mktsegment,
+           SUM({REVENUE_SQL}) AS sum_rev, COUNT(*) AS n_sales
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment), ())
+    """,
+    "A5 drill-down: explicit GROUPING SETS (region-only / segment-only / total)",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(F.col("r_name").alias("region_name"), F.col("c_mktsegment").alias("mktsegment"), F.expr(REVENUE_SQL).alias("rev"))
+    )
+    joined.createOrReplaceTempView("_gs_input")
+    return spark.sql(
+        """
+        SELECT region_name, mktsegment, SUM(rev) AS sum_rev, COUNT(*) AS n_sales
+        FROM _gs_input
+        GROUP BY GROUPING SETS ((region_name), (mktsegment), ())
+        """
+    )
+
+
+@register(
+    "q53_running_total",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS UNBOUNDED PRECEDING) AS running_spend
+    FROM orders
+    """,
+    "Analytic frame: per-customer running revenue (rowsBetween unbounded preceding)",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).alias("running_spend"),
+    )
+
+
+@register(
+    "q54_unknown_member",
+    """
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT -1 AS r_regionkey, 'unknown' AS r_name
+    """,
+    "S10/U1: dimension + literal unknown-member row (insert_unknown_into_*.sql)",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    unknown = r.sparkSession.createDataFrame([(-1, "unknown")], schema=r.schema)
+    return r.unionByName(unknown)
+
+
+@register(
+    "q55_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "A5: CUBE over flag×status (all marginals in one pass)",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"))
+    )
+
+
+@register(
+    "q56_approx_distinct",
+    None,  # HLL sketches differ across engines by design → rows-only
+    "Approximate distinct: HLL count of orderkeys (order-insensitive merge ⇒ "
+    "deterministic for fixed data; the scale path for COUNT(DISTINCT) at 100 TB)",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
