@@ -1277,3 +1277,85 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
     )
+
+
+# =====================================================================
+# ingest coercion (S6) and remaining join shapes (J2, J6)
+# =====================================================================
+
+@register(
+    "q57_ingest_coercion",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(string_split(CAST(l_partkey AS VARCHAR) || '.0', '.')[1] AS INT) AS partkey_int,
+           CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(12,2)) AS price_usd,
+           TRY_CAST('not-a-number' AS DECIMAL(12,2)) AS bad_money
+    FROM lineitem
+    """,
+    "S6: ingest typing pipeline — float-string→int split, string→decimal "
+    "money cast, malformed input → NULL (reference ingest_utils.py:50-70)",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ingest import int_from_floatish_string, money_from_string
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(F.col("l_partkey").cast("string"), F.lit(".0")).alias("partkey_str"),
+        F.col("l_extendedprice").cast("string").alias("price_str"),
+        F.lit("not-a-number").alias("bad_str"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        int_from_floatish_string("partkey_str").alias("partkey_int"),
+        money_from_string("price_str", 12, 2).alias("price_usd"),
+        money_from_string("bad_str", 12, 2).alias("bad_money"),
+    )
+
+
+@register(
+    "q58_compound_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, m.max_qty
+    FROM lineitem l
+    JOIN (
+      SELECT l_orderkey, MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_orderkey
+    ) m ON l.l_orderkey = m.l_orderkey AND l.l_quantity = m.max_qty
+    """,
+    "J2: compound-condition equi-join (self-join to an aggregate of itself, "
+    "the reference's sequence-alignment shape, scd.py:48-53)",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_orderkey").agg(F.max("l_quantity").alias("max_qty"))
+    return (
+        li.alias("l")
+        .join(
+            m.alias("m"),
+            on=(F.col("l.l_orderkey") == F.col("m.l_orderkey")) & (F.col("l.l_quantity") == F.col("m.max_qty")),
+            how="inner",
+        )
+        .select(F.col("l.l_orderkey").alias("l_orderkey"), "l_linenumber", "l_quantity", "max_qty")
+    )
+
+
+@register(
+    "q59_next_later_date",
+    """
+    WITH d AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+    SELECT o_custkey, od AS order_date,
+           LEAD(od) OVER (PARTITION BY o_custkey ORDER BY od ASC) AS next_order_date
+    FROM d
+    """,
+    "J6→W2: 'strictly later date' computed as lead() over distinct dates — the "
+    "window rewrite of the reference's theta-join + min-aggregate "
+    "(ingest_utils.py:90-95); same result, no non-equi join",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "orders").select("o_custkey", F.to_date("o_orderdate").alias("od")).distinct()
+    w = Window.partitionBy("o_custkey").orderBy(F.col("od").asc())
+    return d.select(
+        "o_custkey", F.col("od").alias("order_date"), F.lead("od").over(w).alias("next_order_date")
+    )

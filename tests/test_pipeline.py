@@ -1,0 +1,39 @@
+"""End-to-end warehouse build: write dims+fact to parquet, read back,
+serve the flagship dashboard query from the written tables."""
+
+import pyspark.sql.functions as F
+
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.pipeline import (
+    build_star_warehouse,
+    read_warehouse,
+    revenue_by_weekday,
+)
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import registry
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_full_warehouse_build_and_query(spark, tmp_path):
+    paths = build_star_warehouse(spark, SF_DIR, str(tmp_path / "wh"))
+    wh = read_warehouse(spark, paths)
+
+    # fact row count preserved (every lineitem joined an order)
+    assert wh["fact_sales"].count() == load_table(spark, SF_DIR, "lineitem").count()
+
+    # fact is partitioned by sale_year on disk
+    years = [r["sale_year"] for r in wh["fact_sales"].select("sale_year").distinct().collect()]
+    assert len(years) > 1
+
+    # every dim has its unknown member
+    assert wh["dim_geo"].where("c_custkey = -1 AND nation_name = 'unknown'").count() == 1
+    assert wh["dim_item"].where("p_partkey = -1").count() == 1
+    assert wh["dim_vendor"].where("s_suppkey = -1").count() == 1
+
+    # dashboard served from the WRITTEN warehouse == derived from base tables
+    got = {r["DayOfWeekNumber"]: (r["sum_rev"], r["n_sales"]) for r in revenue_by_weekday(wh).collect()}
+    want = {
+        r["DayOfWeekNumber"]: (r["sum_rev"], r["n_sales"])
+        for r in registry()["q23_star_weekday"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
