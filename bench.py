@@ -34,6 +34,9 @@ HEADLINE = [
     "q30_dedup_exact",
     "q35_minhash_lsh",
     "q38_knn_cosine",
+    "q43_sessionization",
+    "q45_media_features",
+    "q53_running_total",
 ]
 
 
