@@ -162,10 +162,16 @@ def scd_update_and_insert(
 
     - ``to_update``: previously-current rows whose recomputed
       ``end_date`` is now set (their interval closed), and
-    - ``to_insert``: recomputed rows not present in the old SCD
-      (matched on (natural key, start_date)).
+    - ``to_insert``: recomputed rows not present in the old SCD.
+
+    Version identity is ``(natural key, *attrs, start_date)`` — NOT just
+    (natural key, start_date): two attribute combos first seen on the
+    same day share a start_date (one interval is zero-length), and
+    matching on the date alone conflates them (hypothesis-found case:
+    A and B both on day 0, then A again later).
     """
     attrs = _attrs_without_nk(attribute_cols, natural_key)
+    version_key = [natural_key, *attrs, "start_date"]
 
     pseudo_events = old_scd.select(natural_key, *attrs, F.col("start_date").alias(date_col))
     incoming = new_records.select(natural_key, *attrs, date_col)
@@ -173,17 +179,33 @@ def scd_update_and_insert(
         pseudo_events.unionByName(incoming), [natural_key, *attrs], date_col, natural_key
     )
 
-    currently_open = old_scd.where(F.col("is_current")).select(natural_key, "start_date")
+    currently_open = old_scd.where(F.col("is_current")).select(*version_key)
 
-    to_update = rebuilt.join(
-        currently_open, on=[natural_key, "start_date"], how="left_semi"
-    ).where(F.col("end_date").isNotNull())
+    to_update = _join_on_version_key(rebuilt, currently_open, version_key, "left_semi").where(
+        F.col("end_date").isNotNull()
+    )
 
-    to_insert = rebuilt.join(
-        old_scd.select(natural_key, "start_date"), on=[natural_key, "start_date"], how="left_anti"
+    to_insert = _join_on_version_key(
+        rebuilt, old_scd.select(*version_key), version_key, "left_anti"
     )
 
     return to_update, to_insert
+
+
+def _join_on_version_key(
+    left: DataFrame, right: DataFrame, version_key: Sequence[str], how: str
+) -> DataFrame:
+    """Semi/anti join on the version identity with null-safe equality —
+    attribute columns may legitimately hold NULLs (groupBy treats NULL
+    as a value, so versions can carry them) and a plain equi-join would
+    never match those rows.
+    """
+    l, r = left.alias("_l"), right.alias("_r")
+    cond = None
+    for c in version_key:
+        step = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        cond = step if cond is None else cond & step
+    return l.join(r, on=cond, how=how)
 
 
 def apply_scd_changes(
@@ -203,7 +225,10 @@ def apply_scd_changes(
     facts, so the rewrite cost is negligible at any scale.
     """
     cols = old_scd.columns
-    keep = old_scd.join(to_update.select(natural_key, "start_date"), on=[natural_key, "start_date"], how="left_anti")
+    version_key = [c for c in cols if c not in ("end_date", "is_current")]
+    keep = _join_on_version_key(
+        old_scd, to_update.select(*version_key), version_key, "left_anti"
+    )
     return (
         keep.select(*cols)
         .unionByName(to_update.select(*cols))

@@ -1359,3 +1359,47 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "o_custkey", F.col("od").alias("order_date"), F.lead("od").over(w).alias("next_order_date")
     )
+
+
+# =====================================================================
+# §2.11#1 — remove_one_day_changes, oracle-checked end-to-end
+# =====================================================================
+
+@register(
+    "q60_same_day_repair",
+    """
+    WITH log AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS change_date FROM events
+    ),
+    conflicts AS (
+      SELECT user_id, change_date FROM log
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT event_type) > 1
+    ),
+    days AS (SELECT DISTINCT user_id, change_date FROM log),
+    next_day AS (
+      SELECT user_id, change_date,
+             LEAD(change_date) OVER (PARTITION BY user_id ORDER BY change_date ASC) AS next_date
+      FROM days
+    ),
+    repl AS (
+      SELECT c.user_id, c.change_date, l2.event_type AS new_value
+      FROM conflicts c
+      JOIN next_day nd ON c.user_id = nd.user_id AND c.change_date = nd.change_date
+                       AND nd.next_date IS NOT NULL
+      JOIN log l2 ON l2.user_id = c.user_id AND l2.change_date = nd.next_date
+    )
+    SELECT l.user_id, l.change_date, COALESCE(r.new_value, l.event_type) AS event_type
+    FROM log l
+    LEFT JOIN repl r ON l.user_id = r.user_id AND l.change_date = r.change_date
+    """,
+    "§2.11#1 remove_one_day_changes (ingest_utils.py:79-118): same-day "
+    "attribute conflicts take the key's next-day value; window rewrite of the "
+    "reference's theta-join, exact row-multiplication semantics preserved",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import remove_one_day_changes
+
+    log = _events_changelog(spark, sf_dir)
+    return remove_one_day_changes(log, "event_type", "user_id", "change_date").select(
+        "user_id", "change_date", "event_type"
+    )
