@@ -1403,3 +1403,149 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_one_day_changes(log, "event_type", "user_id", "change_date").select(
         "user_id", "change_date", "event_type"
     )
+
+
+# =====================================================================
+# J5 fallback — grouped-map as-of join (big-dimension path)
+# =====================================================================
+
+@register(
+    "q61_asof_grouped",
+    f"""
+    WITH {_SCD_CTE},
+    ranked AS (
+      SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+             s.event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY s.start_date DESC, s.event_type DESC
+             ) AS rn
+      FROM events e
+      LEFT JOIN scd s ON e.user_id = s.user_id
+                     AND s.start_date <= CAST(e.ts AS DATE)
+    )
+    SELECT event_id, user_id, event_date, event_type
+    FROM ranked WHERE rn = 1
+    """,
+    "J5 fallback for a non-broadcastable dimension: cogroup/applyInPandas "
+    "merge_asof — both sides shuffle once on the natural key; backward "
+    "search takes the latest version start <= event date (last tiebreak on "
+    "attrs, matching the SCD zero-length-interval ordering)",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_grouped
+
+    scd = create_scd_from_input(
+        _events_changelog(spark, sf_dir), ["user_id", "event_type"], "change_date", "user_id"
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", F.to_date("ts").alias("event_date"))
+    return asof_join_grouped(ev, scd, "user_id", "event_date", ["event_type"])
+
+
+# =====================================================================
+# §2.3 J8 — full outer join with merge-indicator semantics
+# =====================================================================
+
+@register(
+    "q62_full_outer_upsert",
+    """
+    WITH existing AS (
+      SELECT n_nationkey AS nk, n_name FROM nation WHERE n_nationkey < 15
+    ),
+    incoming AS (
+      SELECT DISTINCT s_nationkey AS nk FROM supplier WHERE s_suppkey < 20
+    )
+    SELECT COALESCE(e.nk, i.nk) AS nk, e.n_name,
+           CASE WHEN e.nk IS NOT NULL AND i.nk IS NOT NULL THEN 'both'
+                WHEN e.nk IS NOT NULL THEN 'left_only'
+                ELSE 'right_only' END AS indicator
+    FROM existing e FULL OUTER JOIN incoming i ON e.nk = i.nk
+    """,
+    "J8: the reference's pandas merge(how='outer', indicator=True) static-dim "
+    "upsert (main_pipeline.py:456-467) as a native full outer join; the "
+    "indicator classifies rows into both / left_only / right_only",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") < 15)
+        .select(F.col("n_nationkey").alias("nk"), "n_name", F.lit(1).alias("_l"))
+    )
+    incoming = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 20)
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+        .withColumn("_r", F.lit(1))
+    )
+    full = existing.join(incoming, on="nk", how="full_outer")
+    return full.select(
+        "nk",
+        "n_name",
+        F.when(F.col("_l").isNotNull() & F.col("_r").isNotNull(), F.lit("both"))
+        .when(F.col("_l").isNotNull(), F.lit("left_only"))
+        .otherwise(F.lit("right_only"))
+        .alias("indicator"),
+    )
+
+
+# =====================================================================
+# Skew mitigation — salted join (equivalence to the plain join)
+# =====================================================================
+
+@register(
+    "q63_salted_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey AS custkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "Explicit salting for hot join keys AQE can't split (one key > one "
+    "task): fact rows spread over 8 salt buckets via xxhash64, dim rows "
+    "exploded 8x; result must equal the unsalted join",
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    fact = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return salted_join(fact, dim, "custkey", salt=8, salt_source="o_orderkey").select(
+        "o_orderkey", "custkey", "c_mktsegment"
+    )
+
+
+# =====================================================================
+# §2.5 extension — RANGE frame (time-based moving aggregate)
+# =====================================================================
+
+@register(
+    "q64_moving_window",
+    """
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS moving_rev
+    FROM orders
+    """,
+    "Time-based RANGE frame: 7-day trailing revenue per customer — value "
+    "ranges (not row counts) bound the frame, so same-day orders aggregate "
+    "together regardless of row order; decimal sums keep it exact",
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("od")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "od", F.sum("price").over(w).alias("moving_rev")
+    )
