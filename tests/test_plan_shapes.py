@@ -1,0 +1,97 @@
+"""Physical-plan shape guards.
+
+Correctness tests prove the queries compute the right rows; these prove
+they compute them the way that survives a 100x scale-up. Each assertion
+pins a plan property that Catalyst gives us today and that a careless
+refactor could silently lose:
+
+- dimension lookups broadcast (no fact-side shuffle),
+- filters and projections reach the parquet scan,
+- aggregations are partial (map-side combine) before the shuffle,
+- top-N compiles to TakeOrderedAndProject, not a global sort.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+    registry,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    reg = registry()
+
+    def run(name):
+        return reg[name].fn(spark, SF_DIR)
+
+    return run
+
+
+def test_star_join_broadcasts_all_dims(q):
+    plan = plan_text(q("q23_star_weekday"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "star dims must broadcast, not shuffle the fact"
+
+
+def test_scd_as_of_broadcasts_dim(q):
+    plan = plan_text(q("q22_scd_as_of"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "point-in-time dim lookup must not shuffle the fact"
+
+
+def test_filter_pushdown_reaches_scan(q):
+    plan = plan_text(q("q01_pricing_summary"))
+    assert "PushedFilters: [" in plan
+    # the shipdate predicate must be pushed, not just evaluated post-scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(q):
+    plan = plan_text(q("q02_filter_project"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema, "unused wide column must be pruned from the scan"
+    assert "l_orderkey" in read_schema
+
+
+def test_aggregate_is_partial_before_shuffle(q):
+    plan = plan_text(q("q01_pricing_summary"))
+    assert "partial_sum" in plan, "need map-side partial agg before the shuffle"
+    assert "hashpartitioning" in plan
+
+
+def test_topn_is_take_ordered_not_global_sort(q):
+    plan = plan_text(q("q09_topn_parts"))
+    assert "TakeOrderedAndProject" in plan, "ORDER BY + LIMIT must not global-sort"
+
+
+def test_whole_stage_codegen_active(q):
+    # codegen spans only appear on the AQE-finalized plan, so execute first
+    df = q("q01_pricing_summary")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes are the whole-stage-codegen stage ids
+    assert "*(1)" in final, "hot path fell out of whole-stage codegen"
+
+
+def test_salted_join_shuffles_only_on_salted_key(q):
+    # the whole point of salting: the join key in the exchange includes the salt
+    plan = plan_text(q("q63_salted_join"))
+    assert "_salt" in plan
+
+
+def test_dedup_exact_partial_agg(q):
+    plan = plan_text(q("q30_dedup_exact"))
+    assert plan.count("HashAggregate") >= 2
