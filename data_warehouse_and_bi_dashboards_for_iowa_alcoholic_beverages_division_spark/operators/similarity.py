@@ -121,6 +121,102 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Cell id with the highest cosine to ``vec_col``, as a pure JVM
+    expression: an array of (score, cell) structs reduced by
+    ``array_max`` (struct ordering compares score first, then cell —
+    ties deterministically pick the highest cell id)."""
+    entries = []
+    for i, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(v) for v in cent])
+        entries.append(F.struct(F.round(cosine_expr(F.col(vec_col), lit_c), 6).alias("s"), F.lit(i).alias("c")))
+    return F.array_max(F.array(*entries))["c"]
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic k-means-lite coarse quantizer: seed centroids are
+    the ``n_cells`` lowest-id vectors, refined by ``iters`` Lloyd
+    steps. Each step is one distributed pass: JVM-side cell assignment,
+    then a per-dimension mean via ``posexplode`` + groupBy — shuffle
+    keys are (cell, dim_pos), never the vectors themselves. Centroid
+    components are rounded to 6 decimals so float summation order
+    cannot leak into assignments (same index on every cluster shape).
+
+    Centroids (n_cells x dim floats) are driver-resident by design —
+    an IVF coarse quantizer is tiny regardless of corpus size.
+    """
+    seeds = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"), _argmax_cell_expr(vec_col, centroids).alias("cell")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims"))
+            .collect()
+        )
+        new = {r["cell"]: [round(float(d["m"]), 6) for d in r["dims"]] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(n_cells)]
+    return centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are inverted-listed by their
+    nearest coarse centroid; each query scores only the rows of its
+    ``n_probe`` closest cells. The candidate join is equi on the cell id
+    — at 100 TB that is a shuffle of (id, vector) pairs within probed
+    cells only, ~``n_probe / n_cells`` of the brute-force work, and the
+    inverted lists can be written bucketed-by-cell so repeated query
+    batches never reshuffle the corpus."""
+    centroids = ivf_train_centroids(corpus, id_col, vec_col, n_cells, iters)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _argmax_cell_expr(vec_col, centroids).alias("cell"),
+    )
+
+    # rank cells per query and keep the n_probe best
+    cell_scores = []
+    for i, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(v) for v in cent])
+        cell_scores.append(F.struct(F.round(cosine_expr(F.col(vec_col), lit_c), 6).alias("s"), F.lit(i).alias("c")))
+    probes = F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes).alias("probe"),
+    ).select("query_id", "q_vec", F.col("probe.c").alias("cell"))
+
+    scored = (
+        F.broadcast(q)
+        .join(c, on="cell", how="inner")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

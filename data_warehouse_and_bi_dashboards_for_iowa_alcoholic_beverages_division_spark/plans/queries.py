@@ -1549,3 +1549,122 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey", "od", F.sum("price").over(w).alias("moving_rev")
     )
+
+
+# =====================================================================
+# Constraint validation — the DDL's PK/FK/CHECK as engine-side queries
+# =====================================================================
+
+@register(
+    "q65_constraint_checks",
+    """
+    SELECT 'pk_orders_unique' AS constraint_name,
+           (SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'fk_lineitem_orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'check_totalprice_positive',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'check_quantity_range',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+    """,
+    "Spark enforces no constraints, so the reference DDL's PK/FK/CHECK "
+    "(CreateModel.sql:18-44,58-74) become validation queries: each "
+    "constraint reports its violation count (0 = holds). FK check is a "
+    "left-anti join; PK check a grouped HAVING",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("pk_orders_unique").alias("constraint_name"), "n_violations")
+    )
+    fk = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("fk_lineitem_orders").alias("constraint_name"), "n_violations")
+    )
+    chk_price = (
+        orders.where(F.col("o_totalprice") <= 0)
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("check_totalprice_positive").alias("constraint_name"), "n_violations")
+    )
+    chk_qty = (
+        li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("check_quantity_range").alias("constraint_name"), "n_violations")
+    )
+    return pk.unionByName(fk).unionByName(chk_price).unionByName(chk_qty)
+
+
+# =====================================================================
+# §2.9 extension — native session windows (batch mode)
+# =====================================================================
+
+@register(
+    "q66_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+    "F.session_window (the native merging-interval operator, usable in "
+    "batch AND streaming) checked against the SQL islands formulation. "
+    "Gap semantics: a new session starts when the gap is >= the timeout "
+    "(session_window intervals are half-open); window end = last event "
+    "+ timeout",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# =====================================================================
+# ANN scale path #2 — IVF (inverted file) index
+# =====================================================================
+
+@register(
+    "q67_knn_ivf",
+    None,  # approximate path; recall vs the exact q38 pinned in tests
+    "IVF approximate top-k: k-means-lite coarse quantizer (deterministic "
+    "seeds + 2 distributed Lloyd steps), corpus inverted-listed by cell, "
+    "queries probe their 3 nearest of 8 cells — candidate work is "
+    "~n_probe/n_cells of brute force and the inverted lists bucket-write "
+    "cleanly at scale",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(emb, emb.where("vec_id < 5"), k=10, n_cells=8, n_probe=3)

@@ -142,3 +142,32 @@ def test_cosine_topk_exact_and_lsh(spark):
     # LSH path: the near-identical pair shares every hyperplane sign
     top_lsh = cosine_topk_lsh(df, df.where("vec_id = 0"), k=2, n_planes=2, dim=4).collect()
     assert any(r["neighbor_id"] == 1 for r in top_lsh)
+
+
+def test_cosine_topk_ivf_recall(spark):
+    """IVF with 3-of-8 probed cells must recover most of the exact
+    top-10 on the clustered synthetic embeddings (recall@10)."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.where("vec_id < 5")
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = cosine_topk_ivf(emb, queries, k=10, n_cells=8, n_probe=3).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert len(recalls) == 5
+    assert sum(recalls) / len(recalls) >= 0.6, f"mean recall@10 too low: {recalls}"
