@@ -75,14 +75,30 @@ def minhash_signatures(
     )
     # One string hash per shingle; the per-seed family then re-hashes
     # the resulting LONG (fixed-width input) instead of re-hashing the
-    # string n_hashes times. Integer mixing (a*h+b) would be cheaper
-    # still, but Spark's ANSI mode turns the deliberate overflow into a
-    # runtime error, so seeded xxhash64 over the long is the fast path
-    # that works under any session config.
+    # string n_hashes times. Two cheaper-looking families were measured
+    # SLOWER: arithmetic double-hashing (a + i*b mod p) loses to seeded
+    # xxhash64 because pmod's integer division costs more than
+    # xxhash64's multiply-shift mix, and ANSI mode forbids the
+    # classic overflowing a*h+b. Seeded xxhash64 over the long wins
+    # under any session config.
     base = positions.select("doc", F.xxhash64(F.expr(f"substring(lt, i, {shingle_k})")).alias("h0"))
     sig_aggs = [F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
     per_seed = base.groupBy("doc").agg(*sig_aggs)
     return per_seed.select("doc", F.array(*[f"h{s}" for s in range(n_hashes)]).alias("sig"))
+
+
+def _bucket_pairs_expr(docs: Column) -> Column:
+    """All ordered pairs (aᵢ, aⱼ), i<j, from a sorted array — inline
+    array comprehension, no self-join."""
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
 
 
 def minhash_lsh_candidates(
@@ -97,9 +113,15 @@ def minhash_lsh_candidates(
     ``n_hashes/bands`` rows; docs sharing any band hash are candidate
     near-duplicate pairs. Returns (id_a, id_b) with id_a < id_b.
 
-    Scale: the shuffle key is (band, band_hash) — tiny fixed-width
-    rows; per-bucket self-join is bounded by bucket size. At 100 TB you
-    would additionally salt giant buckets (boilerplate-heavy corpora).
+    Bucket membership is aggregated (``collect_list`` per (band,
+    bucket)) and pairs are generated inline with array functions rather
+    than by self-joining the bucket table: a self-join duplicates the
+    whole signature-computation lineage into both join inputs (measured
+    ~2x the signature cost at sf0.1) and shuffles twice. Here
+    signatures are computed ONCE and the only shuffle is the tiny
+    (band, bucket, doc) stream. Per-bucket pair count is O(s²) in
+    bucket size either way — at 100 TB cap or salt pathological buckets
+    (boilerplate-heavy corpora) before pairing.
     """
     rows_per_band = n_hashes // bands
     banded = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).select(
@@ -119,16 +141,14 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
 
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
     return (
-        a.join(
-            b,
-            on=(F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-            how="inner",
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        buckets.select(F.explode(_bucket_pairs_expr(F.col("docs"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -201,8 +221,9 @@ def simhash_expr(text_col: str = "text") -> Column:
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on the four
     16-bit quarters (pigeonhole: ≤3 differing bits ⇒ at least one
-    identical quarter), so the join is equi on (quarter idx, quarter
-    value) rather than an all-pairs scan."""
+    identical quarter). Like the MinHash path, blocks are aggregated
+    and pairs generated inline — the simhash computation runs once, not
+    twice as in a bucket self-join."""
     sh = df.select(F.col(id_col).alias("doc"), simhash_expr(text_col).alias("sh"))
     quarters = sh.select(
         "doc",
@@ -211,14 +232,20 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str = "text", m
             F.array(*[F.struct(F.lit(q).alias("q"), F.shiftright("sh", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv")) for q in range(4)])
         ).alias("blk"),
     ).select("doc", "sh", "blk.q", "blk.qv")
-    a, b = quarters.alias("a"), quarters.alias("b")
+
+    buckets = (
+        quarters.groupBy("q", "qv")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "sh"))).alias("members"))
+        .where(F.size("members") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            on=(F.col("a.q") == F.col("b.q")) & (F.col("a.qv") == F.col("b.qv")) & (F.col("a.doc") < F.col("b.doc")),
-            how="inner",
+        buckets.select(F.explode(_bucket_pairs_expr(F.col("members"))).alias("p"))
+        .select(
+            F.col("p.id_a.doc").alias("id_a"),
+            F.col("p.id_b.doc").alias("id_b"),
+            F.col("p.id_a.sh").alias("sh_a"),
+            F.col("p.id_b.sh").alias("sh_b"),
         )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"), F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

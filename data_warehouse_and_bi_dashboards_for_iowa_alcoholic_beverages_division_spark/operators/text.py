@@ -63,6 +63,38 @@ def quality_score_expr(col: str = "text") -> Column:
     )
 
 
+# BPE-style pre-tokenizer (GPT-2-family shape, lookahead-free so the
+# same pattern runs on Java regex AND RE2/DuckDB): a token is a
+# space-glued letter run, digit run, punctuation run, or a lone
+# whitespace char.
+BPE_TOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s"
+
+
+def bpe_token_count_expr(col: str = "text") -> Column:
+    """Token count under the BPE-ish pre-tokenizer — the unit that
+    matters for training-data budgeting (whitespace counts undercount
+    punctuation-heavy text)."""
+    return F.regexp_count(F.col(col), F.lit(BPE_TOKEN_PATTERN)).cast("int")
+
+
+ROLLING_HASH_BASE = 257
+ROLLING_HASH_MOD = 1_000_000_007
+
+
+def rolling_fingerprint_expr(col: str = "text") -> Column:
+    """Polynomial rolling hash (Rabin-Karp) over the character stream:
+    ``h = (h * 257 + codepoint) mod 1e9+7``. Unlike md5 this is
+    incrementally updatable (windowed substring hashes reuse prefix
+    state), which is what content-defined chunking and plagiarism-style
+    shingling need at scale. Modulus keeps every intermediate < 2^38,
+    safe under ANSI overflow checking; pure JVM fold, no UDF."""
+    return F.aggregate(
+        F.split(F.col(col), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLLING_HASH_BASE + F.ascii(ch)) % ROLLING_HASH_MOD,
+    )
+
+
 def normalized_text_expr(col: str = "text") -> Column:
     """Canonical form for fingerprinting: lowercase, collapse runs of
     whitespace, trim."""

@@ -1668,3 +1668,47 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_ivf(emb, emb.where("vec_id < 5"), k=10, n_cells=8, n_probe=3)
+
+
+# =====================================================================
+# Text analysis extensions — BPE-ish tokens, rolling-hash fingerprint
+# =====================================================================
+
+@register(
+    "q68_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s')) AS n_bpe_tokens,
+           len(regexp_extract_all(trim(text), '\S+')) AS n_ws_tokens
+    FROM documents
+    """,
+    "Token budgeting: BPE-style pre-tokenizer count (lookahead-free "
+    "pattern, identical under Java regex and RE2) next to the whitespace "
+    "count it corrects",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.bpe_token_count_expr("text").alias("n_bpe_tokens"),
+        text.token_count_expr("text").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "q69_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT, [ord(c)::BIGINT for c in string_split(text, '')]),
+             (acc, ch) -> (acc * 257 + ch) % 1000000007
+           ) AS rolling_fp
+    FROM documents
+    """,
+    "Rabin-Karp rolling hash over the character stream (h = h*257 + cp "
+    "mod 1e9+7): incrementally updatable unlike md5, the primitive for "
+    "content-defined chunking; pure JVM fold under ANSI-safe moduli",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.rolling_fingerprint_expr("text").alias("rolling_fp")
+    )
