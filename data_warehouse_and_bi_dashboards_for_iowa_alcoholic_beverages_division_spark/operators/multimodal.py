@@ -53,6 +53,75 @@ def fake_decode(payload: bytes) -> dict:
     return {"width": n % 640, "height": (n * 7) % 480, "n_frames": n % 16}
 
 
+RESIZE_SCHEMA = "media_id BIGINT, payload BINARY, n_bytes INT"
+
+
+def resize_media(media: DataFrame, target_bytes: int = 4096) -> DataFrame:
+    """Resize step of an image pipeline, shape-faithful: 1 payload in →
+    1 (smaller, fixed-budget) payload out via ``mapInPandas``. The fake
+    resizer truncates/cycles bytes to ``target_bytes`` (a real one
+    decodes, scales, re-encodes — same signature, same batch shape).
+    Output partitioning is inherited from the scan: no shuffle, the
+    transform is embarrassingly parallel."""
+
+    def _resize(batches):
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if not b:
+                    out_payloads.append(b"")
+                elif len(b) >= target_bytes:
+                    out_payloads.append(b[:target_bytes])
+                else:
+                    reps = target_bytes // len(b) + 1
+                    out_payloads.append((b * reps)[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payloads,
+                    "n_bytes": [len(p) for p in out_payloads],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, frame_len INT, frame_md5 STRING"
+
+
+def sample_frames_chars(media_text: DataFrame, id_col: str, text_col: str, every: int = 2) -> DataFrame:
+    """Frame sampling, shape-faithful: 1 video in → N sampled frames
+    out (a flat-mapping ``mapInPandas`` — the output batch is LONGER
+    than the input batch, the plumbing a real ffmpeg frame sampler
+    needs). The fake codec chops the char payload into
+    ``len % 16 + 1`` equal frames and keeps every ``every``-th; frame
+    identity is the md5 of the frame content, so the whole pipeline is
+    oracle-checkable in plain SQL."""
+    import hashlib
+
+    def _sample(batches):
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for mid, s in zip(pdf["media_id"], pdf["payload_text"]):
+                n_frames = len(s) % 16 + 1
+                flen = len(s) // n_frames
+                for i in range(0, n_frames, every):
+                    frame = s[i * flen : (i + 1) * flen]
+                    ids.append(mid)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    md5s.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_md5": md5s}
+            )
+
+    src = media_text.select(
+        F.col(id_col).alias("media_id"), F.col(text_col).alias("payload_text")
+    )
+    return src.mapInPandas(_sample, FRAME_SCHEMA)
+
+
 FEATURE_SCHEMA = "media_id BIGINT, n_bytes INT, width INT, height INT, n_frames INT"
 
 

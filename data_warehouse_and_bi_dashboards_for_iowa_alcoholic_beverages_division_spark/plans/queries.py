@@ -1712,3 +1712,48 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", text.rolling_fingerprint_expr("text").alias("rolling_fp")
     )
+
+
+# =====================================================================
+# Multimodal — frame sampling (1 → N flat-map) and resize
+# =====================================================================
+
+@register(
+    "q70_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             length(text) % 16 + 1 AS nf,
+             length(text) // (length(text) % 16 + 1) AS flen
+      FROM documents
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(flen AS INT) AS frame_len,
+           md5(substring(text, (i * flen + 1)::BIGINT, flen::BIGINT)) AS frame_md5
+    FROM m, unnest(range(0, nf)) AS t(i)
+    WHERE i % 2 = 0
+    """,
+    "Frame sampling as a flat-mapping mapInPandas (1 video row → N "
+    "sampled-frame rows, the batch shape an ffmpeg sampler needs); the "
+    "deterministic fake codec chops the payload into len%16+1 frames "
+    "and keeps every 2nd, so the whole Arrow pipeline is checkable "
+    "against plain SQL",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames_chars(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", every=2
+    )
+
+
+@register(
+    "q71_media_resize",
+    None,  # binary payloads: DuckDB lacks blob md5/substring; determinism pinned in tests
+    "Resize step: 1 binary payload in → 1 fixed-budget payload out via "
+    "mapInPandas (truncate/cycle fake; a real codec swaps in with the "
+    "same signature); no shuffle — inherits scan partitioning",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_media(media, target_bytes=1024).select(
+        "media_id", "n_bytes", F.md5("payload").alias("payload_md5")
+    )

@@ -46,3 +46,34 @@ def test_extract_features_stub_decoder_yields_nulls(spark):
     assert len(rows) == 10
     assert all(r["width"] is None and r["height"] is None for r in rows)
     assert all(r["n_bytes"] > 0 for r in rows)
+
+
+def test_resize_media_fixed_budget(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        resize_media,
+    )
+
+    media = documents_as_media(load_table(spark, SF_DIR, "documents")).limit(20)
+    out = resize_media(media, target_bytes=256).collect()
+    assert len(out) == 20
+    assert all(r["n_bytes"] == 256 for r in out)
+    # short payloads cycle: prefix must equal the original payload start
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in out:
+        orig = src[r["media_id"]]
+        assert bytes(r["payload"])[: min(len(orig), 256)] == orig[: min(len(orig), 256)]
+
+
+def test_sample_frames_deterministic_flatmap(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        sample_frames_chars,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    a = sample_frames_chars(docs, "doc_id", "text", every=2).collect()
+    b = sample_frames_chars(docs, "doc_id", "text", every=2).collect()
+    key = lambda r: (r["media_id"], r["frame_idx"], r["frame_len"], r["frame_md5"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    assert len(a) > 30, "flat-map must expand rows (several frames per doc)"
+    # every-2 sampling: only even frame indices survive
+    assert all(r["frame_idx"] % 2 == 0 for r in a)
