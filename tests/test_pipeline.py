@@ -37,3 +37,23 @@ def test_full_warehouse_build_and_query(spark, tmp_path):
         for r in registry()["q23_star_weekday"].fn(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_fact_partition_pruning(spark, tmp_path):
+    """A sale_year predicate must prune partitions at the scan — the
+    property that makes watermark-incremental loads cheap at 100 TB."""
+    import contextlib
+    import io
+
+    paths = build_star_warehouse(spark, SF_DIR, str(tmp_path / "wh"))
+    fact = spark.read.parquet(paths["fact_sales"])
+    years = sorted(r["sale_year"] for r in fact.select("sale_year").distinct().collect())
+    one_year = fact.where(F.col("sale_year") == years[0])
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_year.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "sale_year" in pf, f"partition filter not pushed: {pf}"
