@@ -1757,3 +1757,62 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_media(media, target_bytes=1024).select(
         "media_id", "n_bytes", F.md5("payload").alias("payload_md5")
     )
+
+
+# =====================================================================
+# Exact order statistics — median / percentile
+# =====================================================================
+
+@register(
+    "q72_median_percentile",
+    """
+    SELECT o_orderpriority,
+           median(o_totalprice) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    "Exact order statistics per group (continuous-interpolation median "
+    "and p90): a full-sort-per-group aggregate both engines compute "
+    "identically in double arithmetic. The approximate sketch variant "
+    "is q56 (approx_count_distinct family)",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.median("o_totalprice").alias("median_price"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# =====================================================================
+# §3 entry point 3 — the SQL text surface (temp views + spark.sql)
+# =====================================================================
+
+_SQL_STAR_TEXT = """
+    SELECT p.p_brand AS brand,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS sum_rev,
+           COUNT(*) AS n_sales
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+"""
+
+
+@register(
+    "q73_sql_text_star",
+    _SQL_STAR_TEXT,
+    "The analytics entry point as raw SQL text (S11 temp views + "
+    "spark.sql): the IDENTICAL string runs on Spark's parser and on the "
+    "DuckDB oracle — the engine's SQL surface is ANSI enough to be "
+    "engine-portable",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SQL_STAR_TEXT)
