@@ -1816,3 +1816,45 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     _t(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_SQL_STAR_TEXT)
+
+
+# =====================================================================
+# §2.9 extension — sliding (hopping) windows, batch mode
+# =====================================================================
+
+@register(
+    "q74_sliding_window",
+    """
+    WITH starts AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS win_start
+      FROM events
+    )
+    SELECT win_start, win_start + INTERVAL 60 MINUTE AS win_end, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+    FROM starts
+    GROUP BY win_start, event_type
+    """,
+    "Sliding 1h windows hopping every 30min (F.window(ts, '1 hour', "
+    "'30 minutes')): every event lands in exactly two epoch-aligned "
+    "windows, which the oracle reproduces by unnesting the two bucket "
+    "starts — same operator Structured Streaming uses with a watermark",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
