@@ -107,3 +107,48 @@ import pytest  # noqa: E402
 @pytest.fixture(name="spark_session_holder")
 def _holder(spark):
     return spark
+
+
+# ---------------------------------------------------------------------
+# remove_one_day_changes invariants (§2.11#1)
+# ---------------------------------------------------------------------
+
+def _repair_reference(events):
+    """Pure-python oracle of the reference semantics
+    (ingest_utils.py:79-118): for every (key, day) with >1 distinct
+    value, every row of that day takes each value observed on the
+    key's next later day (row-multiplying join, as the reference's);
+    keys without a later day keep their original rows."""
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    for k, d, v in events:
+        days[k].add(d)
+    out = []
+    for k, d, v in events:
+        values_today = {vv for kk, dd, vv in events if kk == k and dd == d}
+        later = sorted(x for x in days[k] if x > d)
+        if len(values_today) > 1 and later:
+            nxt = later[0]
+            for kk, dd, vv in events:
+                if kk == k and dd == nxt:
+                    out.append((k, d, vv))
+        else:
+            out.append((k, d, v))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log_st)
+def test_remove_one_day_changes_matches_reference_semantics(spark_session_holder, events):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.scd import (
+        remove_one_day_changes,
+    )
+
+    spark = spark_session_holder
+    repaired = remove_one_day_changes(_df(spark, events), "val", "nk", "d")
+    got = sorted((r["nk"], r["d"], r["val"]) for r in repaired.collect())
+    want = _repair_reference(
+        [(k, BASE + datetime.timedelta(days=off), v) for k, off, v in events]
+    )
+    assert got == want
