@@ -1760,6 +1760,114 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Exact Jaccard over blocked candidates — fully oracle-checked
+# =====================================================================
+
+@register(
+    "q75_jaccard_blocked",
+    r"""
+    WITH n AS (
+      SELECT doc_id, text,
+             substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS blk
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+      FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+      SELECT id_a, id_b,
+        list_distinct([substring(lower(ta), CAST(i AS INT), 9)
+                       for i in range(1, greatest(length(ta) - 8, 1) + 1)]) AS sa,
+        list_distinct([substring(lower(tb), CAST(i AS INT), 9)
+                       for i in range(1, greatest(length(tb) - 8, 1) + 1)]) AS sb
+      FROM pairs
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(sa, sb)) / len(list_distinct(list_concat(sa, sb))) AS jaccard
+    FROM sh
+    """,
+    "Exact 9-gram Jaccard over deterministic blocks (md5-prefix of the "
+    "normalized text, 256 buckets): unlike the MinHash candidate path "
+    "(q37, rows-only) this blocking is SQL-expressible, so the shingle "
+    "set arithmetic — array_intersect/array_union — is value-checked "
+    "end-to-end; identical-content docs share a block by construction",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", F.substring(F.md5(text.normalized_text_expr("text")), 1, 2).alias("blk")
+    )
+    a = n.select(F.col("doc_id").alias("id_a"), "blk")
+    b = n.select(F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"))
+    pairs = a.join(
+        b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    return ngram_jaccard_pairs(docs, pairs, "doc_id")
+
+
+# =====================================================================
+# Corpus curation — the composed training-data pipeline, end to end
+# =====================================================================
+
+@register(
+    "q76_corpus_curation",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / length(text)::DOUBLE <= 0.1
+                     THEN 0.3 ELSE 0.0 END
+              + CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a|for|with|on)\b'))::DOUBLE
+                          / len(regexp_extract_all(trim(text), '\S+'))::DOUBLE >= 0.05
+                     THEN 0.3 ELSE 0.0 END) AS quality
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored WHERE quality >= 0.7
+    ),
+    deduped AS (
+      SELECT fp, MIN(doc_id) AS keep_id, MAX(lang) AS lang, MAX(text) AS text
+      FROM kept GROUP BY fp
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s'))) AS token_budget
+    FROM deduped
+    GROUP BY lang
+    """,
+    "The composed curation pipeline a pretraining corpus needs, as ONE "
+    "declarative plan Catalyst optimizes end-to-end: quality-score "
+    "filter -> exact dedup on normalized fingerprint -> BPE token "
+    "budget per language. No materialization between stages; the only "
+    "shuffles are the dedup groupBy (on the 32-char fingerprint, never "
+    "the text) and the final tiny language rollup",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        text.fingerprint_expr("text").alias("fp"),
+        text.quality_score_expr("text").alias("quality"),
+    )
+    kept = scored.where(F.col("quality") >= 0.7)
+    deduped = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.max("lang").alias("lang"),
+        F.max("text").alias("text"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.bpe_token_count_expr("text").cast("bigint")).alias("token_budget"),
+    )
+
+
+# =====================================================================
 # Exact order statistics — median / percentile
 # =====================================================================
 
