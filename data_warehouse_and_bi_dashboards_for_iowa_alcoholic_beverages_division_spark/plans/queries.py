@@ -1868,6 +1868,38 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# A5 — location heat map (grid binning)
+# =====================================================================
+
+@register(
+    "q77_geo_heatmap",
+    """
+    SELECT (CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 50000 AS cell_x,
+           s_nationkey AS cell_y,
+           COUNT(*) AS n_points,
+           SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS total_weight
+    FROM supplier
+    GROUP BY 1, 2
+    """,
+    "A5 location heat map: grid-binned point density + weight. Bin ids "
+    "via exact integer cent arithmetic with a positive offset (integer "
+    "division of negatives truncates toward zero in Spark but floors in "
+    "some engines — offsetting sidesteps the divergence)",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.select(
+            F.expr("(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) DIV 50000").alias("cell_x"),
+            F.col("s_nationkey").alias("cell_y"),
+            F.col("s_acctbal").cast("decimal(12,2)").alias("w"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count("*").alias("n_points"), F.sum("w").alias("total_weight"))
+    )
+
+
+# =====================================================================
 # Exact order statistics — median / percentile
 # =====================================================================
 
