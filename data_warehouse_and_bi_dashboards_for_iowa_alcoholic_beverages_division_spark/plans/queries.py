@@ -1900,6 +1900,38 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Deterministic stratified sampling — training-data downsampling
+# =====================================================================
+
+@register(
+    "q78_hash_sample",
+    """
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+      FROM documents
+    )
+    SELECT doc_id, lang FROM tagged
+    WHERE (lang = 'en' AND h < '1000')        -- keep ~1/16 of English
+       OR (lang <> 'en' AND h < '8000')       -- keep ~1/2 of the rest
+    """,
+    "Deterministic stratified downsampling (corpus rebalancing): the "
+    "keep-decision is a pure function of the row id via an md5-prefix "
+    "threshold, so the sample is reproducible on any cluster shape, "
+    "re-runnable incrementally (new rows don't change old decisions), "
+    "and — unlike rand()/sampleBy — exactly checkable across engines",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("h")
+    )
+    keep = ((F.col("lang") == "en") & (F.col("h") < "1000")) | (
+        (F.col("lang") != "en") & (F.col("h") < "8000")
+    )
+    return d.where(keep).select("doc_id", "lang")
+
+
+# =====================================================================
 # Exact order statistics — median / percentile
 # =====================================================================
 
