@@ -1,0 +1,93 @@
+"""Distributed connected components — the clustering step of near-dup
+deduplication (group pairwise matches into clusters, keep one canonical
+document per cluster).
+
+The reference repo has no graph step (its dedup is `distinct()`,
+`utils.py:18`); this is part of the beyond-reference training-data
+pipeline surface: MinHash/Jaccard emit *pairs*, but a keep/drop
+decision needs *clusters* (A~B, B~C ⇒ {A,B,C} keeps exactly one doc).
+
+Algorithm: iterative min-label propagation over the undirected edge
+set. Each round every vertex adopts the minimum component id among
+itself and its neighbors; convergence in O(graph diameter) rounds.
+Near-dup graphs are dense little cliques (blocking guarantees all
+members of an identical-content group pair up), so diameter is tiny —
+2-4 rounds in practice. Each round is one shuffle on the edge list
+plus a hash aggregate, all JVM-side; `localCheckpoint` truncates the
+growing lineage so round N's plan does not replay rounds 1..N-1.
+
+At 100 TB scale the same loop holds: the shuffled payload is two longs
+per edge, and the iteration count is bounded by cluster diameter, not
+corpus size. For adversarially chained graphs (long paths) swap the
+propagation body for alternating large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond") —
+same interface, O(log d) rounds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """``vertices``: one column ``node``; ``edges``: columns
+    ``src``/``dst`` (undirected, any orientation). Returns
+    ``(node, comp)`` where ``comp`` is the minimum node id reachable
+    from ``node`` — a deterministic cluster id on any cluster shape.
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # edge list is reused every round — keep it materialized once
+    sym = sym.localCheckpoint(eager=True)
+
+    comp = vertices.select("node", F.col("node").alias("comp")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(comp, sym["dst"] == comp["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("comp"))
+            .select(F.col("src").alias("node"), "comp")
+        )
+        new_comp = (
+            comp.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    match_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup keep-list: every document labelled with its cluster id
+    (min doc id in its connected component; singletons are their own
+    cluster) and ``keep`` = is-the-canonical-member. Downstream corpus
+    filtering is then ``WHERE keep``."""
+    comp = connected_components(
+        docs.select(F.col(id_col).alias("node")),
+        match_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )

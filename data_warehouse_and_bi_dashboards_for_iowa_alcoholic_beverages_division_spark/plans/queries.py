@@ -2030,3 +2030,259 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# =====================================================================
+# Multi-join analytical shapes (TPC-H Q3/Q5/Q10/Q4/Q19) — the join-
+# ordering / broadcast-choice surface Catalyst optimizes for us
+# =====================================================================
+
+@register(
+    "q79_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           SUM({REVENUE_SQL}) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: 3-way star join with filters on both fact and two "
+    "dims; customer side broadcasts, lineitem never shuffles before "
+    "the partial agg; TakeOrderedAndProject caps driver transfer at 10 "
+    "rows regardless of scale",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-07-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.expr(REVENUE_SQL)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q80_local_supplier_volume",
+    f"""
+    SELECT n_name, SUM({REVENUE_SQL}) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 shape: 6-way snowflake join with the customer-nation == "
+    "supplier-nation equality; all five dims broadcast so the only "
+    "shuffle is the final 5-row hash aggregate",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"]) & (supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(REVENUE_SQL)).alias("revenue"))
+    )
+
+
+@register(
+    "q81_returned_items",
+    f"""
+    SELECT c_custkey, c_name, SUM({REVENUE_SQL}) AS revenue, n_name
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: lost-revenue ranking of customers over returned "
+    "lineitems in a window — star join, group by customer, top-20 with "
+    "deterministic tiebreak",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.expr(REVENUE_SQL)).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q82_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: EXISTS decorrelated to a left-semi join (J4's "
+    "dual) with a non-equi residual l_shipdate > o_orderdate; count "
+    "per priority bucket",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q83_disjunctive_filter",
+    f"""
+    SELECT SUM({REVENUE_SQL}) AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 30)
+    """,
+    "TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity "
+    "predicates straddling the join — Catalyst extracts the common "
+    "per-side conjuncts below the join and keeps the cross-side OR as "
+    "the join residual; grand-total aggregate",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(1, 35) & (F.col("l_quantity") >= 30))
+    )
+    return joined.where(cond).agg(
+        F.sum(F.expr(REVENUE_SQL)).alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+# =====================================================================
+# Near-dup clustering — connected components over match pairs
+# =====================================================================
+
+@register(
+    "q84_dedup_clusters",
+    r"""
+    WITH RECURSIVE n AS (
+      SELECT doc_id, text,
+             substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS blk
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+      FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+      SELECT id_a, id_b,
+        list_distinct([substring(lower(ta), CAST(i AS INT), 9)
+                       for i in range(1, greatest(length(ta) - 8, 1) + 1)]) AS sa,
+        list_distinct([substring(lower(tb), CAST(i AS INT), 9)
+                       for i in range(1, greatest(length(tb) - 8, 1) + 1)]) AS sb
+      FROM cand
+    ),
+    matched AS (
+      SELECT id_a, id_b FROM sh
+      WHERE len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE
+            >= 0.5::DOUBLE
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM matched
+      UNION ALL
+      SELECT id_b, id_a FROM matched
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, MIN(comp) AS cluster_id,
+           (node = MIN(comp)) AS keep
+    FROM walk GROUP BY node
+    """,
+    "Near-dup clustering: blocked exact-Jaccard matches (q75's edge "
+    "set at >= 0.5) grouped into connected components by iterative "
+    "min-label propagation (operators/graph.py) — cluster id = min doc "
+    "id reachable, keep = canonical member. The DuckDB oracle computes "
+    "the same components via a recursive transitive closure, so the "
+    "iterative distributed algorithm is value-checked end to end",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", F.substring(F.md5(text.normalized_text_expr("text")), 1, 2).alias("blk")
+    )
+    a = n.select(F.col("doc_id").alias("id_a"), "blk")
+    b = n.select(F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"))
+    cand = a.join(
+        b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    matched = ngram_jaccard_pairs(docs, cand, "doc_id").where(F.col("jaccard") >= 0.5)
+    return dedup_clusters(docs, matched.select("id_a", "id_b"))
