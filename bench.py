@@ -31,6 +31,7 @@ HEADLINE = [
     "q22_scd_as_of",
     "q23_star_weekday",
     "q26_rollup_geo",
+    "q80_local_supplier_volume",
     "q30_dedup_exact",
     "q35_minhash_lsh",
     "q38_knn_cosine",

@@ -95,3 +95,28 @@ def test_salted_join_shuffles_only_on_salted_key(q):
 def test_dedup_exact_partial_agg(q):
     plan = plan_text(q("q30_dedup_exact"))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_snowflake_join_broadcasts_every_dim(q):
+    # q80 joins lineitem to five dims; every one must broadcast so the
+    # fact table is never shuffled for the join
+    plan = plan_text(q("q80_local_supplier_volume"))
+    assert "SortMergeJoin" not in plan
+    # formatted output names each join node twice (tree + details)
+    assert plan.count("BroadcastHashJoin") >= 10
+    assert "partial_sum" in plan
+
+
+def test_disjunctive_filter_pushed_to_both_scans(q):
+    # TPC-H Q19 shape: Catalyst must extract per-side disjuncts from the
+    # OR-of-ANDs and push them into BOTH parquet scans
+    plan = plan_text(q("q83_disjunctive_filter"))
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), "lineitem disjunct not pushed"
+    assert any("p_brand" in p and "Or(" in p for p in pushed), "part disjunct not pushed"
+
+
+def test_shipping_priority_topn_is_take_ordered(q):
+    plan = plan_text(q("q79_shipping_priority"))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
