@@ -107,3 +107,18 @@ def fingerprint_expr(col: str = "text") -> Column:
     (Spark-private Murmur3, the reference's choice in ``utils.py:8-31``)
     — so fingerprints are stable across engines and releases."""
     return F.md5(normalized_text_expr(col))
+
+
+def word_ngrams_expr(col: str = "text", n: int = 13) -> Column:
+    """Distinct word-level n-grams of the normalized text (the unit of
+    benchmark-decontamination checks, GPT-3-style 13-grams). Pure
+    Column expression — the generate/slice/join loop runs inside
+    whole-stage codegen; empty array when the doc has < n words."""
+    words = F.split(normalized_text_expr(col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(split(trim(regexp_replace(lower({col}), '\\\\s+', ' ')), ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split(trim(regexp_replace(lower({col}), '\\\\s+', ' ')), ' '), i, {n}), ' '))"
+    )
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -2286,3 +2286,62 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     matched = ngram_jaccard_pairs(docs, cand, "doc_id").where(F.col("jaccard") >= 0.5)
     return dedup_clusters(docs, matched.select("id_a", "id_b"))
+
+
+# =====================================================================
+# Benchmark decontamination — eval-set n-gram overlap scan
+# =====================================================================
+
+@register(
+    "q85_decontamination",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 13 THEN
+               list_distinct([array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 12), ' ')
+                              for i in range(1, len(w) - 12 + 1)])
+             ELSE []::VARCHAR[] END AS gs
+      FROM norm
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    hashed AS (SELECT doc_id, substring(md5(g), 1, 16) AS h FROM ex),
+    bench AS (
+      SELECT DISTINCT doc_id AS bench_doc_id, h FROM hashed WHERE doc_id % 50 = 0
+    ),
+    corpus AS (
+      SELECT doc_id AS corpus_doc_id, h FROM hashed WHERE doc_id % 50 <> 0
+    )
+    SELECT corpus_doc_id, bench_doc_id, COUNT(*) AS n_shared
+    FROM corpus JOIN bench USING (h)
+    GROUP BY corpus_doc_id, bench_doc_id
+    """,
+    "Benchmark decontamination (GPT-3-style 13-gram overlap): every "
+    "training doc sharing any distinct word-13-gram with the held-out "
+    "eval split (doc_id % 50 = 0) is flagged with its per-benchmark-doc "
+    "overlap count. The eval side is tiny and broadcasts; the join key "
+    "is a 16-hex md5 prefix of the gram, so the corpus-side shuffle "
+    "carries 16 bytes per gram instead of the ~80-char gram text — the "
+    "shape that holds when the corpus side is 100 TB",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.explode(text.word_ngrams_expr("text", 13)).alias("g")
+    ).select("doc_id", F.substring(F.md5("g"), 1, 16).alias("h"))
+    bench = (
+        hashed.where(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("bench_doc_id"), "h")
+        .distinct()
+    )
+    corpus = hashed.where(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("corpus_doc_id"), "h"
+    )
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("corpus_doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

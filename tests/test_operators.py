@@ -171,3 +171,22 @@ def test_cosine_topk_ivf_recall(spark):
     ]
     assert len(recalls) == 5
     assert sum(recalls) / len(recalls) >= 0.6, f"mean recall@10 too low: {recalls}"
+
+
+def test_word_ngrams_and_decontamination(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.text import (
+        word_ngrams_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # 3 distinct 3-grams
+            (2, "THE  quick   Brown fox sleeps"),  # shares 2 after normalization
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    grams = {r["doc_id"]: set(r["g"]) for r in docs.select("doc_id", word_ngrams_expr("text", 3).alias("g")).collect()}
+    assert grams[1] == {"the quick brown", "quick brown fox", "brown fox jumps"}
+    assert grams[3] == set()
+    assert grams[1] & grams[2] == {"the quick brown", "quick brown fox"}
