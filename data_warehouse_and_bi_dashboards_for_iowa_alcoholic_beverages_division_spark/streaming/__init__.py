@@ -1,2 +1,3 @@
 from .incremental import high_watermark, incremental_delta, load_or_update  # noqa: F401
+from .scd_stream import scd_stream_upsert, scd_upsert_batch  # noqa: F401
 from .stream_ops import events_stream, hourly_counts, run_available_now  # noqa: F401

@@ -75,3 +75,54 @@ def test_watermark_helpers(spark):
     assert incremental_delta(df, "d", wm).count() == 0
     assert incremental_delta(df, "d", datetime.date(2024, 1, 15)).count() == 1
     assert incremental_delta(df, "d", None).count() == 2
+
+
+def test_scd_stream_upsert_matches_batch_rebuild(spark, tmp_path):
+    """Two staged drops folded in by separate stream runs == one batch
+    SCD build over the concatenated input (stream merge ≡ rebuild)."""
+    from pyspark.sql.types import StructType, StructField, LongType, StringType, DateType
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.scd import (
+        create_scd_from_input,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.scd_stream import (
+        scd_stream_upsert,
+    )
+
+    schema = StructType(
+        [
+            StructField("store", LongType()),
+            StructField("city", StringType()),
+            StructField("obs_date", DateType()),
+        ]
+    )
+    d = datetime.date
+    drop1 = [(1, "ames", d(2024, 1, 1)), (2, "adel", d(2024, 1, 1)), (1, "ames", d(2024, 2, 1))]
+    drop2 = [(1, "boone", d(2024, 3, 1)), (2, "adel", d(2024, 3, 5)), (3, "clive", d(2024, 3, 9))]
+
+    staging = str(tmp_path / "staging")
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    args = (spark, staging, dim, ckpt, "store", "obs_date", ["city"])
+
+    spark.createDataFrame(drop1, schema).write.mode("append").parquet(staging)
+    scd_stream_upsert(*args, schema=schema)
+    first = spark.read.parquet(dim)
+    assert first.count() == 2 and first.where("is_current").count() == 2
+
+    spark.createDataFrame(drop2, schema).write.mode("append").parquet(staging)
+    scd_stream_upsert(*args, schema=schema)  # same checkpoint: only drop2 is new
+
+    got = {
+        (r["store"], r["city"], str(r["start_date"]), str(r["end_date"]), r["is_current"])
+        for r in spark.read.parquet(dim).collect()
+    }
+    batch = create_scd_from_input(
+        spark.createDataFrame(drop1 + drop2, schema), ["city"], "obs_date", "store"
+    )
+    want = {
+        (r["store"], r["city"], str(r["start_date"]), str(r["end_date"]), r["is_current"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 4  # store1: ames→boone (2 rows), store2: adel, store3: clive
