@@ -2345,3 +2345,99 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("corpus_doc_id", "bench_doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# =====================================================================
+# Behavioral analytics — funnel + cohort retention on the event stream
+# =====================================================================
+
+@register(
+    "q86_funnel",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fc AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN fv USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > fv.first_view
+      GROUP BY e.user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fc USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+      GROUP BY e.user_id
+    )
+    SELECT fv.user_id, fv.first_view, fc.first_click, fp.first_purchase
+    FROM fv
+    LEFT JOIN fc ON fv.user_id = fc.user_id
+    LEFT JOIN fp ON fv.user_id = fp.user_id
+    """,
+    "Ordered conversion funnel view→click→purchase: each stage is the "
+    "user's first qualifying event strictly after the previous stage. "
+    "Three narrow per-user aggregates chained by joins — every shuffle "
+    "is on user_id, so at scale all three stages and the joins reuse "
+    "one partitioning (single Exchange under AQE)",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    fc = (
+        ev.where(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .where(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return fv.join(fc, "user_id", "left").join(fp, "user_id", "left").select(
+        "user_id", "first_view", "first_click", "first_purchase"
+    )
+
+
+@register(
+    "q87_retention_cohorts",
+    """
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN cohort USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+    "Cohort retention: users grouped by the week they first appear; "
+    "each cell = distinct users of that cohort active N weeks later. "
+    "Both aggregates shuffle on user_id / (cohort, offset) only — the "
+    "classic retention triangle, and the count_distinct is "
+    "partial-aggregated map-side",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
