@@ -2441,3 +2441,270 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+# =====================================================================
+# TPC-H subquery shapes (Q13/Q15/Q17/Q18/Q21/Q22 adapted to this
+# schema) — exercises Catalyst scalar-subquery decorrelation,
+# EXISTS/NOT EXISTS -> semi/anti join planning, and agg-before-join.
+# Reference analog: the warehouse's BI drill-downs (README.md:24-61)
+# and SCD self-join-to-aggregate internals (scd.py:29,74).
+# =====================================================================
+
+@register(
+    "q88_customer_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_custs
+    FROM c_orders GROUP BY n_orders
+    """,
+    "TPC-H Q13: order-count histogram via left join with an extra join "
+    "predicate. Spark plan pre-aggregates orders per customer BEFORE "
+    "the join (map-side partial agg shrinks the probe side), then "
+    "coalesces no-match to 0 — the second agg is on a tiny domain",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ocnt = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_custs"))
+    )
+
+
+@register(
+    "q89_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    """,
+    "TPC-H Q17: correlated scalar subquery (per-part average quantity) "
+    "decorrelated into agg + self-join on l_partkey. Both sides of the "
+    "join shuffle on the same key so the exchange is reused; the final "
+    "aggregate is global (partial map-side, single-row reduce). "
+    "avg of integer-valued doubles is IEEE-exact in both engines",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pa, "l_partkey")
+        .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q90_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DECIMAL(12,2)) AS totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "TPC-H Q18 (large-volume orders): HAVING-filtered aggregate reused "
+    "directly instead of the textbook IN-subquery + re-aggregate — one "
+    "pass over lineitem, the >300 filter cuts the join input to a few "
+    "thousand rows before the orders/customer joins",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .where(F.col("_raw_qty") > 300)
+        .drop("_raw_qty")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q91_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({REVENUE_SQL}) AS total_rev
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    "TPC-H Q15 (top supplier): scalar subquery MAX over an aggregate, "
+    "decorrelated as a single-row broadcast cross join against the "
+    "per-supplier revenue table — the revenue agg is computed once and "
+    "reused for both the max and the equality filter (ReuseExchange). "
+    "Decimal revenue so the max-equality is exact",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.expr(REVENUE_SQL)).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("_max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("_max_rev"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q92_balance_opportunity",
+    """
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    stats AS (SELECT SUM(bal) AS total_bal, COUNT(*) AS n_cust FROM pos)
+    SELECT n.n_name, COUNT(*) AS n_custs, SUM(p.bal) AS total_acctbal
+    FROM pos p
+    CROSS JOIN stats st
+    JOIN nation n ON p.c_nationkey = n.n_nationkey
+    WHERE p.bal * st.n_cust > st.total_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = p.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q22 adapted: above-average-balance customers with no urgent "
+    "orders, per nation. The 'above average' test is division-free "
+    "(bal*n > total) so decimal arithmetic stays exact; the average is "
+    "a 1-row broadcast, NOT EXISTS plans as a left-anti join on the "
+    "pre-filtered urgent orders, nation dim is broadcast",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0.0)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        )
+    )
+    stats = pos.agg(
+        F.sum("bal").alias("total_bal"), F.count("*").alias("n_cust")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        pos.join(F.broadcast(stats))
+        .where(F.col("bal") * F.col("n_cust") > F.col("total_bal"))
+        .join(urgent, pos.c_custkey == urgent.o_custkey, "left_anti")
+        .join(F.broadcast(n), pos.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_custs"), F.sum("bal").alias("total_acctbal"))
+    )
+
+
+@register(
+    "q93_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      GROUP BY l.l_orderkey, l.l_suppkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+    "TPC-H Q21 adapted (late = shipped >90 days after order date): "
+    "suppliers who were the sole late supplier on a multi-supplier "
+    "order. EXISTS -> left-semi join, NOT EXISTS -> left-anti join, "
+    "both with a non-equi suppkey<>suppkey conjunct on the orderkey "
+    "equi-key; 'late' is deduped to (orderkey,suppkey) grain first so "
+    "the semi/anti probes stay small. Supplier dim is broadcast",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    l2 = li.alias("l2")
+    l3 = late.alias("l3")
+    multi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole = multi.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
