@@ -2573,11 +2573,13 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
     WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
     """,
-    "TPC-H Q15 (top supplier): scalar subquery MAX over an aggregate, "
-    "decorrelated as a single-row broadcast cross join against the "
-    "per-supplier revenue table — the revenue agg is computed once and "
-    "reused for both the max and the equality filter (ReuseExchange). "
-    "Decimal revenue so the max-equality is exact",
+    "TPC-H Q15 (top supplier): scalar MAX over an aggregate. The naive "
+    "decorrelation (agg once for the join, again for the max) scans "
+    "lineitem TWICE — at 100 TB that doubles the heaviest stage. "
+    "Instead the max is a window over the already-aggregated "
+    "per-supplier table: one lineitem pass, then a single-partition "
+    "shuffle of only |suppliers| narrow rows. Decimal revenue so the "
+    "max-equality is exact",
 )
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
@@ -2585,12 +2587,12 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(F.expr(REVENUE_SQL)).alias("total_rev"))
     )
-    mx = rev.agg(F.max("total_rev").alias("_max_rev"))
+    top = rev.withColumn(
+        "_max_rev", F.max("total_rev").over(Window.partitionBy())
+    ).where(F.col("total_rev") == F.col("_max_rev"))
     s = _t(spark, sf_dir, "supplier")
     return (
-        s.join(rev, s.s_suppkey == rev.l_suppkey)
-        .join(F.broadcast(mx))
-        .where(F.col("total_rev") == F.col("_max_rev"))
+        s.join(top, s.s_suppkey == top.l_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 

@@ -120,3 +120,52 @@ def test_shipping_priority_topn_is_take_ordered(q):
     plan = plan_text(q("q79_shipping_priority"))
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_customer_distribution_aggregates_before_join(q):
+    # Q13 shape: orders must be pre-aggregated per customer BEFORE the
+    # left join (shrinks the probe side), and the priority filter must
+    # reach the orders scan
+    plan = plan_text(q("q88_customer_distribution"))
+    assert "partial_count" in plan, "orders per-customer agg must be partial map-side"
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderpriority" in p for p in pushed), "priority filter not pushed to scan"
+
+
+def test_small_quantity_self_join_shares_partitioning(q):
+    # Q17 shape: the per-part avg and the probe side both hash-partition
+    # on l_partkey — no extra repartition, and the avg agg is partial
+    plan = plan_text(q("q89_small_quantity_revenue"))
+    assert "hashpartitioning(l_partkey" in plan
+    assert "partial_avg" in plan or "partial_sum" in plan
+
+
+def test_top_supplier_single_lineitem_scan(q):
+    # Q15 shape: the scalar MAX must come from a window over the
+    # aggregated table, not a second full lineitem scan+agg
+    df = q("q91_top_supplier")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    import re
+
+    scans = re.findall(r"FileScan parquet[^\n]*lineitem", final)
+    assert len(scans) == 1, "scalar-max decorrelation must not rescan lineitem"
+    assert "Exchange SinglePartition" in final, "max must be a window over the small agg"
+
+
+def test_balance_opportunity_anti_join_and_broadcast_stats(q):
+    # Q22 shape: NOT EXISTS plans as a left-anti join; the 1-row stats
+    # aggregate is broadcast (nested-loop), never shuffled against
+    plan = plan_text(q("q92_balance_opportunity"))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_waiting_suppliers_semi_and_anti(q):
+    # Q21 shape: EXISTS -> left-semi, NOT EXISTS -> left-anti, and the
+    # supplier dim lookup broadcasts
+    plan = plan_text(q("q93_waiting_suppliers"))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
