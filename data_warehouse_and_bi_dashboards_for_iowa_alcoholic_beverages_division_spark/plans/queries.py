@@ -2710,3 +2710,102 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# =====================================================================
+# Ranking-analytics window family (ntile / percent_rank / cume_dist)
+# and higher-order array aggregation — the window kinds SURVEY §2.5
+# notes the reference never uses but its dashboards imply (decile
+# banding, share-of-segment percentiles).
+# =====================================================================
+
+@register(
+    "q94_balance_deciles",
+    """
+    WITH d AS (
+      SELECT ntile(10) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey) AS decile,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer
+    )
+    SELECT decile, COUNT(*) AS n_custs, MIN(bal) AS lo, MAX(bal) AS hi
+    FROM d GROUP BY decile
+    """,
+    "W: ntile(10) decile banding of customer balances. A global ntile "
+    "is a total order — Spark plans a single-partition window, which "
+    "is the honest cost of exact global ranking; at 100 TB the scale "
+    "path is approx percentiles (q56/q72) or a range-partitioned sort. "
+    "Deterministic tiebreak on c_custkey; decimal balances",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("bal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_acctbal").cast("decimal(12,2)").alias("bal"), "c_custkey")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.min("bal").alias("lo"),
+            F.max("bal").alias("hi"),
+        )
+    )
+
+
+@register(
+    "q95_label_centroids",
+    """
+    SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS dim_mean
+    FROM (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    "Higher-order array op: per-label centroid of 64-dim embeddings "
+    "via posexplode + (label, pos) hash aggregate. The explode is "
+    "narrow (no shuffle); the single shuffle carries (label, pos) "
+    "partial sums — 64x|labels| cells regardless of row count, so the "
+    "reduce side is tiny at any scale. Rounded 6dp so float summation "
+    "order cannot flip the hash (same rule as q38 scores)",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("dim_mean"))
+    )
+
+
+@register(
+    "q96_segment_percentiles",
+    """
+    WITH r AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+             percent_rank() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey) AS pr,
+             cume_dist() OVER (PARTITION BY c_mktsegment
+                               ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey) AS cd
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, bal, pr, cd
+    FROM r WHERE pr >= 0.95
+    """,
+    "W: percent_rank + cume_dist partitioned by market segment — top "
+    "5% balances per segment. Partitioned window shuffles once on "
+    "c_mktsegment; both functions are exact integer-ratio doubles "
+    "(rank/n), IEEE-identical across engines, so no rounding needed. "
+    "Deterministic tiebreak on c_custkey",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    w = Window.partitionBy("c_mktsegment").orderBy("bal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", bal.alias("bal"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .where(F.col("pr") >= 0.95)
+    )
