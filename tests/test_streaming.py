@@ -126,3 +126,86 @@ def test_scd_stream_upsert_matches_batch_rebuild(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 4  # store1: ames→boone (2 rows), store2: adel, store3: clive
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked click→view attribution join drained availableNow
+    equals the identical batch join over the same parquet."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import load_table
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming import (
+        attribute_clicks_to_views,
+        events_stream,
+    )
+
+    ckpt = _tf.mkdtemp(prefix="ckpt_ssj_")
+    try:
+        joined = attribute_clicks_to_views(events_stream(spark, SF_DIR))
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ssj_out").collect())
+
+        ev = load_table(spark, SF_DIR, "events")
+        v = ev.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("vu"), F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+        )
+        c = ev.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        )
+        batch = (
+            c.join(
+                v,
+                (c.cu == v.vu)
+                & (c.click_ts > v.view_ts)
+                & (c.click_ts <= v.view_ts + F.expr("INTERVAL 1 hour")),
+            )
+            .select(F.col("cu").alias("user_id"), "click_id", "view_id", "click_ts", "view_ts")
+        )
+        want = sorted(tuple(r) for r in batch.collect())
+        assert got == want
+        assert len(got) > 0
+    finally:
+        _sh.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicated staging input deduped back to the distinct set."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import load_table
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming import (
+        dedup_within_watermark,
+    )
+    ev = load_table(spark, SF_DIR, "events").limit(500)
+    staged = str(tmp_path / "staged")
+    # simulate an at-least-once source: every event delivered twice
+    ev.unionAll(ev).write.parquet(staged)
+
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    deduped = dedup_within_watermark(stream)
+    ckpt = _tf.mkdtemp(prefix="ckpt_dedup_")
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.sql("SELECT COUNT(DISTINCT event_id) AS n, COUNT(*) AS total FROM dedup_out").collect()[0]
+        assert n["total"] == 500, "each duplicated event must survive exactly once"
+        assert n["n"] == 500
+    finally:
+        _sh.rmtree(ckpt, ignore_errors=True)
