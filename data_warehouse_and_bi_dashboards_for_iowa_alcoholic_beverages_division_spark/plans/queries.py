@@ -2809,3 +2809,31 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cd", F.cume_dist().over(w))
         .where(F.col("pr") >= 0.95)
     )
+
+
+# =====================================================================
+# Dense surrogate keys — the warehouse key-minting the reference
+# delegates to RDBMS identity columns (SURVEY §2.1 S5). Scale-safe
+# zipWithIndex construction in functions/ids.py.
+# =====================================================================
+
+@register(
+    "q97_dense_ids",
+    """
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS id
+    FROM orders
+    """,
+    "Deterministic dense surrogate keys: range-partition + in-partition "
+    "position + prefix-summed partition offsets broadcast back — "
+    "row_number()-1 semantics with NO single-partition window and no "
+    "shuffle of the big table (only the #partitions-row counts table "
+    "goes through the prefix-sum window)",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ids import dense_ids
+
+    orders = _t(spark, sf_dir, "orders")
+    return dense_ids(orders, order_by=["o_orderdate", "o_orderkey"]).select(
+        "o_orderkey", "id"
+    )
