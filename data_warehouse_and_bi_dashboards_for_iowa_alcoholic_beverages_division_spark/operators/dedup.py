@@ -250,3 +250,94 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str = "text", m
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+def _bipartite_bucket_pairs(docs: Column) -> Column:
+    """(new, old) pairs from one bucket's member array of
+    struct(doc, is_new) — inline, no self-join."""
+    news = F.filter(docs, lambda d: d["is_new"])
+    olds = F.filter(docs, lambda d: ~d["is_new"])
+    return F.flatten(
+        F.transform(
+            news,
+            lambda x: F.transform(
+                olds, lambda y: F.struct(x["doc"].alias("new_id"), y["doc"].alias("old_id"))
+            ),
+        )
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 9,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicates of ``incoming`` documents against an existing
+    ``corpus`` — the per-batch dedup a continuously-ingesting training
+    pipeline runs (new crawl slice vs. everything already kept).
+
+    Both sides are minhash-banded with the SAME seeds, unioned with a
+    side flag, and bucketed in ONE aggregation; candidate (new, old)
+    pairs come from a bipartite in-bucket expansion, so there is no
+    corpus x corpus work and no bucket-table self-join. Candidates are
+    then verified with exact shingle Jaccard (only candidate pairs are
+    ever shingled). Incremental cost scales with |incoming| + the
+    touched buckets of the corpus, not |corpus|² — and at 100 TB the
+    corpus-side signatures would be a precomputed table, making the
+    marginal cost |incoming| only.
+
+    Returns (new_id, old_id, jaccard) with jaccard >= ``min_jaccard``.
+    """
+    rows_per_band = n_hashes // bands
+
+    def banded(df: DataFrame, is_new: bool) -> DataFrame:
+        return minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).select(
+            "doc",
+            F.lit(is_new).alias("is_new"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc", "is_new", "bb.band", "bb.bucket")
+
+    both = banded(incoming, True).unionByName(banded(corpus, False))
+    buckets = (
+        both.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("doc", "is_new")).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    cand = (
+        buckets.select(F.explode(_bipartite_bucket_pairs(F.col("docs"))).alias("p"))
+        .select("p.new_id", "p.old_id")
+        .distinct()
+    )
+    # exact-verify on the union of both frames (ids are assumed to be
+    # from one id space, as in a corpus with a monotonically growing id)
+    all_docs = incoming.unionByName(corpus)
+    pairs = cand.select(F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b"))
+    verified = ngram_jaccard_pairs(all_docs, pairs, id_col, text_col, shingle_k)
+    return (
+        verified.where(F.col("jaccard") >= min_jaccard)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("old_id"),
+            "jaccard",
+        )
+    )

@@ -2837,3 +2837,76 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_ids(orders, order_by=["o_orderdate", "o_orderkey"]).select(
         "o_orderkey", "id"
     )
+
+
+# =====================================================================
+# Incremental (cross-corpus) dedup — new crawl slice vs. already-kept
+# corpus; the per-batch op of a continuously-ingesting pipeline.
+# =====================================================================
+
+@register(
+    "q98_incremental_blocked",
+    r"""
+    WITH n AS (
+      SELECT doc_id, text,
+             substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS blk
+      FROM documents
+    ),
+    pairs AS (
+      SELECT i.doc_id AS new_id, c.doc_id AS old_id, i.text AS ta, c.text AS tb
+      FROM n i JOIN n c ON i.blk = c.blk
+      WHERE i.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    ),
+    sh AS (
+      SELECT new_id, old_id,
+        list_distinct([substring(lower(ta), CAST(i AS INT), 9)
+                       for i in range(1, greatest(length(ta) - 8, 1) + 1)]) AS sa,
+        list_distinct([substring(lower(tb), CAST(i AS INT), 9)
+                       for i in range(1, greatest(length(tb) - 8, 1) + 1)]) AS sb
+      FROM pairs
+    )
+    SELECT new_id, old_id,
+           len(list_intersect(sa, sb)) / len(list_distinct(list_concat(sa, sb))) AS jaccard
+    FROM sh
+    """,
+    "Cross-corpus blocked exact Jaccard: incoming slice (doc_id%10=0) "
+    "vs existing corpus, blocked on the md5-prefix of normalized text "
+    "— the SQL-expressible twin of q99's LSH path. Bipartite blocking "
+    "means no corpus x corpus pairs ever form; the shingle set "
+    "arithmetic is value-checked end-to-end",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", F.substring(F.md5(text.normalized_text_expr("text")), 1, 2).alias("blk")
+    )
+    inc = n.where(F.col("doc_id") % 10 == 0).select(F.col("doc_id").alias("id_a"), "blk")
+    cor = n.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b")
+    )
+    pairs = inc.join(cor, F.col("blk") == F.col("blk_b")).select("id_a", "id_b")
+    return ngram_jaccard_pairs(docs, pairs, "doc_id").select(
+        F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id"), "jaccard"
+    )
+
+
+@register(
+    "q99_incremental_lsh",
+    None,  # xxhash64 signature family is not DuckDB-expressible — rows-only
+    "Incremental near-dup via bipartite MinHash LSH: both sides banded "
+    "with shared seeds, single bucket aggregation, in-bucket new x old "
+    "expansion (never corpus x corpus), exact-Jaccard verification of "
+    "candidates only. At scale the corpus signatures are a precomputed "
+    "table, making marginal cost O(|incoming batch|)",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 10 == 0)
+    cor = docs.where(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(cor, inc, "doc_id").select(
+        "new_id", "old_id", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -190,3 +190,24 @@ def test_word_ngrams_and_decontamination(spark):
     assert grams[1] == {"the quick brown", "quick brown fox", "brown fox jumps"}
     assert grams[3] == set()
     assert grams[1] & grams[2] == {"the quick brown", "quick brown fox"}
+
+
+def test_incremental_dedup_cross_corpus(spark):
+    """New batch deduped against an existing corpus: bipartite LSH +
+    exact-Jaccard verify finds the planted dups, never corpus-corpus
+    or new-new pairs."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    docs = _docs_df(spark)
+    corpus = docs.where("doc_id IN (1, 4)")
+    incoming = docs.where("doc_id IN (2, 3)")
+    got = {
+        (r["new_id"], r["old_id"]): r["jaccard"]
+        for r in incremental_dedup(corpus, incoming, "doc_id").collect()
+    }
+    assert got.get((2, 1)) == 1.0, "exact dup of corpus doc must be found"
+    assert (3, 1) in got and 0.4 < got[(3, 1)] < 1.0, "near dup must be found"
+    assert all(k[0] in (2, 3) and k[1] in (1, 4) for k in got), "pairs must be new x old only"
+    assert (2, 4) not in got and (3, 4) not in got
