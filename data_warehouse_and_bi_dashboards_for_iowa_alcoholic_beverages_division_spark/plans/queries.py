@@ -2910,3 +2910,140 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(cor, inc, "doc_id").select(
         "new_id", "old_id", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# =====================================================================
+# Beyond-reference: sequence packing / denylist scrubbing / TF-IDF
+# =====================================================================
+
+@register(
+    "q100_sequence_packing",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), off AS (
+      SELECT lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      FROM toks
+    )
+    SELECT lang, start_offset // 2048 AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN (start_offset + n_tokens - 1) // 2048 > start_offset // 2048
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+    FROM off
+    GROUP BY lang, pack_id
+    """,
+    "Sequence packing (concat-and-chunk): per-language token streams in "
+    "deterministic doc_id order are chunked into 2048-token context "
+    "windows; output is per-pack document count, token count, and how "
+    "many documents span a chunk boundary. One cumulative-sum window "
+    "(single shuffle on the stream key) computes every offset — the "
+    "standard pre-training layout with no driver loop and no UDF "
+    "(operators/packing.py)",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_offsets
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", text.token_count_expr().cast("long").alias("n_tokens")
+    )
+    packed = pack_offsets(
+        d, tokens_col="n_tokens", order_col="doc_id", stream_col="lang", budget=2048
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum((F.col("end_pack") > F.col("pack_id")).cast("long")).alias("n_spanning"),
+    )
+
+
+DENYLIST_PATTERN = r"\b(customer|supplier|account|invoice)\b"
+
+
+@register(
+    "q101_denylist_scrub",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{DENYLIST_PATTERN}')) AS INT) AS n_redactions,
+           md5(regexp_replace(text, '{DENYLIST_PATTERN}', '[REDACTED]', 'g')) AS scrub_fp
+    FROM documents
+    """,
+    "Denylist scrubbing (policy redaction pass): count and replace every "
+    "occurrence of a banned-term pattern, emit the scrubbed-text "
+    "fingerprint so the rewrite itself is value-checked across engines. "
+    "Pure JVM regex expressions — the 100 TB path is a narrow map with "
+    "no shuffle at all",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(DENYLIST_PATTERN), F.lit(0)))
+        .cast("int")
+        .alias("n_redactions"),
+        F.md5(
+            F.regexp_replace("text", DENYLIST_PATTERN, "[REDACTED]").cast("binary")
+        ).alias("scrub_fp"),
+    )
+
+
+@register(
+    "q102_tfidf_terms",
+    r"""
+    WITH words AS (
+      SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS tf FROM words GROUP BY lang, word
+    ), idf AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT lang, word, tf,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN idf USING (word) CROSS JOIN n
+    )
+    SELECT lang, word, tf, tfidf FROM (
+      SELECT lang, word, tf, tfidf,
+             row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word ASC) AS rk
+      FROM scored
+    ) ranked
+    WHERE rk <= 5
+    """,
+    "TF-IDF characteristic terms per language: term frequency within "
+    "each language corpus weighted by inverse document frequency over "
+    "the whole corpus, top-5 per language. Two hash aggregations plus a "
+    "vocabulary-sized join (word-keyed, tiny next to the corpus scan); "
+    "the corpus row count broadcasts as a scalar. Scores rounded to 6dp "
+    "before ranking, word tiebreak, so ordering is engine-independent",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    idf = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(idf, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("lang", "word", "tf", "tfidf")
+    )
