@@ -3017,8 +3017,11 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "TF-IDF characteristic terms per language: term frequency within "
     "each language corpus weighted by inverse document frequency over "
-    "the whole corpus, top-5 per language. Two hash aggregations plus a "
-    "vocabulary-sized join (word-keyed, tiny next to the corpus scan); "
+    "the whole corpus, top-5 per language. Single corpus scan: because "
+    "every document has exactly one language, global document frequency "
+    "is the per-(lang, word) distinct-doc count summed across languages "
+    "— one (lang, word) aggregation with map-side partials, then a "
+    "vocabulary-sized window on word (tiny next to the corpus scan); "
     "the corpus row count broadcasts as a scalar. Scores rounded to 6dp "
     "before ranking, word tiebreak, so ordering is engine-independent",
 )
@@ -3027,19 +3030,17 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
     )
-    tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
-    idf = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    per_lang = words.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df_lang")
+    )
+    with_df = per_lang.withColumn("df", F.sum("df_lang").over(Window.partitionBy("word")))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(idf, "word")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "tfidf",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
-                6,
-            ),
-        )
+    scored = with_df.crossJoin(F.broadcast(n)).withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+            6,
+        ),
     )
     w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
     return (
