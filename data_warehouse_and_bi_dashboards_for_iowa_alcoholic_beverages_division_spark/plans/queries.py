@@ -3048,3 +3048,49 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("lang", "word", "tf", "tfidf")
     )
+
+
+@register(
+    "q103_domain_mixture",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4 AS m,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source,
+             (CASE WHEN m = 0 THEN 0 WHEN m = 3 THEN 2 ELSE 1 END
+              + CASE WHEN h < (CASE WHEN m = 0 THEN '4000' WHEN m = 2 THEN 'c000'
+                                    WHEN m = 3 THEN '8000' ELSE '0000' END)
+                     THEN 1 ELSE 0 END) AS rep
+      FROM t
+    )
+    SELECT doc_id, source, CAST(unnest(range(1, rep + 1)) AS INT) AS epoch FROM r
+    """,
+    "Domain-mixture resampling (training-data mixing): each source gets "
+    "an epoch weight (0.25/1.0/1.75/2.5 by source index mod 4); the "
+    "integer part repeats every document via sequence-explode and the "
+    "fractional part keeps a deterministic md5-threshold subsample, so "
+    "the mixed corpus is exactly reproducible on any cluster shape and "
+    "stable under incremental appends (new rows never change old "
+    "decisions). Narrow map + generate, no shuffle",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    m = (F.regexp_extract("source", r"([0-9]+)$", 1).cast("int") % 4).alias("m")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    base = F.when(m == 0, 0).when(m == 3, 2).otherwise(1)
+    thr = (
+        F.when(m == 0, "4000").when(m == 2, "c000").when(m == 3, "8000").otherwise("0000")
+    )
+    rep = (base + (h < thr).cast("int")).alias("rep")
+    return (
+        d.select("doc_id", "source", rep)
+        .where(F.col("rep") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("rep"))).alias("epoch"),
+        )
+    )
