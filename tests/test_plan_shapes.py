@@ -169,3 +169,42 @@ def test_waiting_suppliers_semi_and_anti(q):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_denylist_scrub_no_shuffle(q):
+    # q101 is a pure narrow map: any Exchange means a refactor broke it
+    plan = plan_text(q("q101_denylist_scrub"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan, "redaction must stay JVM-side"
+
+
+def test_domain_mixture_no_shuffle(q):
+    # q103 is map + generate only; repetition must not shuffle or sort
+    plan = plan_text(q("q103_domain_mixture"))
+    assert "Exchange" not in plan
+    assert "explode(" in plan
+
+
+def test_sequence_packing_single_stream_shuffle(q):
+    # q100: ONE exchange total — the cumulative-sum window shuffles on
+    # lang, and the (lang, pack_id) aggregation reuses that partitioning
+    # (same-lang rows are already co-located), so the corpus is never
+    # reshuffled again
+    plan = plan_text(q("q100_sequence_packing"))
+    assert plan.count("+- Exchange") == 1
+    assert "Window" in plan
+
+
+def test_tfidf_single_corpus_scan(q):
+    # q102: the corpus text is scanned once; the n_docs side scans zero
+    # columns (footer count). DF comes from a vocabulary window, not a
+    # second corpus explode.
+    df = q("q102_tfidf_terms")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    import re
+
+    doc_scans = re.findall(r"FileScan parquet[^\n]*documents[^\n]*", final)
+    full_scans = [s for s in doc_scans if "text" in s]
+    assert len(full_scans) == 1, "TF-IDF must explode the corpus exactly once"
