@@ -3094,3 +3094,79 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("rep"))).alias("epoch"),
         )
     )
+
+
+@register(
+    "q104_domain_caps",
+    r"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+      FROM documents
+    ) t
+    WHERE rk <= 15
+    """,
+    "Per-domain document caps (anti-domination): each source keeps at "
+    "most 15 documents, chosen by md5-order so the kept set is a "
+    "deterministic uniform sample, stable across cluster shapes and "
+    "append-only growth. One shuffle on source; Spark plans the cap as "
+    "WindowGroupLimit (partial top-k before the exchange), so the "
+    "shuffle carries at most 15 rows per (mapper, source)",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 15)
+    )
+
+
+@register(
+    "q105_embedding_quantize",
+    r"""
+    WITH s AS (
+      SELECT vec_id,  embedding,
+             127.0::DOUBLE / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, ROUND(scale, 6) AS qscale,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5::DOUBLE) AS INT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, qscale,
+           CAST(list_min(qv) AS INT) AS qmin,
+           CAST(list_max(qv) AS INT) AS qmax,
+           CAST(list_sum(qv) AS BIGINT) AS qsum
+    FROM q
+    """,
+    "Symmetric int8 quantization of the embedding column (training-data "
+    "storage compression): per-vector scale = 127/max|x|, elements "
+    "mapped by floor(x*scale + 0.5) — floor of an exactly-computed "
+    "double, so both engines quantize bit-identically (no engine-"
+    "dependent round-half modes). Emits per-vector scale and integer "
+    "summaries; narrow map, no shuffle, JVM higher-order functions only",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    with_scale = e.withColumn(
+        "scale",
+        F.lit(127.0)
+        / F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double"),
+    )
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    return with_scale.withColumn("qv", qv).select(
+        "vec_id",
+        F.round("scale", 6).alias("qscale"),
+        F.array_min("qv").cast("int").alias("qmin"),
+        F.array_max("qv").cast("int").alias("qmax"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")).alias(
+            "qsum"
+        ),
+    )

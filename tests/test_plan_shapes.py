@@ -208,3 +208,24 @@ def test_tfidf_single_corpus_scan(q):
     doc_scans = re.findall(r"FileScan parquet[^\n]*documents[^\n]*", final)
     full_scans = [s for s in doc_scans if "text" in s]
     assert len(full_scans) == 1, "TF-IDF must explode the corpus exactly once"
+
+
+def test_domain_caps_partial_topk(q):
+    # q104: the per-source cap must plan as WindowGroupLimit so each
+    # mapper ships at most K rows per source into the single exchange
+    df = q("q104_domain_caps")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final
+    assert final.count("+- Exchange") == 1
+
+
+def test_embedding_quantize_no_shuffle_no_python(q):
+    # q105: higher-order array functions stay JVM-side with zero shuffles
+    df = q("q105_embedding_quantize")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert "+- Exchange" not in final
+    assert "BatchEvalPython" not in final
