@@ -3170,3 +3170,222 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qsum"
         ),
     )
+
+
+# =====================================================================
+# TPC-H analytics widening: Q6 / Q7 / Q8 / Q14 shapes
+# =====================================================================
+
+@register(
+    "q106_forecast_revenue",
+    """
+    SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(12,2))) AS promo_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05::DOUBLE AND 0.07::DOUBLE
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape (forecasting revenue change): tight filter + global "
+    "decimal sum. Every predicate reaches the parquet scan as a pushed "
+    "filter; the aggregate is partial map-side, so the single-partition "
+    "exchange carries one row per task",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(12,2)")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q107_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape (volume shipping between two nations): five-way "
+    "join where every dimension side broadcasts (orders is the largest "
+    "build side; customer/supplier/nation are tiny), the nation-pair "
+    "disjunction prunes after the aliased nation lookups, and the fact "
+    "never shuffles before the final (nation, nation, year) rollup",
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # the pair disjunction implies each side is one of the two nations;
+    # Catalyst can't extract that from the OR, so state it explicitly to
+    # prune both broadcast sides down to two rows
+    both = F.col("n_name").isin("NATION_1", "NATION_2")
+    n1 = n.where(both).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.where(both).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "q108_market_share",
+    """
+    WITH all_sales AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_sales
+    GROUP BY o_year
+    """,
+    "TPC-H Q8 shape (national market share): seven-way snowflake where "
+    "all six dimension sides broadcast and the fact never shuffles; the "
+    "share is a conditional-sum ratio computed decimal-exact and only "
+    "converted to double for the final division (identical operands -> "
+    "identical IEEE result on both engines, 6dp-rounded)",
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE").select("r_regionkey")
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(12,2)")
+    )
+    zero = F.lit("0.00").cast("decimal(12,2)")
+    sales = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .join(F.broadcast(r), n2.c_rk == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q109_promo_effect",
+    """
+    SELECT CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS ship_month,
+           ROUND(100.0::DOUBLE
+                 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                                 ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6)
+             AS promo_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ship_month
+    """,
+    "TPC-H Q14 shape (promotion effect) as a monthly series: part dim "
+    "broadcasts, revenue stays decimal-exact through both conditional "
+    "sums, and the percentage is one double division of identical "
+    "operands per engine (6dp-rounded)",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(12,2)")
+    )
+    zero = F.lit("0.00").cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share")
+        )
+    )
