@@ -3389,3 +3389,296 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share")
         )
     )
+
+
+# =====================================================================
+# TPC-H completion: Q2 / Q9 / Q11 / Q12 / Q16 / Q20 shapes. The
+# testdata has no partsupp table, so the supplier-part relation is
+# derived from lineitem as GROUP BY (l_partkey, l_suppkey) — the query
+# *shapes* (correlated min, nested semi-joins, HAVING vs global
+# scalar) are preserved exactly.
+# =====================================================================
+
+@register(
+    "q110_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    geo AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+           ROUND(supplycost, 6) AS supplycost
+    FROM ps
+    JOIN part ON l_partkey = p_partkey
+    JOIN geo  ON l_suppkey = s_suppkey
+    WHERE p_type = 'STANDARD' AND p_size <= 10
+    QUALIFY supplycost = MIN(supplycost) OVER (PARTITION BY p_partkey)
+    """,
+    "TPC-H Q2 shape (min-cost supplier): the correlated 'cheapest "
+    "supplier in the region per part' subquery becomes a per-part "
+    "window MIN + equality filter. Repartitioning lineitem by partkey "
+    "up front lets the (partkey, suppkey) aggregate AND the per-part "
+    "window reuse one exchange (hash partitioning on a subset of the "
+    "grouping keys satisfies ClusteredDistribution); part and the "
+    "supplier-geo snowflake broadcast",
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    ps = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"))
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE").select("r_regionkey")
+    geo = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(geo), ps.l_suppkey == geo.s_suppkey)
+        .withColumn("min_cost", F.min("supplycost").over(w))
+        .where(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.round("supplycost", 6).alias("supplycost"),
+        )
+    )
+
+
+@register(
+    "q111_product_type_profit",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           SUM({PROFIT_SQL}) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+    "TPC-H Q9 shape (product-type profit): profit by supplier nation "
+    "and order year over parts matching a name pattern. The part "
+    "filter broadcasts and prunes the fact before the other joins; "
+    "profit stays decimal-exact end-to-end; the fact never shuffles "
+    "before the final (nation, year) rollup",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(F.expr(PROFIT_SQL)).alias("sum_profit"))
+    )
+
+
+@register(
+    "q112_shipping_modes",
+    """
+    SELECT CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 60
+                THEN 'SLOW' ELSE 'FAST' END AS ship_speed,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ship_speed
+    """,
+    "TPC-H Q12 shape (shipping modes & priority): the testdata has no "
+    "shipmode/receiptdate, so lines are classed by order-to-ship delay "
+    "instead; priority split via conditional counts. orders broadcasts, "
+    "the two-row aggregate is partial map-side",
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(F.datediff("l_shipdate", "o_orderdate") > 60, "SLOW")
+            .otherwise("FAST")
+            .alias("ship_speed")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q113_important_parts",
+    f"""
+    WITH vals AS (
+      SELECT l_partkey, SUM({REVENUE_SQL}) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM vals
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(SUM(value) AS DOUBLE) FROM vals) * 0.0012::DOUBLE
+    """,
+    "TPC-H Q11 shape (important stock): per-part revenue through one "
+    "region's suppliers, kept only if above a fraction of the grand "
+    "total. The global scalar is a one-row broadcast cross join (no "
+    "window-over-() single-partition shuffle); supplier geo broadcasts; "
+    "one shuffle on partkey total",
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    geo = s.join(n, s.s_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey).select("s_suppkey")
+    vals = (
+        li.join(F.broadcast(geo), li.l_suppkey == geo.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(REVENUE_SQL)).alias("value"))
+    )
+    total = vals.agg(F.sum("value").cast("double").alias("total"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value").cast("double") > F.col("total") * F.lit(0.0012))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "q114_supplier_part_counts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM pairs
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size <= 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 shape (parts/supplier relationship): distinct supplier "
+    "count per (brand, type, size) over the lineitem-derived pair "
+    "relation, excluding flagged suppliers (negative balance stands in "
+    "for the complaints predicate) via a broadcast anti-join. The pair "
+    "distinct repartitions by partkey so the dedup and the part join "
+    "share one exchange",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .repartition("l_partkey")
+        .distinct()
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO") & (F.col("p_size") <= 25))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q115_promotion_suppliers",
+    """
+    WITH avail AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_all,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(12,2))
+                      ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS qty_97
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    qualifying AS (
+      SELECT DISTINCT l_suppkey FROM avail
+      WHERE qty_all > 4 * qty_97 AND qty_97 > 0
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (SELECT l_suppkey FROM qualifying)
+    """,
+    "TPC-H Q20 shape (potential part promotion): nested semi-joins — "
+    "suppliers holding 'excess availability' (full-history quantity > "
+    "4x the 1997 quantity for the same part, both conditional decimal "
+    "sums in ONE aggregate pass) of red parts, restricted to one "
+    "nation. Red-part filter broadcasts into the pair aggregate; the "
+    "qualifying supplier set broadcasts into the supplier semi-join",
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    red = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%")).select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    zero = F.lit("0.00").cast("decimal(12,2)")
+    in97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    avail = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).alias("qty_all"),
+            F.sum(F.when(in97, qty).otherwise(zero)).alias("qty_97"),
+        )
+    )
+    qualifying = (
+        avail.where((F.col("qty_all") > 4 * F.col("qty_97")) & (F.col("qty_97") > 0))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(qualifying), s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -229,3 +229,51 @@ def test_embedding_quantize_no_shuffle_no_python(q):
     final = final.split("== Initial Plan ==")[0]
     assert "+- Exchange" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_min_cost_supplier_single_exchange(q):
+    # q110 (Q2 shape): repartition(l_partkey) feeds BOTH the
+    # (partkey, suppkey) aggregate and the per-part window MIN — hash
+    # partitioning on a subset of the grouping keys satisfies
+    # ClusteredDistribution, so there is exactly one data shuffle and
+    # every dimension side broadcasts
+    plan = plan_text(q("q110_min_cost_supplier"))
+    import re
+
+    non_broadcast = [
+        line
+        for line in plan.splitlines()
+        if re.search(r"\(\d+\) Exchange$", line.strip())
+    ]
+    assert len(non_broadcast) == 1, "q110 must shuffle exactly once (on l_partkey)"
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
+
+
+def test_important_parts_reuses_vals_exchange(q):
+    # q113 (Q11 shape): the grand-total scalar must come from the SAME
+    # per-part aggregate exchange (AQE ReusedExchange), not a second
+    # lineitem scan, and join against it as a one-row broadcast
+    df = q("q113_important_parts")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, "total must reuse the per-part agg shuffle"
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastExchange IdentityBroadcastMode" in final
+
+
+def test_shipping_modes_broadcast_and_partial(q):
+    # q112 (Q12 shape): orders broadcasts; the two-row aggregate is
+    # partial map-side so the exchange carries O(tasks) rows
+    plan = plan_text(q("q112_shipping_modes"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_promotion_suppliers_semi_joins_broadcast(q):
+    # q115 (Q20 shape): both nested IN subqueries plan as broadcast
+    # left-semi joins; the fact never sort-merge shuffles
+    plan = plan_text(q("q115_promotion_suppliers"))
+    assert plan.count("LeftSemi") >= 2
+    assert "SortMergeJoin" not in plan
