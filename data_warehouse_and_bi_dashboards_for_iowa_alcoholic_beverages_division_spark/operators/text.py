@@ -122,3 +122,18 @@ def word_ngrams_expr(col: str = "text", n: int = 13) -> Column:
     return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams_all_expr(col: str = "text", n: int = 3) -> Column:
+    """All word-level n-grams (with multiplicity, in document order) of
+    the normalized text — the unit of Gopher-style intra-document
+    repetition scoring, where the DUPLICATE fraction is the signal so
+    multiplicity must be preserved (contrast ``word_ngrams_expr``,
+    which dedups for decontamination set-overlap). Pure Column
+    expression inside whole-stage codegen; empty when < n words."""
+    words = F.split(normalized_text_expr(col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(split(trim(regexp_replace(lower({col}), '\\\\s+', ' ')), ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split(trim(regexp_replace(lower({col}), '\\\\s+', ' ')), ' '), i, {n}), ' '))"
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))

@@ -3682,3 +3682,123 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qualifying), s.s_suppkey == qualifying.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# =====================================================================
+# Training-data pipeline widening: deterministic split, shard
+# assignment (global shuffle), Gopher-style repetition scoring
+# =====================================================================
+
+@register(
+    "q116_dataset_split",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+                THEN 'train'
+                WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e000'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    "Deterministic train/val/test split (75/12.5/12.5): the assignment "
+    "is a pure function of the row id via a salted md5-prefix "
+    "threshold, so it is reproducible on any cluster shape, stable "
+    "under re-runs and incremental appends, and independent of the "
+    "q78 sampling decisions (different salt). Zero shuffles — the "
+    "split is a narrow map over the scan",
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 4)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(h < "c000", "train").when(h < "e000", "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "q117_corpus_shards",
+    """
+    WITH tagged AS (
+      SELECT doc_id, n_chars,
+             md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           substring(h, 1, 1) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY substring(h, 1, 1)
+                              ORDER BY h, doc_id) AS pos,
+           n_chars
+    FROM tagged
+    """,
+    "Deterministic global shuffle into training shards: each doc gets "
+    "a shard (first hex nibble of a salted md5 -> 16 shards) and a "
+    "position within the shard (ordered by the full hash, doc_id "
+    "tiebreak), i.e. exactly the order a shard writer would emit. One "
+    "exchange on the shard key; the per-shard sort is the operator's "
+    "semantics (each shard is written sorted), not overhead. "
+    "Reshuffling an epoch = changing the salt",
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tagged = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias("h"),
+    ).withColumn("shard", F.substring("h", 1, 1))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return tagged.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos"), "n_chars"
+    )
+
+
+@register(
+    "q118_repetition_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) >= 3 THEN
+               [array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 2), ' ')
+                for i in range(1, len(w) - 3 + 2)]
+             ELSE []::VARCHAR[] END AS gs
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           len(gs) AS n_grams,
+           len(list_distinct(gs)) AS n_distinct,
+           CASE WHEN len(gs) > 0
+                THEN ROUND(1.0::DOUBLE - CAST(len(list_distinct(gs)) AS DOUBLE)
+                           / CAST(len(gs) AS DOUBLE), 6)
+                ELSE 0.0::DOUBLE END AS dup_frac,
+           CASE WHEN len(gs) > 0
+                AND (1.0::DOUBLE - CAST(len(list_distinct(gs)) AS DOUBLE)
+                     / CAST(len(gs) AS DOUBLE)) > 0.5::DOUBLE
+                THEN TRUE ELSE FALSE END AS flagged
+    FROM grams
+    """,
+    "Gopher-style intra-document repetition scoring: duplicate word-"
+    "trigram fraction per doc (1 - distinct/total), flagging docs "
+    "above 0.5 as low-quality boilerplate. The gram generation, dedup "
+    "and counting are higher-order array expressions inside whole-"
+    "stage codegen — no explode, no Python, zero shuffles; at 100 TB "
+    "this runs embarrassingly parallel over file splits",
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    gs = text.word_ngrams_all_expr("text", 3)
+    d = docs.select("doc_id", "lang", gs.alias("gs"))
+    n_grams = F.size("gs")
+    n_distinct = F.size(F.array_distinct("gs"))
+    dup = F.lit(1.0) - n_distinct.cast("double") / n_grams.cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_grams.cast("long").alias("n_grams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.when(n_grams > 0, F.round(dup, 6)).otherwise(F.lit(0.0)).alias("dup_frac"),
+        F.when((n_grams > 0) & (dup > 0.5), F.lit(True)).otherwise(F.lit(False)).alias("flagged"),
+    )

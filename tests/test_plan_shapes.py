@@ -277,3 +277,28 @@ def test_promotion_suppliers_semi_joins_broadcast(q):
     plan = plan_text(q("q115_promotion_suppliers"))
     assert plan.count("LeftSemi") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_dataset_split_no_shuffle(q):
+    # q116: split assignment is a pure narrow map — any Exchange or
+    # Python eval means a refactor broke the zero-shuffle property
+    plan = plan_text(q("q116_dataset_split"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_corpus_shards_single_exchange(q):
+    # q117: one shuffle on the shard key; the per-shard sort IS the
+    # operator semantics (shards are written sorted by the hash)
+    plan = plan_text(q("q117_corpus_shards"))
+    assert plan.count("+- Exchange") == 1
+    assert "Window" in plan
+
+
+def test_repetition_filter_no_shuffle_no_python(q):
+    # q118: gram generation + dedup + counting are array expressions
+    # in codegen — no explode-shuffle, no Python
+    plan = plan_text(q("q118_repetition_filter"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate" not in plan, "repetition scoring must not explode the grams"
