@@ -3802,3 +3802,41 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_grams > 0, F.round(dup, 6)).otherwise(F.lit(0.0)).alias("dup_frac"),
         F.when((n_grams > 0) & (dup > 0.5), F.lit(True)).otherwise(F.lit(False)).alias("flagged"),
     )
+
+
+# =====================================================================
+# Data layout: Z-order (Morton) clustering values
+# =====================================================================
+
+def _zorder_sql() -> str:
+    from ..sources.layout import zorder_value_sql
+
+    return zorder_value_sql("(l_partkey & 1023)", "(l_suppkey & 1023)", 10)
+
+
+@register(
+    "q119_zorder_curve",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {_zorder_sql()} AS zval
+    FROM lineitem
+    WHERE l_quantity > 48
+    """,
+    "Z-order (Morton) clustering value over (partkey, suppkey): the "
+    "SAME integer-arithmetic interleave expression runs verbatim on "
+    "both engines. Clustering files on this 1-D value bounds BOTH key "
+    "dimensions per file (sources/layout.py zorder_write), so footer "
+    "stats prune files for predicates on either column — Delta/"
+    "Iceberg-style Z-ORDER maintenance expressed as a pure projection; "
+    "zero shuffles here (the write path adds exactly one range "
+    "exchange)",
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 48)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_zorder_sql()).alias("zval"),
+    )

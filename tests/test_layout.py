@@ -48,3 +48,67 @@ def test_clustered_write_round_trips_values(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.exceptAll(orders).count() == 0
     assert orders.exceptAll(back).count() == 0
+
+
+def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
+    # range-clustering on partkey alone bounds only partkey per file;
+    # z-order must yield compact per-file ranges in BOTH dimensions
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.layout import (
+        zorder_write,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    path = str(tmp_path / "zordered")
+    zorder_write(li, path, "l_partkey", "l_suppkey", bits=12, num_files=16)
+
+    import pyarrow.parquet as pq
+    import glob
+
+    spans_a, spans_b = [], []
+    for f in glob.glob(path + "/*.parquet"):
+        t = pq.read_table(f)
+        pk, sk = t.column("l_partkey").to_pylist(), t.column("l_suppkey").to_pylist()
+        if pk:
+            spans_a.append(max(pk) - min(pk))
+            spans_b.append(max(sk) - min(sk))
+    full_a = 2000  # ~distinct partkeys at sf0.001..0.01
+    full_b = 100
+    assert len(spans_a) >= 8
+    # average per-file span must be well under the full key span in
+    # BOTH dimensions — the property 1-D clustering cannot give
+    assert sum(spans_a) / len(spans_a) < full_a * 0.6
+    assert sum(spans_b) / len(spans_b) < full_b * 0.6
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.layout import (
+        partitioned_write,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+    import pyspark.sql.functions as F
+    import contextlib
+    import io
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    partitioned_write(orders, path, ["order_year"])
+
+    df = spark.read.parquet(path).where(F.col("order_year") == 1997)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    # pruning is real: only the 1997 rows are read
+    expected = orders.where(F.col("order_year") == 1997).count()
+    assert df.count() == expected

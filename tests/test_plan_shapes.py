@@ -302,3 +302,13 @@ def test_repetition_filter_no_shuffle_no_python(q):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "Generate" not in plan, "repetition scoring must not explode the grams"
+
+
+def test_zorder_curve_no_shuffle(q):
+    # q119: the Morton value is integer arithmetic in codegen — a pure
+    # projection with the quantity filter pushed to the scan
+    plan = plan_text(q("q119_zorder_curve"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("l_quantity" in p for p in pushed)
