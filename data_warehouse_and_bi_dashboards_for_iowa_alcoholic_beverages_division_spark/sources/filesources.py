@@ -77,3 +77,19 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return clean, bad
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default). ORC is the second columnar lakehouse
+    format Spark supports natively — same predicate-pushdown and
+    column-pruning contract as parquet, so warehouses that standardize
+    on ORC (Hive heritage) get identical plans from this engine."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Schema comes from the file footer (columnar formats
+    are self-describing — unlike CSV/JSONL no inference pass is
+    needed); filters and projections push down exactly as for
+    parquet."""
+    return spark.read.orc(path)

@@ -87,3 +87,36 @@ def test_csv_reader_keeps_pruning(spark, orders, tmp_path):
     two = read_csv(spark, p, SCHEMA).select("o_orderkey", "o_totalprice")
     assert two.columns == ["o_orderkey", "o_totalprice"]
     assert two.count() == orders.count()
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.filesources import (
+        read_orc,
+        write_orc,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+
+    back = read_orc(spark, path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+
+    # predicate + projection must reach the ORC scan like parquet
+    probe = back.where(F.col("o_totalprice") > 1000).select("o_orderkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1].split("]")[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" not in read_schema
