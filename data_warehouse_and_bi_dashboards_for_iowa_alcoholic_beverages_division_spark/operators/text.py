@@ -111,29 +111,30 @@ def fingerprint_expr(col: str = "text") -> Column:
 
 def word_ngrams_expr(col: str = "text", n: int = 13) -> Column:
     """Distinct word-level n-grams of the normalized text (the unit of
-    benchmark-decontamination checks, GPT-3-style 13-grams). Pure
-    Column expression — the generate/slice/join loop runs inside
-    whole-stage codegen; empty array when the doc has < n words."""
-    words = F.split(normalized_text_expr(col), " ")
-    grams = F.expr(
-        f"transform(sequence(1, size(split(trim(regexp_replace(lower({col}), '\\\\s+', ' ')), ' ')) - {n - 1}), "
-        f"i -> array_join(slice(split(trim(regexp_replace(lower({col}), '\\\\s+', ' ')), ' '), i, {n}), ' '))"
-    )
-    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    benchmark-decontamination checks, GPT-3-style 13-grams). See
+    ``word_ngrams_all_expr`` for the evaluation strategy."""
+    return F.array_distinct(word_ngrams_all_expr(col, n))
 
 
 def word_ngrams_all_expr(col: str = "text", n: int = 3) -> Column:
     """All word-level n-grams (with multiplicity, in document order) of
     the normalized text — the unit of Gopher-style intra-document
     repetition scoring, where the DUPLICATE fraction is the signal so
-    multiplicity must be preserved (contrast ``word_ngrams_expr``,
-    which dedups for decontamination set-overlap). Pure Column
-    expression inside whole-stage codegen; empty when < n words."""
-    words = F.split(normalized_text_expr(col), " ")
-    grams = F.expr(
-        f"transform(sequence(1, size(split(trim(regexp_replace(lower({col}), '\\\\s+', ' ')), ' ')) - {n - 1}), "
-        f"i -> array_join(slice(split(trim(regexp_replace(lower({col}), '\\\\s+', ' ')), ' '), i, {n}), ' '))"
+    multiplicity must be preserved. Pure Column expression inside
+    whole-stage codegen; empty when < n words.
+
+    The token array is bound as a lambda variable via a one-element
+    outer ``transform`` so the lowercase+regex+split pipeline runs
+    ONCE per document; inlining it in the per-gram lambda would
+    re-evaluate it for every gram index — O(words^2) per doc (the
+    measured transform-lambda pitfall from the minhash shingling
+    work)."""
+    norm = f"trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+    return F.expr(
+        f"transform(array(split({norm}, ' ')), w -> "
+        f"case when size(w) >= {n} then "
+        f"transform(sequence(1, size(w) - {n - 1}), i -> array_join(slice(w, i, {n}), ' ')) "
+        f"else cast(array() as array<string>) end)[0]"
     )
-    return F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+

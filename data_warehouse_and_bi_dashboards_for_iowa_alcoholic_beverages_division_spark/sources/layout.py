@@ -60,8 +60,12 @@ def zorder_value_sql(col_a: str, col_b: str, bits: int = 16) -> str:
     """
     if not 0 < bits <= 31:
         raise ValueError("bits must be in 1..31")
+    # operands are widened to BIGINT so shifts up to 2*bits+1 stay in
+    # 64-bit arithmetic even for 32-bit input columns (int shifts wrap
+    # on Spark and error on DuckDB from bit 31 up)
+    a, b = f"CAST({col_a} AS BIGINT)", f"CAST({col_b} AS BIGINT)"
     terms = [
-        f"((({col_a} >> {i}) & 1) << {2 * i + 1}) + ((({col_b} >> {i}) & 1) << {2 * i})"
+        f"((({a} >> {i}) & 1) << {2 * i + 1}) + ((({b} >> {i}) & 1) << {2 * i})"
         for i in range(bits)
     ]
     return "(" + " + ".join(terms) + ")"
@@ -79,11 +83,32 @@ def zorder_write(
 ) -> None:
     """Write parquet files clustered on the Z-order curve of two
     columns: each file owns a compact rectangle of the key space, so
-    range predicates on either dimension prune files."""
+    range predicates on either dimension prune files.
+
+    Both columns are min-max scaled to the same ``bits``-bit width
+    before interleaving: interleaving raw values lets the wider-domain
+    column own the curve's top bits, so file boundaries degenerate
+    into 1-D slabs of that column and the other dimension never
+    splits. (Delta/Iceberg Z-ORDER likewise interleaves per-column
+    range-bucket ids, not raw values.) The min/max pass is one tiny
+    aggregate job — the same kind of pre-pass the range partitioner's
+    sampling already does."""
     from pyspark.sql import functions as F
 
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
-    zv = F.expr(zorder_value_sql(col_a, col_b, bits)).alias("__zval")
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    top = (1 << bits) - 1
+
+    def scaled(c: str, lo, hi) -> str:
+        if lo is None or hi is None or hi == lo:
+            return "CAST(0 AS BIGINT)"
+        return f"CAST((CAST({c} AS DOUBLE) - ({lo})) * {top} / (({hi}) - ({lo})) AS BIGINT)"
+
+    zv = F.expr(
+        zorder_value_sql(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits)
+    ).alias("__zval")
     (
         df.withColumn("__zval", zv)
         .repartitionByRange(n, "__zval")

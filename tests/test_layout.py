@@ -70,19 +70,26 @@ def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
     import glob
 
     spans_a, spans_b = [], []
+    all_pk, all_sk = [], []
     for f in glob.glob(path + "/*.parquet"):
         t = pq.read_table(f)
         pk, sk = t.column("l_partkey").to_pylist(), t.column("l_suppkey").to_pylist()
         if pk:
             spans_a.append(max(pk) - min(pk))
             spans_b.append(max(sk) - min(sk))
-    full_a = 2000  # ~distinct partkeys at sf0.001..0.01
-    full_b = 100
+            all_pk.extend((min(pk), max(pk)))
+            all_sk.extend((min(sk), max(sk)))
+    # thresholds derive from the ACTUAL key spans of the written data,
+    # so the assertion stays meaningful at any scale factor
+    full_a = max(all_pk) - min(all_pk)
+    full_b = max(all_sk) - min(all_sk)
     assert len(spans_a) >= 8
     # average per-file span must be well under the full key span in
-    # BOTH dimensions — the property 1-D clustering cannot give
-    assert sum(spans_a) / len(spans_a) < full_a * 0.6
-    assert sum(spans_b) / len(spans_b) < full_b * 0.6
+    # BOTH dimensions — the property 1-D clustering cannot give (a
+    # partkey-range-clustered write leaves suppkey spans ~= full_b,
+    # and an unclustered write leaves both ~= full)
+    assert sum(spans_a) / len(spans_a) < full_a * 0.5
+    assert sum(spans_b) / len(spans_b) < full_b * 0.5
 
 
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
