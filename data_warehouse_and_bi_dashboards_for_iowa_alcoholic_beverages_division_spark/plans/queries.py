@@ -3415,7 +3415,7 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'EUROPE'
     )
     SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
-           ROUND(supplycost, 6) AS supplycost
+           FLOOR(supplycost * 1000000 + 0.5) / 1000000.0 AS supplycost
     FROM ps
     JOIN part ON l_partkey = p_partkey
     JOIN geo  ON l_suppkey = s_suppkey
@@ -3462,7 +3462,12 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             "s_acctbal",
-            F.round("supplycost", 6).alias("supplycost"),
+            # floor(x*1e6+0.5)/1e6, NOT round(): Spark rounds the
+            # shortest decimal repr HALF_UP, DuckDB rounds the float
+            # product — they disagree an ulp from a 6dp tie
+            (F.floor(F.col("supplycost") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "supplycost"
+            ),
         )
     )
 
@@ -3771,8 +3776,8 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(gs) AS n_grams,
            len(list_distinct(gs)) AS n_distinct,
            CASE WHEN len(gs) > 0
-                THEN ROUND(1.0::DOUBLE - CAST(len(list_distinct(gs)) AS DOUBLE)
-                           / CAST(len(gs) AS DOUBLE), 6)
+                THEN FLOOR((1.0::DOUBLE - CAST(len(list_distinct(gs)) AS DOUBLE)
+                            / CAST(len(gs) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
                 ELSE 0.0::DOUBLE END AS dup_frac,
            CASE WHEN len(gs) > 0
                 AND (1.0::DOUBLE - CAST(len(list_distinct(gs)) AS DOUBLE)
@@ -3799,7 +3804,9 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n_grams.cast("long").alias("n_grams"),
         n_distinct.cast("long").alias("n_distinct"),
-        F.when(n_grams > 0, F.round(dup, 6)).otherwise(F.lit(0.0)).alias("dup_frac"),
+        F.when(n_grams > 0, F.floor(dup * 1000000 + F.lit(0.5)) / F.lit(1000000.0))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
         F.when((n_grams > 0) & (dup > 0.5), F.lit(True)).otherwise(F.lit(False)).alias("flagged"),
     )
 
@@ -3839,4 +3846,54 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
         F.expr(_zorder_sql()).alias("zval"),
+    )
+
+
+# =====================================================================
+# ML inference as pure SQL (operator-fused linear classifier)
+# =====================================================================
+
+def _clf_weights() -> list[float]:
+    """Deterministic 64-dim weight vector shared by the Spark query and
+    the DuckDB oracle (integer arithmetic, so both literals are exact):
+    w_i = ((i*37) % 21 - 10) / 10."""
+    return [((i * 37) % 21 - 10) / 10.0 for i in range(64)]
+
+
+@register(
+    "q120_quality_classifier",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label,
+             1.0::DOUBLE / (1.0::DOUBLE + exp(-list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               [{", ".join(f"{w}::DOUBLE" for w in _clf_weights())}]))) AS s
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           FLOOR(s * 1000000 + 0.5) / 1000000.0 AS score,
+           s > 0.5::DOUBLE AS keep
+    FROM scored
+    """,
+    "ML-inference-in-SQL (operator fusion, after 'ML Inference "
+    "Pipeline Execution Using Pure SQL', ICDE 2025): a linear quality "
+    "classifier (the fastText-style filter of pretraining pipelines) "
+    "scored as one fused zip_with/aggregate/sigmoid expression per "
+    "row — no UDF, no Python, no shuffle; float32 weights promote to "
+    "double identically on both engines, score 6dp floor-rounded",
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _clf_weights()
+    w_arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in w) + ")"
+    dot = (
+        f"aggregate(zip_with(embedding, {w_arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    s = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.expr(dot)))
+    d = _t(spark, sf_dir, "embeddings").select("vec_id", "label", s.alias("s"))
+    return d.select(
+        "vec_id",
+        "label",
+        (F.floor(F.col("s") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias("score"),
+        (F.col("s") > 0.5).alias("keep"),
     )

@@ -312,3 +312,11 @@ def test_zorder_curve_no_shuffle(q):
     assert "BatchEvalPython" not in plan
     pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
     assert any("l_quantity" in p for p in pushed)
+
+
+def test_quality_classifier_fused_no_python(q):
+    # q120: the dot product + sigmoid inference is one fused expression
+    # pipeline — no UDF, no shuffle
+    plan = plan_text(q("q120_quality_classifier"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
