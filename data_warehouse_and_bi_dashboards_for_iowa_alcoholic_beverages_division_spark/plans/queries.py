@@ -3897,3 +3897,107 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("s") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias("score"),
         (F.col("s") > 0.5).alias("keep"),
     )
+
+
+# =====================================================================
+# Range join (interval overlap) + IGNORE NULLS gap-fill
+# =====================================================================
+
+@register(
+    "q121_range_join",
+    """
+    WITH a AS (
+      SELECT user_id, CAST(ts AS DATE) AS a_day,
+             MIN(ts) AS a_start, MAX(ts) AS a_end
+      FROM events GROUP BY user_id, a_day
+    ),
+    b AS (
+      SELECT CAST(ts AS DATE) AS b_day,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS b_hour,
+             MIN(ts) AS b_start, MAX(ts) AS b_end
+      FROM events WHERE event_type = 'error'
+      GROUP BY b_day, b_hour
+    )
+    SELECT user_id, a_day, b_day, b_hour,
+           GREATEST(a_start, b_start) AS overlap_start,
+           LEAST(a_end, b_end)        AS overlap_end
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+    """,
+    "Interval-overlap range join (user daily activity intervals x "
+    "error-burst windows) via the bucket-and-dedup algorithm: both "
+    "interval sets are tagged with coarse hour-of-epoch buckets, the "
+    "long side explodes to every bucket it spans, the join is a plain "
+    "EQUI-join on the bucket (hash-partitionable — no O(n*m) "
+    "theta-join nested loop), the true overlap predicate filters "
+    "post-join, and each pair is emitted exactly once at bucket "
+    "max(start_a, start_b). The oracle states the same semantics as "
+    "the naive theta join. This is the big-x-big range-join shape "
+    "(genomic interval joins, Databricks range-join hints) that "
+    "broadcast as-of lookups (q22/q61) cannot cover",
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.groupBy(
+        "user_id", F.to_date("ts").alias("a_day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    b = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(
+            F.to_date("ts").alias("b_day"), F.hour("ts").alias("b_hour")
+        )
+        .agg(F.min("ts").alias("b_start"), F.max("ts").alias("b_end"))
+    )
+    hr = lambda c: (F.unix_timestamp(c) / 3600).cast("long")  # noqa: E731
+    a_b = a.withColumn(
+        "bucket", F.explode(F.sequence(hr("a_start"), hr("a_end")))
+    )
+    b_b = b.withColumn("bucket", hr("b_start"))
+    pairs = a_b.join(b_b, "bucket").where(
+        (F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end"))
+    )
+    # emit each overlapping pair exactly once: only at the first bucket
+    # both intervals share (general dedup rule; here b spans one bucket)
+    once = pairs.where(
+        F.col("bucket") == F.greatest(hr("a_start"), hr("b_start"))
+    )
+    return once.select(
+        "user_id",
+        "a_day",
+        "b_day",
+        "b_hour",
+        F.greatest("a_start", "b_start").alias("overlap_start"),
+        F.least("a_end", "b_end").alias("overlap_end"),
+    )
+
+
+@register(
+    "q122_gap_fill",
+    """
+    SELECT event_id, user_id, ts,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+    "Forward-fill gap filling (time-series last-observation-carried-"
+    "forward): every event carries the user's most recent purchase "
+    "value via last(expr, ignorenulls) over a running frame — one "
+    "shuffle on user_id, no self-join, no driver loop. The sparse "
+    "'observation' column is synthesized by the CASE; nulls before "
+    "the first observation stay null",
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(obs, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

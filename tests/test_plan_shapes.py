@@ -320,3 +320,22 @@ def test_quality_classifier_fused_no_python(q):
     plan = plan_text(q("q120_quality_classifier"))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(q):
+    # q121: the interval overlap must execute as a hash join on the
+    # coarse bucket (overlap predicate post-filter), never as a
+    # nested-loop/cartesian theta join
+    plan = plan_text(q("q121_range_join"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_gap_fill_single_shuffle(q):
+    # q122: one exchange on user_id; the running IGNORE-NULLS frame is
+    # a single Window pass, no self-join
+    plan = plan_text(q("q122_gap_fill"))
+    assert plan.count("+- Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
