@@ -3947,18 +3947,10 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("ts").alias("b_start"), F.max("ts").alias("b_end"))
     )
-    hr = lambda c: (F.unix_timestamp(c) / 3600).cast("long")  # noqa: E731
-    a_b = a.withColumn(
-        "bucket", F.explode(F.sequence(hr("a_start"), hr("a_end")))
-    )
-    b_b = b.withColumn("bucket", hr("b_start"))
-    pairs = a_b.join(b_b, "bucket").where(
-        (F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end"))
-    )
-    # emit each overlapping pair exactly once: only at the first bucket
-    # both intervals share (general dedup rule; here b spans one bucket)
-    once = pairs.where(
-        F.col("bucket") == F.greatest(hr("a_start"), hr("b_start"))
+    from ..operators.ranges import interval_overlap_join
+
+    once = interval_overlap_join(
+        a, b, a_start="a_start", a_end="a_end", b_start="b_start", b_end="b_end"
     )
     return once.select(
         "user_id",
