@@ -1,0 +1,26 @@
+"""Cross-engine float rounding.
+
+``F.round(double, 6)`` and DuckDB ``ROUND(double, 6)`` disagree for
+values an ulp away from a 6dp tie: Spark rounds the shortest decimal
+representation HALF_UP via BigDecimal, DuckDB rounds the binary float
+product — verified divergence on real data (supply-cost ratios in the
+Q2 shape). ``floor(x * 1e6 + 0.5) / 1e6`` is half-mode independent and
+bit-identical on both engines, so every float-derived score in the
+oracle-checked registry rounds through these helpers (the SQL fragment
+is for the DuckDB side of the pair).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def floor_round6(col: Column) -> Column:
+    """Half-mode-independent 6dp rounding of a double Column."""
+    return F.floor(col * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def floor_round6_sql(expr: str) -> str:
+    """The same rounding as :func:`floor_round6`, as SQL text."""
+    return f"FLOOR(({expr}) * 1000000 + 0.5) / 1000000.0"

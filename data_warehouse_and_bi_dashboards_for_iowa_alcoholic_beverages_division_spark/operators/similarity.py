@@ -21,6 +21,8 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ..functions.rounding import floor_round6
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with double accumulation, element order fixed by the
@@ -58,7 +60,7 @@ def cosine_topk(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -115,7 +117,7 @@ def cosine_topk_lsh(
         F.broadcast(q)
         .join(c, on="bucket", how="inner")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("score"))
+        .select("query_id", "neighbor_id", floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -129,7 +131,7 @@ def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     entries = []
     for i, cent in enumerate(centroids):
         lit_c = F.array(*[F.lit(v) for v in cent])
-        entries.append(F.struct(F.round(cosine_expr(F.col(vec_col), lit_c), 6).alias("s"), F.lit(i).alias("c")))
+        entries.append(F.struct(floor_round6(cosine_expr(F.col(vec_col), lit_c)).alias("s"), F.lit(i).alias("c")))
     return F.array_max(F.array(*entries))["c"]
 
 
@@ -199,7 +201,7 @@ def cosine_topk_ivf(
     cell_scores = []
     for i, cent in enumerate(centroids):
         lit_c = F.array(*[F.lit(v) for v in cent])
-        cell_scores.append(F.struct(F.round(cosine_expr(F.col(vec_col), lit_c), 6).alias("s"), F.lit(i).alias("c")))
+        cell_scores.append(F.struct(floor_round6(cosine_expr(F.col(vec_col), lit_c)).alias("s"), F.lit(i).alias("c")))
     probes = F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -211,7 +213,7 @@ def cosine_topk_ivf(
         F.broadcast(q)
         .join(c, on="cell", how="inner")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("score"))
+        .select("query_id", "neighbor_id", floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -238,7 +240,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("score"),
+            floor_round6(cosine_expr(F.col("a.vec"), F.col("b.vec"))).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )

@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.dates import build_date_dim, season_name_expr, season_number_expr
+from ..functions.rounding import floor_round6
 from ..operators import dedup, multimodal, similarity, text
 from ..operators.scd import create_scd_from_input, scd_point_in_time_join, scd_update_and_insert
 from ..sources.tables import load_table
@@ -881,12 +882,12 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
-             round(
-               list_sum(list_transform(list_zip(q.qv, c.embedding),
+             FLOOR(
+               (list_sum(list_transform(list_zip(q.qv, c.embedding),
                         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
                / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-               6) AS score
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+               * 1000000 + 0.5) / 1000000.0 AS score
       FROM q, embeddings c
       WHERE c.vec_id <> q.query_id
     )
@@ -2754,7 +2755,7 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q95_label_centroids",
     """
-    SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 6) AS dim_mean
+    SELECT label, pos, FLOOR(avg(CAST(val AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS dim_mean
     FROM (
       SELECT label, unnest(embedding) AS val,
              generate_subscripts(embedding, 1) - 1 AS pos
@@ -2774,7 +2775,7 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings")
         .select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("dim_mean"))
+        .agg(floor_round6(F.avg(F.col("val").cast("double"))).alias("dim_mean"))
     )
 
 
@@ -2908,7 +2909,7 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = docs.where(F.col("doc_id") % 10 == 0)
     cor = docs.where(F.col("doc_id") % 10 != 0)
     return incremental_dedup(cor, inc, "doc_id").select(
-        "new_id", "old_id", F.round("jaccard", 6).alias("jaccard")
+        "new_id", "old_id", floor_round6(F.col("jaccard")).alias("jaccard")
     )
 
 
@@ -3005,7 +3006,7 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
     ), scored AS (
       SELECT lang, word, tf,
-             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+             FLOOR((tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS tfidf
       FROM tf JOIN idf USING (word) CROSS JOIN n
     )
     SELECT lang, word, tf, tfidf FROM (
@@ -3037,9 +3038,8 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = with_df.crossJoin(F.broadcast(n)).withColumn(
         "tfidf",
-        F.round(
-            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
-            6,
+        floor_round6(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
         ),
     )
     w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
@@ -3133,7 +3133,7 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
              127.0::DOUBLE / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
       FROM embeddings
     ), q AS (
-      SELECT vec_id, ROUND(scale, 6) AS qscale,
+      SELECT vec_id, FLOOR(scale * 1000000 + 0.5) / 1000000.0 AS qscale,
              list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5::DOUBLE) AS INT)) AS qv
       FROM s
     )
@@ -3163,7 +3163,7 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_scale.withColumn("qv", qv).select(
         "vec_id",
-        F.round("scale", 6).alias("qscale"),
+        floor_round6(F.col("scale")).alias("qscale"),
         F.array_min("qv").cast("int").alias("qmin"),
         F.array_max("qv").cast("int").alias("qmax"),
         F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")).alias(
@@ -3291,9 +3291,9 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+           FLOOR((CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
                                ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
-                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+                 / CAST(SUM(volume) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS mkt_share
     FROM all_sales
     GROUP BY o_year
     """,
@@ -3336,12 +3336,11 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sales.groupBy("o_year").agg(
-        F.round(
+        floor_round6(
             F.sum(
                 F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)
             ).cast("double")
-            / F.sum("volume").cast("double"),
-            6,
+            / F.sum("volume").cast("double")
         ).alias("mkt_share")
     )
 
@@ -3350,13 +3349,13 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q109_promo_effect",
     """
     SELECT CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS ship_month,
-           ROUND(100.0::DOUBLE
+           FLOOR((100.0::DOUBLE
                  * CAST(SUM(CASE WHEN p_type = 'PROMO'
                                  THEN CAST(l_extendedprice AS DECIMAL(12,2))
                                       * (1 - CAST(l_discount AS DECIMAL(12,2)))
                                  ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
                  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                            * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6)
+                            * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
              AS promo_share
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -3381,11 +3380,10 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.month("l_shipdate").alias("ship_month"))
         .agg(
-            F.round(
+            floor_round6(
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
-                / F.sum(rev).cast("double"),
-                6,
+                / F.sum(rev).cast("double")
             ).alias("promo_share")
         )
     )
