@@ -90,3 +90,14 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame, on: str) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream against a
+    batch dimension table. Spark plans the static side as a broadcast
+    re-resolved per micro-batch — no state store, no watermark needed
+    (unlike stream-stream joins), and dimension updates between
+    batches are picked up automatically. This is the streaming twin of
+    the warehouse star-join lookups (reference's dim joins,
+    ``create_update_liqour_sales_fact_table.py:140-163``)."""
+    return stream_df.join(F.broadcast(dim_df), on, "left")

@@ -209,3 +209,42 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert n["n"] == 500
     finally:
         _sh.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static join (per-micro-batch broadcast of the dimension)
+    drained availableNow == the same batch left join: exactly-once,
+    no state store required."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.stream_ops import (
+        enrich_with_dim,
+        events_stream,
+        run_available_now,
+    )
+
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "convert"), ("error", "ops")],
+        "event_type string, funnel_stage string",
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_enrich_")
+    try:
+        enriched = enrich_with_dim(
+            events_stream(spark, SF_DIR).select("event_id", "event_type"), dim, "event_type"
+        )
+        run_available_now(enriched, ckpt, "enriched_out", output_mode="append")
+        got = {
+            (r["event_id"], r["funnel_stage"])
+            for r in spark.sql("SELECT * FROM enriched_out").collect()
+        }
+        batch = (
+            load_table(spark, SF_DIR, "events")
+            .select("event_id", "event_type")
+            .join(dim, "event_type", "left")
+        )
+        want = {(r["event_id"], r["funnel_stage"]) for r in batch.collect()}
+        assert got == want
+        assert len(got) > 0
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
