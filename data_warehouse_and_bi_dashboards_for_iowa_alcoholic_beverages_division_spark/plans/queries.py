@@ -3991,3 +3991,46 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.last(obs, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+# =====================================================================
+# Unpivot (wide -> long), the inverse of q44's pivot
+# =====================================================================
+
+@register(
+    "q123_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, amount
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(12,2))      AS qty,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+             CAST(l_discount AS DECIMAL(12,2))      AS discount
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    UNPIVOT (amount FOR measure IN (qty, price, discount))
+    """,
+    "Wide->long unpivot (melt) of three decimal measures per line — "
+    "the inverse of q44's pivot, the shape that feeds generic "
+    "measure-agnostic dashboards and metric stores. Spark's native "
+    "unpivot == SQL-standard UNPIVOT on DuckDB; a narrow 1->3 row "
+    "expansion with zero shuffles",
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+            F.col("l_discount").cast("decimal(12,2)").alias("discount"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty", "price", "discount"],
+        "measure",
+        "amount",
+    )

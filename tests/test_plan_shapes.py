@@ -339,3 +339,11 @@ def test_gap_fill_single_shuffle(q):
     assert plan.count("+- Exchange") == 1
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_unpivot_narrow_no_shuffle(q):
+    # q123: unpivot compiles to a single Expand over the scan — a
+    # narrow 1->3 expansion, no exchange, filter pushed down
+    plan = plan_text(q("q123_unpivot"))
+    assert "Expand" in plan
+    assert "Exchange" not in plan
