@@ -4034,3 +4034,37 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "amount",
     )
+
+
+# =====================================================================
+# CDC compaction: last-write-wins latest row per key
+# =====================================================================
+
+@register(
+    "q124_cdc_compaction",
+    """
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) x WHERE rn = 1
+    """,
+    "Change-data-capture compaction (last-write-wins): latest row per "
+    "(user, event_type) key via a descending row_number. Spark 4 plans "
+    "the rn=1 filter as WindowGroupLimit — each mapper ships at most "
+    "one row per key into the single exchange, so the shuffle carries "
+    "O(keys), not O(rows): the compaction shape that holds when the "
+    "changelog is 100 TB and the key space is millions",
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )

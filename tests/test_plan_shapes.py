@@ -347,3 +347,14 @@ def test_unpivot_narrow_no_shuffle(q):
     plan = plan_text(q("q123_unpivot"))
     assert "Expand" in plan
     assert "Exchange" not in plan
+
+
+def test_cdc_compaction_partial_topk(q):
+    # q124: rn=1 must plan as WindowGroupLimit so each mapper ships at
+    # most one row per key into the single exchange
+    df = q("q124_cdc_compaction")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final
+    assert final.count("+- Exchange") == 1
