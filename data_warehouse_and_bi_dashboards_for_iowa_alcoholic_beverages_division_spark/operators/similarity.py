@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -244,3 +246,41 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("score") >= threshold)
     )
+
+
+def cosine_to_query_pandas_udf(query_vec: list[float]):
+    """Arrow-vectorized scalar ``pandas_udf`` computing cosine
+    similarity of every row's embedding against one query vector.
+
+    The JVM-side ``cosine_expr`` is the production path (stays in
+    whole-stage codegen, no Python); this is the escape-hatch pattern
+    for scoring math that built-in expressions genuinely can't state
+    (learned rerankers, custom kernels). Per Arrow batch it is one
+    numpy matmul — vectorized, ~10-100x faster than a row-at-a-time
+    Python UDF — and a test pins bit-level agreement with the
+    expression path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    # strictly sequential accumulation, NOT np.dot/np.sum/add.reduce:
+    # BLAS and numpy's pairwise summation group additions differently
+    # and break bit-parity with the SQL aggregate() left fold
+    qn_acc = 0.0
+    for x in q:
+        qn_acc += x * x
+    qn = float(np.sqrt(qn_acc))
+
+    @pandas_udf("double")
+    def score(col: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        # vectorized across rows, sequential across dimensions — the
+        # same left-to-right order as the SQL fold, one numpy op per dim
+        dots = np.zeros(m.shape[0], dtype=np.float64)
+        norms_sq = np.zeros(m.shape[0], dtype=np.float64)
+        for j in range(m.shape[1]):
+            dots += m[:, j] * q[j]
+            norms_sq += m[:, j] * m[:, j]
+        return pd.Series(dots / (np.sqrt(norms_sq) * qn))
+
+    return score

@@ -211,3 +211,36 @@ def test_incremental_dedup_cross_corpus(spark):
     assert (3, 1) in got and 0.4 < got[(3, 1)] < 1.0, "near dup must be found"
     assert all(k[0] in (2, 3) and k[1] in (1, 4) for k in got), "pairs must be new x old only"
     assert (2, 4) not in got and (3, 4) not in got
+
+
+def test_pandas_udf_cosine_bit_matches_expression_path(spark):
+    """The Arrow-vectorized pandas_udf escape hatch must agree
+    BIT-FOR-BIT with the JVM cosine_expr path (same float32->double
+    promotion, same sequential accumulation order)."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        cosine_expr,
+        cosine_to_query_pandas_udf,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    udf = cosine_to_query_pandas_udf([float(x) for x in qvec])
+    via_udf = {
+        r["vec_id"]: r["s"]
+        for r in emb.select("vec_id", udf("embedding").alias("s")).collect()
+    }
+    qlit = F.array(*[F.lit(float(x)).cast("float") for x in qvec])
+    via_expr = {
+        r["vec_id"]: r["s"]
+        for r in emb.select(
+            "vec_id", cosine_expr(F.col("embedding"), qlit).alias("s")
+        ).collect()
+    }
+    assert via_udf == via_expr
+    assert abs(via_udf[0] - 1.0) < 1e-12
