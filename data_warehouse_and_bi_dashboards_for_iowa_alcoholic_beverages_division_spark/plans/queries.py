@@ -4068,3 +4068,53 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
+
+
+# =====================================================================
+# Skew diagnostics: per-key distribution report
+# =====================================================================
+
+@register(
+    "q125_skew_report",
+    """
+    WITH per_key AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                    AS n_keys,
+           CAST(MAX(n) AS BIGINT)                      AS max_rows,
+           CAST(MIN(n) AS BIGINT)                      AS min_rows,
+           CAST(SUM(n) AS BIGINT)                      AS total_rows,
+           FLOOR((CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                  / CAST(SUM(n) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+             AS skew_factor,
+           CAST(MEDIAN(n) AS DOUBLE)                   AS median_rows
+    FROM per_key
+    """,
+    "Shuffle-skew diagnostics for a join/agg key: per-key row counts "
+    "reduced to a one-row report (key count, max/min/median, and "
+    "skew_factor = max/mean — the multiplier the slowest reducer pays "
+    "vs a uniform partition). The per-key agg is partial map-side; the "
+    "report agg ships O(keys) rows through one exchange. This is the "
+    "probe you run BEFORE choosing salting (q63) or AQE skew handling "
+    "at 100 TB",
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    skew = (
+        F.max("n").cast("double")
+        * F.count(F.lit(1)).cast("double")
+        / F.sum("n").cast("double")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.min("n").alias("min_rows"),
+        F.sum("n").alias("total_rows"),
+        (F.floor(skew * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias("skew_factor"),
+        F.median("n").alias("median_rows"),
+    )
