@@ -4118,3 +4118,27 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(skew * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias("skew_factor"),
         F.median("n").alias("median_rows"),
     )
+
+
+# =====================================================================
+# BPE tokenizer training (iterative; rows-only)
+# =====================================================================
+
+@register(
+    "q126_bpe_train",
+    None,  # iterative argmax loop — not one SQL query; golden-tested
+    # against a pure-Python reference BPE in tests/test_bpe.py
+    "Distributed BPE tokenizer training (Sennrich et al. 2016) over "
+    "the corpus word-frequency table: per iteration one weighted pair-"
+    "count aggregate (shuffle carries distinct pairs, not occurrences), "
+    "a driver-side argmax with deterministic tiebreak, and an "
+    "expression-only greedy merge fold — no Python row processing; "
+    "localCheckpoint truncates the per-iteration lineage",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8, min_pair_count=2)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
