@@ -4142,3 +4142,63 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+# =====================================================================
+# Character-entropy quality scoring
+# =====================================================================
+
+@register(
+    "q127_char_entropy",
+    r"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS k
+      FROM chars WHERE c <> '' GROUP BY doc_id, c
+    ),
+    tot AS (
+      SELECT doc_id, SUM(k) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM hist GROUP BY doc_id
+    )
+    SELECT hist.doc_id,
+           CAST(n AS BIGINT) AS n_chars_counted,
+           n_distinct AS n_distinct_chars,
+           FLOOR((-SUM((k / n) * ln(k / n))) * 1000000 + 0.5)
+             / 1000000.0 AS entropy
+    FROM hist JOIN tot USING (doc_id)
+    GROUP BY hist.doc_id, n, n_distinct
+    """,
+    "Character-entropy quality scoring (low-entropy docs are "
+    "boilerplate/repeated-char junk; a C4/Gopher-style filter signal): "
+    "per-doc char histogram -> Shannon entropy in nats. One shuffle on "
+    "(doc_id, char) with map-side partial counts, then a (doc_id) "
+    "rollup that reuses the subset partitioning — the histogram never "
+    "leaves the executors, no Python",
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(lower(text), ''), x -> x <> '')")).alias("c"),
+    )
+    hist = (
+        chars.repartition("doc_id")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).cast("double").alias("k"))
+    )
+    w = Window.partitionBy("doc_id")
+    withn = hist.withColumn("n", F.sum("k").over(w))
+    p = F.col("k") / F.col("n")
+    return (
+        withn.groupBy("doc_id")
+        .agg(
+            F.any_value("n").cast("long").alias("n_chars_counted"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            (
+                F.floor((-F.sum(p * F.log(p))) * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
+            ).alias("entropy"),
+        )
+    )

@@ -358,3 +358,16 @@ def test_cdc_compaction_partial_topk(q):
     final = final.split("== Initial Plan ==")[0]
     assert "WindowGroupLimit" in final
     assert final.count("+- Exchange") == 1
+
+
+def test_char_entropy_single_exchange(q):
+    # q127: repartition(doc_id) serves the (doc_id, char) histogram,
+    # the per-doc total window, AND the final rollup — one shuffle
+    plan = plan_text(q("q127_char_entropy"))
+    import re
+
+    data_exchanges = [
+        line for line in plan.splitlines() if re.search(r"\(\d+\) Exchange$", line.strip())
+    ]
+    assert len(data_exchanges) == 1
+    assert "BatchEvalPython" not in plan
