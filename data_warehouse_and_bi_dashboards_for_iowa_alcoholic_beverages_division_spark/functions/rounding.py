@@ -22,5 +22,12 @@ def floor_round6(col: Column) -> Column:
 
 
 def floor_round6_sql(expr: str) -> str:
-    """The same rounding as :func:`floor_round6`, as SQL text."""
+    """The same rounding as :func:`floor_round6`, as SQL text.
+
+    Existing oracle strings inline this formula verbatim rather than
+    calling the helper (they are plain triple-quoted strings, some
+    containing literal braces that make f-string conversion hazardous);
+    ``tests/test_registry_invariants.py`` asserts every FLOOR in every
+    oracle is exactly the canonical form, so a typo'd copy cannot land
+    silently. Use this helper when building NEW oracle SQL."""
     return f"FLOOR(({expr}) * 1000000 + 0.5) / 1000000.0"

@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import math
 
-import pandas as pd
-
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -260,6 +258,7 @@ def cosine_to_query_pandas_udf(query_vec: list[float]):
     Python UDF — and a test pins bit-level agreement with the
     expression path."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     q = np.asarray(query_vec, dtype=np.float64)
@@ -271,8 +270,7 @@ def cosine_to_query_pandas_udf(query_vec: list[float]):
         qn_acc += x * x
     qn = float(np.sqrt(qn_acc))
 
-    @pandas_udf("double")
-    def score(col: pd.Series) -> pd.Series:
+    def _score(col):
         m = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
         # vectorized across rows, sequential across dimensions — the
         # same left-to-right order as the SQL fold, one numpy op per dim
@@ -283,4 +281,8 @@ def cosine_to_query_pandas_udf(query_vec: list[float]):
             norms_sq += m[:, j] * m[:, j]
         return pd.Series(dots / (np.sqrt(norms_sq) * qn))
 
-    return score
+    # real class objects (not string hints): keeps pandas an optional,
+    # function-local dependency — the registry import must not require
+    # pandas just for this escape-hatch demo
+    _score.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(_score)

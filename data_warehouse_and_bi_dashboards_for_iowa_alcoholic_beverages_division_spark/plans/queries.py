@@ -3460,12 +3460,10 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             "s_acctbal",
-            # floor(x*1e6+0.5)/1e6, NOT round(): Spark rounds the
-            # shortest decimal repr HALF_UP, DuckDB rounds the float
-            # product — they disagree an ulp from a 6dp tie
-            (F.floor(F.col("supplycost") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias(
-                "supplycost"
-            ),
+            # floor-rule, NOT round(): Spark rounds the shortest
+            # decimal repr HALF_UP, DuckDB rounds the float product —
+            # they disagree an ulp from a 6dp tie
+            floor_round6(F.col("supplycost")).alias("supplycost"),
         )
     )
 
@@ -3802,9 +3800,7 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n_grams.cast("long").alias("n_grams"),
         n_distinct.cast("long").alias("n_distinct"),
-        F.when(n_grams > 0, F.floor(dup * 1000000 + F.lit(0.5)) / F.lit(1000000.0))
-        .otherwise(F.lit(0.0))
-        .alias("dup_frac"),
+        F.when(n_grams > 0, floor_round6(dup)).otherwise(F.lit(0.0)).alias("dup_frac"),
         F.when((n_grams > 0) & (dup > 0.5), F.lit(True)).otherwise(F.lit(False)).alias("flagged"),
     )
 
@@ -3892,7 +3888,7 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "vec_id",
         "label",
-        (F.floor(F.col("s") * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias("score"),
+        floor_round6(F.col("s")).alias("score"),
         (F.col("s") > 0.5).alias("keep"),
     )
 
@@ -4014,7 +4010,9 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the inverse of q44's pivot, the shape that feeds generic "
     "measure-agnostic dashboards and metric stores. Spark's native "
     "unpivot == SQL-standard UNPIVOT on DuckDB; a narrow 1->3 row "
-    "expansion with zero shuffles",
+    "expansion with zero shuffles. CONTRACT: measures must be "
+    "non-null (guaranteed here by the TPC-H columns) — SQL UNPIVOT "
+    "drops NULL-valued measure rows while Spark keeps them",
 )
 def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
@@ -4115,7 +4113,7 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_rows"),
         F.min("n").alias("min_rows"),
         F.sum("n").alias("total_rows"),
-        (F.floor(skew * 1000000 + F.lit(0.5)) / F.lit(1000000.0)).alias("skew_factor"),
+        floor_round6(skew).alias("skew_factor"),
         F.median("n").alias("median_rows"),
     )
 
@@ -4158,25 +4156,23 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist AS (
       SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS k
       FROM chars WHERE c <> '' GROUP BY doc_id, c
-    ),
-    tot AS (
-      SELECT doc_id, SUM(k) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct
-      FROM hist GROUP BY doc_id
     )
-    SELECT hist.doc_id,
-           CAST(n AS BIGINT) AS n_chars_counted,
-           n_distinct AS n_distinct_chars,
-           FLOOR((-SUM((k / n) * ln(k / n))) * 1000000 + 0.5)
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_chars_counted,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           FLOOR((ln(SUM(k)) - SUM(k * ln(k)) / SUM(k)) * 1000000 + 0.5)
              / 1000000.0 AS entropy
-    FROM hist JOIN tot USING (doc_id)
-    GROUP BY hist.doc_id, n, n_distinct
+    FROM hist GROUP BY doc_id
     """,
     "Character-entropy quality scoring (low-entropy docs are "
     "boilerplate/repeated-char junk; a C4/Gopher-style filter signal): "
-    "per-doc char histogram -> Shannon entropy in nats. One shuffle on "
-    "(doc_id, char) with map-side partial counts, then a (doc_id) "
-    "rollup that reuses the subset partitioning — the histogram never "
-    "leaves the executors, no Python",
+    "per-doc char histogram -> Shannon entropy in nats via the "
+    "single-pass identity H = ln(n) - sum(k ln k)/n, so no per-row "
+    "p=k/n is needed and the histogram collapses in ONE aggregation "
+    "chain: map-side partial (doc_id, char) counts mean the exchange "
+    "carries at most |alphabet| rows per doc per task — never the "
+    "exploded characters — and the (doc_id) rollup exchange carries "
+    "one row per (doc, char). No repartition barrier, no Python",
 )
 def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -4184,21 +4180,12 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr("filter(split(lower(text), ''), x -> x <> '')")).alias("c"),
     )
-    hist = (
-        chars.repartition("doc_id")
-        .groupBy("doc_id", "c")
-        .agg(F.count(F.lit(1)).cast("double").alias("k"))
+    hist = chars.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("double").alias("k")
     )
-    w = Window.partitionBy("doc_id")
-    withn = hist.withColumn("n", F.sum("k").over(w))
-    p = F.col("k") / F.col("n")
-    return (
-        withn.groupBy("doc_id")
-        .agg(
-            F.any_value("n").cast("long").alias("n_chars_counted"),
-            F.count(F.lit(1)).alias("n_distinct_chars"),
-            (
-                F.floor((-F.sum(p * F.log(p))) * 1000000 + F.lit(0.5)) / F.lit(1000000.0)
-            ).alias("entropy"),
-        )
+    n = F.sum("k")
+    return hist.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        floor_round6(F.log(n) - F.sum(F.col("k") * F.log("k")) / n).alias("entropy"),
     )

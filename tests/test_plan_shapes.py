@@ -360,14 +360,15 @@ def test_cdc_compaction_partial_topk(q):
     assert final.count("+- Exchange") == 1
 
 
-def test_char_entropy_single_exchange(q):
-    # q127: repartition(doc_id) serves the (doc_id, char) histogram,
-    # the per-doc total window, AND the final rollup — one shuffle
+def test_char_entropy_partial_agg_before_exchange(q):
+    # q127: the (doc_id, char) histogram must partially aggregate
+    # map-side so the exchange carries histogram rows, never the
+    # exploded characters (a repartition barrier here once shipped one
+    # row per raw character — orders of magnitude more shuffle)
     plan = plan_text(q("q127_char_entropy"))
-    import re
-
-    data_exchanges = [
-        line for line in plan.splitlines() if re.search(r"\(\d+\) Exchange$", line.strip())
-    ]
-    assert len(data_exchanges) == 1
+    assert "partial_count" in plan
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange], (
+        "histogram aggregate must start before the first exchange"
+    )
     assert "BatchEvalPython" not in plan
