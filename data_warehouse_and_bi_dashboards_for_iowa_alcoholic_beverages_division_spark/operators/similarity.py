@@ -95,6 +95,34 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _probe_buckets_expr(vec_col: str, planes: list[list[float]], n_probe: int) -> Column:
+    """Array of buckets to probe: the vector's own sign-pattern bucket
+    plus, for the ``n_probe`` planes with the smallest |margin| (the
+    least-confident sign decisions), the bucket with that one bit
+    flipped — classic multi-probe LSH (Lv et al., VLDB 2007)."""
+    own = _bucket_expr(vec_col, planes)
+    if n_probe <= 0:
+        return F.array(own)
+    # (|margin|, plane index) structs, sorted ascending: the first
+    # n_probe entries are the flip candidates
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(dot_expr(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))).alias("m"),
+                F.lit(p).alias("p"),
+            )
+            for p, plane in enumerate(planes)
+        ]
+    )
+    flips = F.slice(F.array_sort(margins), 1, n_probe)
+    # shiftleft() needs a literal bit count, so build the mask as
+    # 2^p (exact in double for p < 53, and n_planes <= 62)
+    flipped = F.transform(
+        flips, lambda s: own.bitwiseXOR(F.pow(F.lit(2.0), s["p"]).cast("long"))
+    )
+    return F.array_append(flipped, own)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -104,20 +132,29 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 7,
+    n_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows in the query's
-    hyperplane bucket. Recall trades off with ``n_planes``; at scale,
-    multi-probe (flipping low-margin bits) narrows the gap. The join is
-    equi on the bucket id — a plain shuffle-hash join instead of a
-    cross product."""
+    hyperplane bucket(s). Recall trades off with ``n_planes``;
+    ``n_probe`` > 0 additionally probes the buckets reached by
+    flipping the query's lowest-margin sign bits (multi-probe LSH),
+    recovering most of the recall lost to unlucky boundary splits for
+    (n_probe+1)x the broadcast rows — the corpus side is still hashed
+    once and joined equi on the bucket id, never cross-joined."""
     planes = _hyperplanes(dim, n_planes, seed)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), _bucket_expr(vec_col, planes).alias("bucket"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_probe_buckets_expr(vec_col, planes, n_probe)).alias("bucket"),
+    )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), _bucket_expr(vec_col, planes).alias("bucket"))
     scored = (
         F.broadcast(q)
         .join(c, on="bucket", how="inner")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"))
+        # the same pair can be reached via several probe buckets
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

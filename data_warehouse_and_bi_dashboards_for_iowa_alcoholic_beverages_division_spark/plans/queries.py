@@ -4189,3 +4189,62 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_chars"),
         floor_round6(F.log(n) - F.sum(F.col("k") * F.log("k")) / n).alias("entropy"),
     )
+
+
+# =====================================================================
+# Temperature-scaled (alpha=0.5) domain sampling
+# =====================================================================
+
+@register(
+    "q128_temperature_sampling",
+    """
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    mx AS (SELECT MAX(n) AS n_max FROM counts),
+    rates AS (
+      SELECT source,
+             LEAST(1.0::DOUBLE,
+                   sqrt(CAST(n_max AS DOUBLE) / CAST(n AS DOUBLE)) * 0.5::DOUBLE) AS q
+      FROM counts, mx
+    )
+    SELECT doc_id, source,
+           FLOOR(q * 1000000 + 0.5) / 1000000.0 AS rate
+    FROM documents JOIN rates USING (source)
+    WHERE CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < q
+    """,
+    "Temperature-scaled domain sampling (mT5/T5-style alpha-sampling, "
+    "alpha=0.5): each source's keep-rate is sqrt(n_max/n_source)/2 "
+    "capped at 1, so rare domains are kept (up to) whole while the "
+    "dominant domain is halved — flattening the mixture toward "
+    "uniform. The rate formula uses only int-exact counts, one "
+    "division, and a correctly-rounded sqrt (no order-dependent float "
+    "sums), so both engines compute bit-identical thresholds; the "
+    "keep decision hashes the row id (append-stable, cluster-shape "
+    "independent). Counts aggregate is tiny; the corpus is never "
+    "shuffled — rates broadcast back",
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mx = counts.agg(F.max("n").alias("n_max"))
+    q = F.least(
+        F.lit(1.0),
+        F.sqrt(F.col("n_max").cast("double") / F.col("n").cast("double")) * F.lit(0.5),
+    )
+    rates = counts.crossJoin(F.broadcast(mx)).select("source", q.alias("q"))
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(frac < F.col("q"))
+        .select("doc_id", "source", floor_round6(F.col("q")).alias("rate"))
+    )

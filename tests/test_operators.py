@@ -244,3 +244,38 @@ def test_pandas_udf_cosine_bit_matches_expression_path(spark):
     }
     assert via_udf == via_expr
     assert abs(via_udf[0] - 1.0) < 1e-12
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    """Multi-probe LSH (flipping the lowest-margin sign bits) must be a
+    strict superset of the single-bucket candidates, so its recall@10
+    vs the exact top-10 is >= single-probe recall — and measurably
+    higher on the synthetic embeddings."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.where("vec_id < 5")
+    exact = cosine_topk(emb, queries, k=10).collect()
+    single = cosine_topk_lsh(emb, queries, k=10, n_planes=4, n_probe=0).collect()
+    multi = cosine_topk_lsh(emb, queries, k=10, n_planes=4, n_probe=3).collect()
+
+    def rec(rows):
+        sets = {}
+        for r in rows:
+            sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        ex = {}
+        for r in exact:
+            ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(ex[q] & sets.get(q, set())) / len(ex[q]) for q in ex) / len(ex)
+
+    r1, rm = rec(single), rec(multi)
+    # deterministic fixture (fixed seed + exact arithmetic): measured
+    # 0.06 single vs 0.38 multi — multi-probe must keep a wide margin
+    assert rm >= r1 + 0.1, f"multi-probe recall {rm} must beat single {r1}"
+    assert rm >= 0.3, f"multi-probe recall too low: {rm}"
