@@ -279,3 +279,71 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     # 0.06 single vs 0.38 multi — multi-probe must keep a wide margin
     assert rm >= r1 + 0.1, f"multi-probe recall {rm} must beat single {r1}"
     assert rm >= 0.3, f"multi-probe recall too low: {rm}"
+
+
+def test_gap_fill_matches_python_reference_on_random_data(spark):
+    """q122's forward-fill window == a per-user python scan on random
+    sparse observations (including users with no observation at all)."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rng = random.Random(13)
+    rows = []
+    for uid in range(20):
+        for i in range(rng.randrange(0, 30)):
+            rows.append(
+                (
+                    uid * 1000 + i,
+                    uid,
+                    i,
+                    rng.random() if rng.random() < 0.2 else None,
+                )
+            )
+    df = spark.createDataFrame(rows, "event_id long, user_id long, t long, obs double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["event_id"]: r["filled"]
+        for r in df.select(
+            "event_id", F.last("obs", ignorenulls=True).over(w).alias("filled")
+        ).collect()
+    }
+
+    want = {}
+    by_user = {}
+    for eid, uid, t, obs in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        if obs is not None:
+            by_user[uid] = obs
+        want[eid] = by_user.get(uid)
+    assert got == want
+
+
+def test_cdc_compaction_matches_python_reference_on_random_data(spark):
+    """q124's last-write-wins == a python dict replay of the changelog,
+    including ties on ts broken by event_id."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rng = random.Random(29)
+    rows = [
+        (i, rng.randrange(0, 8), rng.randrange(0, 3), rng.randrange(0, 5), rng.random())
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k1 long, k2 long, ts long, v double")
+    w = Window.partitionBy("k1", "k2").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    got = {
+        (r["k1"], r["k2"]): (r["event_id"], r["v"])
+        for r in df.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    }
+
+    want = {}
+    for eid, k1, k2, ts, v in sorted(rows, key=lambda r: (r[3], r[0])):
+        want[(k1, k2)] = (eid, v)
+    assert got == want
