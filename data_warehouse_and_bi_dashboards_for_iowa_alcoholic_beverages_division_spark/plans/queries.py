@@ -4248,3 +4248,53 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(frac < F.col("q"))
         .select("doc_id", "source", floor_round6(F.col("q")).alias("rate"))
     )
+
+
+# =====================================================================
+# Classifier calibration buckets
+# =====================================================================
+
+@register(
+    "q129_score_calibration",
+    f"""
+    WITH scored AS (
+      SELECT vec_id, label,
+             1.0::DOUBLE / (1.0::DOUBLE + exp(-list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               [{", ".join(f"{w}::DOUBLE" for w in _clf_weights())}]))) AS s
+      FROM embeddings
+    )
+    SELECT LEAST(9, CAST(FLOOR(s * 10) AS INT)) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+    FROM scored
+    GROUP BY bucket
+    """,
+    "Classifier calibration readout: q120's quality scores bucketed "
+    "into fixed-width score bands (floor(s*10), NOT a global ntile — "
+    "no single-partition sort, embarrassingly parallel at any scale) "
+    "with per-band positive rates. Every output is an exact integer "
+    "count or a single int/int division, so cross-engine parity is "
+    "bit-exact with no float-sum order dependence",
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _clf_weights()
+    w_arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in w) + ")"
+    dot = (
+        f"aggregate(zip_with(embedding, {w_arr}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    s = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.expr(dot)))
+    pos = F.when(F.col("label") == 2, 1).otherwise(0)
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .select("label", s.alias("s"))
+        .groupBy(F.least(F.lit(9), F.floor(F.col("s") * 10).cast("int")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(pos).alias("n_pos"),
+            (F.sum(pos).cast("double") / F.count(F.lit(1)).cast("double")).alias("pos_rate"),
+        )
+    )
