@@ -341,3 +341,81 @@ def incremental_dedup(
             "jaccard",
         )
     )
+
+
+def ssjoin_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs set-similarity join via prefix filtering (PPJoin
+    family, Xiao et al.): find every pair of documents whose word-set
+    Jaccard is >= ``threshold``, WITHOUT the O(n^2) cross product and
+    without the false negatives LSH candidates can have.
+
+    Completeness argument: order every token by a global total order
+    (ascending document frequency, then token text). If two sets with
+    sizes na, nb overlap at >= t, each must contain at least one of
+    the other's ``n - ceil(t*n) + 1`` smallest-ranked tokens — so
+    joining only on *prefix* tokens under that order loses no
+    qualifying pair. Rare-first ordering makes those prefixes nearly
+    unique, so the candidate join is small.
+
+    Scale shape: the token-rank table is |vocabulary| rows (its
+    ranking window is a deliberate single-partition pass over the
+    vocab, never the corpus); the candidate join shuffles prefix
+    tokens only; exact verification joins token arrays back for the
+    surviving pairs. Jaccard is int-count arithmetic — engine-exact.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(F.split(norm, " "))).alias("t")
+    ).where(F.col("t") != "")
+    from pyspark.sql import Window
+
+    rank = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("r", F.row_number().over(Window.orderBy(F.asc("df"), F.asc("t"))))
+        .select("t", "r")
+    )
+    arrs = (
+        toks.join(F.broadcast(rank), "t")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", "t"))), lambda s: s["t"]
+            ).alias("ts")
+        )
+        .withColumn("n", F.size("ts"))
+        .withColumn(
+            "prefix",
+            F.slice(
+                "ts", 1, (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+            ),
+        )
+    )
+    pa = arrs.select(F.col("id").alias("a_id"), F.explode("prefix").alias("pt"))
+    pb = arrs.select(F.col("id").alias("b_id"), F.explode("prefix").alias("pt"))
+    cands = (
+        pa.join(pb, "pt")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ta = arrs.select(F.col("id").alias("a_id"), F.col("ts").alias("ta"))
+    tb = arrs.select(F.col("id").alias("b_id"), F.col("ts").alias("tb"))
+    return (
+        cands.join(ta, "a_id")
+        .join(tb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

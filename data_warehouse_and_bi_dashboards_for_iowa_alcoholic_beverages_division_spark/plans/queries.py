@@ -4298,3 +4298,37 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(pos).cast("double") / F.count(F.lit(1)).cast("double")).alias("pos_rate"),
         )
     )
+
+
+# =====================================================================
+# Set-similarity join via prefix filtering (threshold-complete)
+# =====================================================================
+
+@register(
+    "q130_ssjoin_prefix",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS ts
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.ts, b.ts))
+             / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ts, b.ts))
+            / len(list_distinct(list_concat(a.ts, b.ts))) >= 0.9
+    """,
+    "All-pairs set-similarity join (word-set Jaccard >= 0.9) via "
+    "prefix filtering (PPJoin family): tokens globally ordered "
+    "rare-first; candidates only need to share a PREFIX token — "
+    "provably no false negatives, unlike LSH — then exact int-count "
+    "verification. The oracle is the naive O(n^2) theta join stating "
+    "the same semantics, so the gate itself proves the filter loses "
+    "no pairs. Token-rank window is |vocab|-sized by design; the "
+    "corpus never cross-joins",
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ssjoin_prefix
+
+    return ssjoin_prefix(_t(spark, sf_dir, "documents"), "doc_id", "text", 0.9)
