@@ -396,6 +396,10 @@ def ssjoin_prefix(
             ),
         )
     )
+    # arrs feeds four join inputs (pa, pb, ta, tb); checkpoint it once
+    # so the tokenize + vocab-rank + collect_list lineage is not
+    # recomputed per input (same device as the dedup-cluster loop)
+    arrs = arrs.localCheckpoint(eager=True)
     pa = arrs.select(F.col("id").alias("a_id"), F.explode("prefix").alias("pt"))
     pb = arrs.select(F.col("id").alias("b_id"), F.explode("prefix").alias("pt"))
     cands = (

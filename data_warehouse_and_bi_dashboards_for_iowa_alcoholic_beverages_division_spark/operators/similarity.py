@@ -116,11 +116,15 @@ def _probe_buckets_expr(vec_col: str, planes: list[list[float]], n_probe: int) -
     )
     flips = F.slice(F.array_sort(margins), 1, n_probe)
     # shiftleft() needs a literal bit count, so build the mask as
-    # 2^p (exact in double for p < 53, and n_planes <= 62)
-    flipped = F.transform(
-        flips, lambda s: own.bitwiseXOR(F.pow(F.lit(2.0), s["p"]).cast("long"))
-    )
-    return F.array_append(flipped, own)
+    # 2^p (exact in double for p < 53, and n_planes <= 62); bind the
+    # own-bucket expression ONCE via a one-element transform — inlining
+    # it in the per-flip lambda would re-evaluate all n_planes dot
+    # products per probe (the measured transform-lambda pitfall)
+    masks = F.transform(flips, lambda s: F.pow(F.lit(2.0), s["p"]).cast("long"))
+    return F.transform(
+        F.array(own),
+        lambda ob: F.array_append(F.transform(masks, lambda m: ob.bitwiseXOR(m)), ob),
+    )[0]
 
 
 def cosine_topk_lsh(
@@ -153,8 +157,9 @@ def cosine_topk_lsh(
         .join(c, on="bucket", how="inner")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"))
-        # the same pair can be reached via several probe buckets
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup needed: each corpus row lives in exactly one bucket
+        # and a query's probe buckets are pairwise distinct, so a
+        # (query, neighbor) pair can match on at most one bucket
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

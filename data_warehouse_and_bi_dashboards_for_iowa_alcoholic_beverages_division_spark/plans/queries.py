@@ -4264,7 +4264,7 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
                [{", ".join(f"{w}::DOUBLE" for w in _clf_weights())}]))) AS s
       FROM embeddings
     )
-    SELECT LEAST(9, CAST(FLOOR(s * 10) AS INT)) AS bucket,
+    SELECT LEAST(9, CAST(FLOOR((FLOOR(s * 1000000 + 0.5) / 1000000.0) * 10) AS INT)) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
            CAST(SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -4275,9 +4275,10 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Classifier calibration readout: q120's quality scores bucketed "
     "into fixed-width score bands (floor(s*10), NOT a global ntile — "
     "no single-partition sort, embarrassingly parallel at any scale) "
-    "with per-band positive rates. Every output is an exact integer "
-    "count or a single int/int division, so cross-engine parity is "
-    "bit-exact with no float-sum order dependence",
+    "with per-band positive rates. Banding uses the 6dp floor-rounded "
+    "score (raw exp() is ~1-ulp engine-dependent); every output is an "
+    "exact integer count or a single int/int division — no float-sum "
+    "order dependence",
 )
 def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _clf_weights()
@@ -4291,7 +4292,12 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "embeddings")
         .select("label", s.alias("s"))
-        .groupBy(F.least(F.lit(9), F.floor(F.col("s") * 10).cast("int")).alias("bucket"))
+        .groupBy(
+            # bucket the 6dp-rounded score: raw exp() is only ~1-ulp
+            # accurate per engine, so a boundary-straddling s could
+            # land in different bands; the rounded score is identical
+            F.least(F.lit(9), F.floor(floor_round6(F.col("s")) * 10).cast("int")).alias("bucket")
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(pos).alias("n_pos"),
@@ -4311,6 +4317,7 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS ts
       FROM documents
+      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            len(list_intersect(a.ts, b.ts))
