@@ -4339,3 +4339,64 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ssjoin_prefix
 
     return ssjoin_prefix(_t(spark, sf_dir, "documents"), "doc_id", "text", 0.9)
+
+
+# =====================================================================
+# Keyed table diff (snapshot reconciliation)
+# =====================================================================
+
+@register(
+    "q131_table_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(b.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN s.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           b.o_totalprice AS old_price,
+           s.o_totalprice AS new_price
+    FROM base b FULL OUTER JOIN snap s ON b.o_orderkey = s.o_orderkey
+    WHERE b.o_orderkey IS NULL OR s.o_orderkey IS NULL
+       OR b.o_totalprice <> s.o_totalprice
+    """,
+    "Keyed table diff (snapshot reconciliation): full outer join on "
+    "the key classifies every row as added / removed / changed, "
+    "dropping unchanged rows — the validation primitive for CDC "
+    "replication and warehouse reloads (generalizes J8's "
+    "outer-join-with-indicator upsert detection). One co-partitioned "
+    "shuffle join on the key; equality on identical doubles is exact "
+    "so 'changed' is well-defined",
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("old_price")
+    )
+    snap = o.where(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("s_key"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    diff = base.join(snap, base.b_key == snap.s_key, "full_outer").where(
+        F.col("b_key").isNull()
+        | F.col("s_key").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+    )
+    return diff.select(
+        F.coalesce("b_key", "s_key").alias("o_orderkey"),
+        F.when(F.col("b_key").isNull(), "added")
+        .when(F.col("s_key").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        "old_price",
+        "new_price",
+    )
