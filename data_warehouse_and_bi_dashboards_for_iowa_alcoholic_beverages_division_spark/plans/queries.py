@@ -4400,3 +4400,105 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_price",
         "new_price",
     )
+
+
+# =====================================================================
+# Ratio-to-report and year-over-year growth (BI window shapes)
+# =====================================================================
+
+@register(
+    "q132_revenue_share",
+    f"""
+    WITH nat AS (
+      SELECT r_name AS region, n_name AS nation,
+             SUM({REVENUE_SQL}) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT region, nation, rev,
+           CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE) AS region_share
+    FROM nat
+    """,
+    "Ratio-to-report (contribution analysis): each nation's share of "
+    "its region's revenue via a window SUM over the aggregate — no "
+    "self-join, no second scan. The inner sums and the window total "
+    "are exact decimals (order-independent), so the one double "
+    "division is bit-identical across engines; the window runs over "
+    "|nations| rows, reusing nothing from the fact",
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.expr(REVENUE_SQL)).alias("rev"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        "rev",
+        (F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")).alias(
+            "region_share"
+        ),
+    )
+
+
+@register(
+    "q133_yoy_growth",
+    f"""
+    WITH yearly AS (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             SUM({REVENUE_SQL}) AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, o_year
+    )
+    SELECT nation, o_year, rev,
+           CASE WHEN LAG(rev) OVER w IS NULL THEN NULL
+                ELSE (CAST(rev AS DOUBLE) - CAST(LAG(rev) OVER w AS DOUBLE))
+                     / CAST(LAG(rev) OVER w AS DOUBLE) END AS yoy
+    FROM yearly
+    WINDOW w AS (PARTITION BY nation ORDER BY o_year ASC)
+    """,
+    "Year-over-year growth: lag() over exact per-(nation, year) "
+    "decimal revenue — the standard BI time-series shape (no "
+    "self-join on shifted years). First year per nation is NULL. "
+    "Division operands are identical decimals cast to double on both "
+    "engines, so no rounding is needed; the window runs over "
+    "|nations|x|years| rows",
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(F.expr(REVENUE_SQL)).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.asc("o_year"))
+    prev = F.lag("rev").over(w)
+    return yearly.select(
+        "nation",
+        "o_year",
+        "rev",
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("rev").cast("double") - prev.cast("double")) / prev.cast("double"))
+        .alias("yoy"),
+    )
