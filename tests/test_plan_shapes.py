@@ -372,3 +372,42 @@ def test_char_entropy_partial_agg_before_exchange(q):
         "histogram aggregate must start before the first exchange"
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_temperature_sampling_broadcasts_rates(q):
+    # q128: the per-source rates join back to the corpus as a
+    # broadcast — the corpus is never shuffled
+    plan = plan_text(q("q128_temperature_sampling"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_table_diff_single_copartitioned_join(q):
+    # q131: both snapshots shuffle once on the key for the full outer
+    # join; no broadcast (at scale both sides are big)
+    plan = plan_text(q("q131_table_diff"))
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_revenue_share_window_over_aggregate(q):
+    # q132: the ratio-to-report window must run over the aggregated
+    # |nations| rows (after the groupBy), never a second fact scan
+    df = q("q132_revenue_share")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    import re
+
+    scans = re.findall(r"FileScan parquet[^\n]*lineitem", final)
+    assert len(scans) == 1
+    assert "Window" in final
+
+
+def test_yoy_growth_broadcast_star(q):
+    # q133: all three dims broadcast; the lag window runs over the
+    # (nation, year) aggregate only
+    plan = plan_text(q("q133_yoy_growth"))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Window" in plan
