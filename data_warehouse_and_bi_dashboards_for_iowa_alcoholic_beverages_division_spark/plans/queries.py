@@ -4502,3 +4502,51 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("rev").cast("double") - prev.cast("double")) / prev.cast("double"))
         .alias("yoy"),
     )
+
+
+# =====================================================================
+# Overlapping document chunking (RAG/window preprocessing)
+# =====================================================================
+
+@register(
+    "q134_doc_chunking",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             [{'st': st, 'tx': array_to_string(list_slice(w, CAST(st AS INT), CAST(st AS INT) + 39), ' ')}
+              for st in range(1, greatest(len(w) - 40 + 1, 1) + 1, 30)] AS cs
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(u.st AS INT) AS start_word,
+           u.tx AS chunk_text,
+           CAST(length(u.tx) - length(replace(u.tx, ' ', '')) + 1 AS INT) AS n_words
+    FROM c, unnest(cs) AS un(u)
+    """,
+    "Overlapping document chunking (window 40 words, stride 30 — the "
+    "RAG / long-context preprocessing primitive): chunk starts come "
+    "from a stepped sequence, each chunk is a slice+join of the "
+    "token array bound ONCE per document (the lambda-binding device), "
+    "and the 1->N expansion is a generator — a narrow map with zero "
+    "shuffles that parallelizes over file splits at any corpus size",
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w, s_ = 40, 30
+    chunks = F.expr(
+        f"transform(array(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')), wd -> "
+        f"transform(sequence(1, greatest(size(wd) - {w} + 1, 1), {s_}), "
+        f"st -> struct(st AS st, array_join(slice(wd, st, {w}), ' ') AS tx)))[0]"
+    )
+    ex = d.select("doc_id", F.explode(chunks).alias("u"))
+    n_words = F.length("chunk_text") - F.length(F.regexp_replace("chunk_text", " ", "")) + 1
+    return ex.select(
+        "doc_id",
+        F.col("u.st").cast("int").alias("start_word"),
+        F.col("u.tx").alias("chunk_text"),
+    ).withColumn("n_words", n_words.cast("int"))

@@ -411,3 +411,11 @@ def test_yoy_growth_broadcast_star(q):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
     assert "Window" in plan
+
+
+def test_doc_chunking_no_shuffle(q):
+    # q134: chunking is map + generate only — no exchange, no Python
+    plan = plan_text(q("q134_doc_chunking"))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan
