@@ -101,3 +101,22 @@ def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame, on: str) -> DataFra
     the warehouse star-join lookups (reference's dim joins,
     ``create_update_liqour_sales_fact_table.py:140-163``)."""
     return stream_df.join(F.broadcast(dim_df), on, "left")
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization: merging session windows per user with
+    a late-data watermark. In append mode only sessions whose end is
+    older than the final watermark (max event time - watermark) are
+    emitted — exactly the sessions that can no longer grow. State per
+    in-flight session is one (user, interval, count) row."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

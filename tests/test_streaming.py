@@ -248,3 +248,53 @@ def test_stream_static_enrichment_matches_batch(spark):
         assert len(got) > 0
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_session_windows_match_batch_closed_sessions(spark):
+    """Streaming session_window (append mode, 1h watermark) drained
+    availableNow == the batch session_window aggregation restricted to
+    sessions closed before the final watermark (max event time - 1h).
+    Pins both the merging-window semantics and the append-mode
+    emission rule."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.stream_ops import (
+        events_stream,
+        run_available_now,
+        session_counts,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    try:
+        stream = session_counts(events_stream(spark, SF_DIR))
+        run_available_now(stream, ckpt, "sessions_out", output_mode="append")
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+
+        ev = load_table(spark, SF_DIR, "events")
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        import datetime
+
+        final_wm = max_ts - datetime.timedelta(hours=1)
+        batch = (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "user_id",
+                "n_events",
+            )
+            .where(F.col("session_end") < F.lit(final_wm))
+        )
+        want = {
+            (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+            for r in batch.collect()
+        }
+        assert got == want
+        assert len(got) > 0
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
