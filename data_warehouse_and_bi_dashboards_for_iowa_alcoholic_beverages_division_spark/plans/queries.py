@@ -4550,3 +4550,125 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u.st").cast("int").alias("start_word"),
         F.col("u.tx").alias("chunk_text"),
     ).withColumn("n_words", n_words.cast("int"))
+
+
+# =====================================================================
+# Daily anomaly flags + single-pass table profile (ops/QC surface)
+# =====================================================================
+
+@register(
+    "q135_daily_anomalies",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY d
+    ),
+    stats AS (
+      SELECT CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rev
+      FROM daily
+    )
+    SELECT d, rev, n_orders,
+           CASE WHEN CAST(rev AS DOUBLE) > 1.5::DOUBLE * mean_rev THEN 'high'
+                WHEN CAST(rev AS DOUBLE) < 0.5::DOUBLE * mean_rev THEN 'low'
+                ELSE 'normal' END AS flag
+    FROM daily, stats
+    """,
+    "Daily-revenue anomaly flags (load-QC / monitoring): per-day "
+    "exact-decimal revenue compared against 0.5x/1.5x the global "
+    "daily mean. The mean comes from ONE exact decimal sum and a "
+    "count (no order-dependent float accumulation), broadcast back "
+    "as a one-row scalar — flags are engine-exact by construction",
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    stats = daily.agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_rev")
+    )
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "d",
+            "rev",
+            "n_orders",
+            F.when(F.col("rev").cast("double") > F.lit(1.5) * F.col("mean_rev"), "high")
+            .when(F.col("rev").cast("double") < F.lit(0.5) * F.col("mean_rev"), "low")
+            .otherwise("normal")
+            .alias("flag"),
+        )
+    )
+
+
+@register(
+    "q136_table_profile",
+    """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(o_totalprice) AS BIGINT) AS nn_price,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+             CAST(MIN(o_totalprice) AS VARCHAR) AS min_price,
+             CAST(MAX(o_totalprice) AS VARCHAR) AS max_price,
+             CAST(COUNT(o_custkey) AS BIGINT) AS nn_cust,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_cust,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_cust,
+             CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_prio,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+             CAST(MIN(o_orderpriority) AS VARCHAR) AS min_prio,
+             CAST(MAX(o_orderpriority) AS VARCHAR) AS max_prio
+      FROM orders
+    )
+    SELECT 'o_totalprice' AS column_name, n_rows, nn_price AS n_non_null,
+           nd_price AS n_distinct, min_price AS min_value, max_price AS max_value FROM s
+    UNION ALL
+    SELECT 'o_custkey', n_rows, nn_cust, nd_cust, min_cust, max_cust FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, nn_prio, nd_prio, min_prio, max_prio FROM s
+    """,
+    "Single-pass table profiling (the DESCRIBE/ANALYZE surface a "
+    "warehouse exposes): row count, per-column non-null count, "
+    "distinct count, min and max for three columns of different "
+    "types — ONE aggregate job over one scan (multi-distinct planned "
+    "as an Expand), whose collected 1-row result is unpivoted to a "
+    "row per column driver-side. Referencing the agg from a 3-way "
+    "union instead would make Catalyst re-plan (and re-scan) it per "
+    "branch — measured 3 scans — so the profile rows are literals. "
+    "At 100 TB this is the stats pass feeding CBO and data-quality "
+    "dashboards; min/max stringified for a uniform schema",
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").cast("string").alias("min_price"),
+        F.max("o_totalprice").cast("string").alias("max_price"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.count_distinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("min_cust"),
+        F.max("o_custkey").cast("string").alias("max_cust"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.count_distinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").cast("string").alias("min_prio"),
+        F.max("o_orderpriority").cast("string").alias("max_prio"),
+    )
+    st = s.first()
+    rows = [
+        (name, st["n_rows"], st[nn], st[nd], st[mn], st[mx])
+        for name, nn, nd, mn, mx in [
+            ("o_totalprice", "nn_price", "nd_price", "min_price", "max_price"),
+            ("o_custkey", "nn_cust", "nd_cust", "min_cust", "max_cust"),
+            ("o_orderpriority", "nn_prio", "nd_prio", "min_prio", "max_prio"),
+        ]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, n_rows long, n_non_null long, n_distinct long, "
+        "min_value string, max_value string",
+    )

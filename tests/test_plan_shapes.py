@@ -419,3 +419,21 @@ def test_doc_chunking_no_shuffle(q):
     assert "Exchange" not in plan
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_table_profile_result_is_literal(q):
+    # q136: the stats aggregate is collected once; the profile rows
+    # are literals — the result plan must not rescan the table (a
+    # union over the agg made Catalyst re-plan the scan per branch)
+    df = q("q136_table_profile")
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in final
+    assert df.count() == 3
+
+
+def test_daily_anomalies_scalar_broadcast(q):
+    # q135: the global mean joins back as a one-row broadcast, never
+    # reshuffling the daily aggregate
+    plan = plan_text(q("q135_daily_anomalies"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
