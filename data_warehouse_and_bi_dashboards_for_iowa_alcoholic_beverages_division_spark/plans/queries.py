@@ -4515,11 +4515,12 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
       FROM documents
+      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''
     ),
     c AS (
       SELECT doc_id,
              [{'st': st, 'tx': array_to_string(list_slice(w, CAST(st AS INT), CAST(st AS INT) + 39), ' ')}
-              for st in range(1, greatest(len(w) - 40 + 1, 1) + 1, 30)] AS cs
+              for st in range(1, 1 + 30 * greatest(0, (len(w) - 40 + 30 - 1) // 30) + 1, 30)] AS cs
       FROM t
     )
     SELECT doc_id,
@@ -4530,17 +4531,23 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Overlapping document chunking (window 40 words, stride 30 — the "
     "RAG / long-context preprocessing primitive): chunk starts come "
-    "from a stepped sequence, each chunk is a slice+join of the "
-    "token array bound ONCE per document (the lambda-binding device), "
-    "and the 1->N expansion is a generator — a narrow map with zero "
-    "shuffles that parallelizes over file splits at any corpus size",
+    "from a stepped sequence whose upper bound is rounded UP so the "
+    "final (possibly shorter) chunk always covers the document tail "
+    "— no words are lost; empty docs yield no chunks. Each chunk is "
+    "a slice+join of the token array bound ONCE per document (the "
+    "lambda-binding device), and the 1->N expansion is a generator — "
+    "a narrow map with zero shuffles at any corpus size",
 )
 def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").where(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")) != ""
+    )
     w, s_ = 40, 30
+    # last start = 1 + stride * ceil((n - w)/stride): rounded UP so the
+    # final chunk (possibly shorter than w) covers the tail words
     chunks = F.expr(
         f"transform(array(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')), wd -> "
-        f"transform(sequence(1, greatest(size(wd) - {w} + 1, 1), {s_}), "
+        f"transform(sequence(1, 1 + {s_} * greatest(0, (size(wd) - {w} + {s_} - 1) DIV {s_}), {s_}), "
         f"st -> struct(st AS st, array_join(slice(wd, st, {w}), ' ') AS tx)))[0]"
     )
     ex = d.select("doc_id", F.explode(chunks).alias("u"))

@@ -106,8 +106,9 @@ def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame, on: str) -> DataFra
 def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Streaming sessionization: merging session windows per user with
     a late-data watermark. In append mode only sessions whose end is
-    older than the final watermark (max event time - watermark) are
-    emitted — exactly the sessions that can no longer grow. State per
+    at or before the final watermark (max event time, truncated to
+    milliseconds, minus the delay — emission INCLUDES equality) are
+    emitted: exactly the sessions that can no longer grow. State per
     in-flight session is one (user, interval, count) row."""
     return (
         events.withWatermark("ts", watermark)

@@ -60,3 +60,13 @@ def test_rows_only_queries_are_the_known_set():
         "q99_incremental_lsh",
         "q126_bpe_train",
     }
+
+
+def test_readme_registry_count_is_current():
+    with open("/root/repo/README.md") as f:
+        m = re.search(r"(\d+)-query registry", f.read())
+    assert m, "README must state the registry size"
+    assert int(m.group(1)) == len(registry()), (
+        f"README says {m.group(1)} queries but the registry has "
+        f"{len(registry())} — update the layout overview"
+    )

@@ -278,7 +278,10 @@ def test_streaming_session_windows_match_batch_closed_sessions(spark):
         max_ts = ev.agg(F.max("ts")).first()[0]
         import datetime
 
-        final_wm = max_ts - datetime.timedelta(hours=1)
+        # Spark tracks the watermark in milliseconds and emission
+        # includes equality (session_end <= watermark) — probe-verified
+        max_ts_ms = max_ts.replace(microsecond=(max_ts.microsecond // 1000) * 1000)
+        final_wm = max_ts_ms - datetime.timedelta(hours=1)
         batch = (
             ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
             .agg(F.count("*").alias("n_events"))
@@ -288,7 +291,7 @@ def test_streaming_session_windows_match_batch_closed_sessions(spark):
                 "user_id",
                 "n_events",
             )
-            .where(F.col("session_end") < F.lit(final_wm))
+            .where(F.col("session_end") <= F.lit(final_wm))
         )
         want = {
             (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]

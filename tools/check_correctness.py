@@ -4,6 +4,9 @@ sf0.01, compare row count, column names, and exact (order-insensitive)
 values. Usage:
 
     python tools/check_correctness.py [--sf /root/testdata/sf0.01] [names...]
+
+``tools/check_vanilla.py`` runs the same gate (via :func:`run_gate`)
+on a stock SparkSession — driver conditions.
 """
 
 from __future__ import annotations
@@ -16,6 +19,19 @@ import time
 import duckdb
 
 sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
 
 
 def norm_val(v):
@@ -40,29 +56,22 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("names", nargs="*")
-    args = ap.parse_args()
-
-    import __spark_entry__ as entrymod
-    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark import get_spark
-
-    spark = get_spark(cores=8)
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-
+def duck_connection(sf_dir: str):
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
 
-    names = args.names or sorted(qs)
+
+def run_gate(spark, con, sf_dir, qs, oracles, names) -> int:
+    """Shared compare loop (used here and by check_vanilla.py): run
+    each query on ``spark`` and its oracle on ``con``, print one
+    PASS/ROWS/FAIL line per query, return the failure count."""
     failures = 0
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, args.sf)
+            sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
             srows = sdf.collect()
         except Exception as e:
@@ -98,6 +107,24 @@ def main() -> int:
         else:
             failures += 1
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    return failures
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark import get_spark
+
+    spark = get_spark(cores=8)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duck_connection(args.sf)
+    names = args.names or sorted(qs)
+    failures = run_gate(spark, con, args.sf, qs, oracles, names)
     return 1 if failures else 0
 
 
