@@ -4679,3 +4679,61 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name string, n_rows long, n_non_null long, n_distinct long, "
         "min_value string, max_value string",
     )
+
+
+# =====================================================================
+# Event-level as-of join (latest prior observation per key)
+# =====================================================================
+
+@register(
+    "q137_event_asof",
+    """
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    "Event-level as-of join: each click matched to the user's latest "
+    "view at-or-before it (DuckDB states it natively with ASOF JOIN). "
+    "The Spark plan is the union-and-forward-fill formulation: tag "
+    "both streams, one window pass per user carries the last view "
+    "forward (views sort before clicks at equal timestamps to match "
+    "ASOF's >= bound), then keep clicks with a filled view — ONE "
+    "shuffle on user_id, no range join, no per-key subquery; the "
+    "big-x-big shape where the broadcast as-of (q22) and cogroup "
+    "as-of (q61) don't apply because both sides are event streams",
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isin("view", "click"))
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("prio"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("prio").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.when(F.col("prio") == 0, F.col("event_id"))
+    view_ts = F.when(F.col("prio") == 0, F.col("ts"))
+    filled = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "prio",
+        F.last(view_id, ignorenulls=True).over(w).alias("view_id"),
+        F.last(view_ts, ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return (
+        filled.where((F.col("prio") == 1) & F.col("view_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            "view_id",
+            "view_ts",
+        )
+    )

@@ -437,3 +437,12 @@ def test_daily_anomalies_scalar_broadcast(q):
     plan = plan_text(q("q135_daily_anomalies"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_event_asof_single_shuffle_no_join(q):
+    # q137: the as-of is a union + one forward-fill window per user —
+    # no join operator, one exchange
+    plan = plan_text(q("q137_event_asof"))
+    assert "Join" not in plan
+    assert plan.count("+- Exchange") == 1
+    assert "Window" in plan
