@@ -4737,3 +4737,54 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
             "view_ts",
         )
     )
+
+
+# =====================================================================
+# Deterministic weighted sampling (Efraimidis-Spirakis)
+# =====================================================================
+
+@register(
+    "q138_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             FLOOR((
+               -ln((CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                   / 4294967297.0)
+               / CAST(n_chars AS DOUBLE)
+             ) * 1000000 + 0.5) / 1000000.0 AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, k AS sample_key
+    FROM (
+      SELECT doc_id, source, n_chars, k,
+             ROW_NUMBER() OVER (ORDER BY k ASC, doc_id ASC) AS rn
+      FROM keyed
+    ) t WHERE rn <= 100
+    """,
+    "Deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES): key = -ln(u)/w with u a salted md5-derived "
+    "uniform in (0,1) and w = n_chars, keep the 100 smallest keys — "
+    "each doc's inclusion probability is proportional to its weight, "
+    "yet the sample is a pure function of the row id (reproducible, "
+    "append-stable, cluster-shape independent; rand() is none of "
+    "those). Keys are 6dp floor-rounded with a doc_id tiebreak so ln's "
+    "ulp variance cannot flip ranks; the top-100 plans as "
+    "TakeOrderedAndProject — no global sort",
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        )
+        / F.lit(4294967297.0)
+    )
+    k = floor_round6(-F.log(u) / F.col("n_chars").cast("double"))
+    keyed = d.select("doc_id", "source", "n_chars", k.alias("sample_key"))
+    return keyed.orderBy(F.asc("sample_key"), F.asc("doc_id")).limit(100)

@@ -446,3 +446,11 @@ def test_event_asof_single_shuffle_no_join(q):
     assert "Join" not in plan
     assert plan.count("+- Exchange") == 1
     assert "Window" in plan
+
+
+def test_weighted_sample_take_ordered(q):
+    # q138: top-100-by-key must compile to TakeOrderedAndProject
+    # (partial per-partition top-k, no global sort)
+    plan = plan_text(q("q138_weighted_sample"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
