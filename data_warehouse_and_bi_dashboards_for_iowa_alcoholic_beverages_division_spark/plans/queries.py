@@ -4788,3 +4788,103 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = floor_round6(-F.log(u) / F.col("n_chars").cast("double"))
     keyed = d.select("doc_id", "source", "n_chars", k.alias("sample_key"))
     return keyed.orderBy(F.asc("sample_key"), F.asc("doc_id")).limit(100)
+
+
+# =====================================================================
+# Contingency expected counts + Benford digit audit (QC analytics)
+# =====================================================================
+
+@register(
+    "q139_crosstab_expected",
+    """
+    WITH obs AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY source, lang
+    ),
+    rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS row_tot FROM obs GROUP BY source),
+    ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS col_tot FROM obs GROUP BY lang),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS tot FROM obs)
+    SELECT source, lang, o,
+           CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot AS DOUBLE)
+             AS expected,
+           FLOOR(((CAST(o AS DOUBLE)
+                   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot AS DOUBLE))
+                  * (CAST(o AS DOUBLE)
+                     - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot AS DOUBLE))
+                  / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000.0 AS chi2_contribution
+    FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+    """,
+    "Contingency-table drift check (source x lang): observed vs "
+    "expected-under-independence counts with per-cell chi-square "
+    "contributions — the association probe for corpus-mix drift. All "
+    "marginals are exact integer counts; expected and contribution "
+    "are a few double ops on identical operands (6dp-floored), so "
+    "parity is exact. Marginals derive from the ONE (source, lang) "
+    "aggregate, not table rescans; row/col totals broadcast back",
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    obs = obs.localCheckpoint(eager=True)  # three reuses below
+    rt = obs.groupBy("source").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("lang").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("tot"))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("tot").cast("double")
+    )
+    dev = F.col("o").cast("double") - e
+    return (
+        obs.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            "o",
+            e.alias("expected"),
+            floor_round6(dev * dev / e).alias("chi2_contribution"),
+        )
+    )
+
+
+@register(
+    "q140_benford_digits",
+    """
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR), 1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT d AS first_digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR((CAST(COUNT(*) AS DOUBLE)
+                  / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+             AS observed_share,
+           FLOOR(log10(1.0::DOUBLE + 1.0::DOUBLE / CAST(d AS DOUBLE)) * 1000000 + 0.5)
+             / 1000000.0 AS benford_share
+    FROM digits GROUP BY d
+    """,
+    "Benford first-digit audit on order totals (the classic fraud / "
+    "synthetic-data QC check): observed leading-digit shares vs the "
+    "Benford expectation log10(1 + 1/d). The digit comes from the "
+    "DECIMAL(14,2) string form so both engines see identical text; "
+    "shares are count ratios (exact ints, one division) and the "
+    "9-row window total is trivial — 6dp-floored on both sides",
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = F.substring(F.col("o_totalprice").cast("decimal(14,2)").cast("string"), 1, 1).cast(
+        "int"
+    )
+    counts = o.groupBy(d.alias("first_digit")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("first_digit").cast("double"))
+    return counts.select(
+        "first_digit",
+        "n",
+        floor_round6(share).alias("observed_share"),
+        floor_round6(benford).alias("benford_share"),
+    )
