@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.dates import build_date_dim, season_name_expr, season_number_expr
-from ..functions.rounding import floor_round6
+from ..functions.rounding import floor_round6, floor_round6_sql
 from ..operators import dedup, multimodal, similarity, text
 from ..operators.scd import create_scd_from_input, scd_point_in_time_join, scd_update_and_insert
 from ..sources.tables import load_table
@@ -4690,8 +4690,18 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
            v.event_id AS view_id, v.ts AS view_ts
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    FROM (SELECT * FROM events
+          WHERE event_type = 'click' AND user_id IS NOT NULL) c
+    ASOF JOIN (
+      -- one view per (user, ts): ASOF picks an ARBITRARY row on
+      -- right-side time collisions, so pin max event_id (matches the
+      -- Spark window's event_id-asc last() carry)
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+      ) WHERE rn = 1
+    ) v
       ON c.user_id = v.user_id AND c.ts >= v.ts
     """,
     "Event-level as-of join: each click matched to the user's latest "
@@ -4705,7 +4715,11 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as-of (q61) don't apply because both sides are event streams",
 )
 def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isin("view", "click"))
+    # NULL keys excluded on both sides: ASOF's equality predicate never
+    # matches NULL, but a window partition would group NULLs together
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click") & F.col("user_id").isNotNull()
+    )
     tagged = ev.select(
         "user_id",
         "ts",
@@ -4745,14 +4759,13 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q138_weighted_sample",
-    """
+    f"""
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
-             FLOOR((
-               -ln((CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
-                   / 4294967297.0)
-               / CAST(n_chars AS DOUBLE)
-             ) * 1000000 + 0.5) / 1000000.0 AS k
+             {floor_round6_sql(
+                 "-ln((CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)"
+                 " / 4294967297.0) / CAST(n_chars AS DOUBLE)"
+             )} AS k
       FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, source, n_chars, k AS sample_key
@@ -4794,9 +4807,12 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Contingency expected counts + Benford digit audit (QC analytics)
 # =====================================================================
 
+_CHI_E = "CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot AS DOUBLE)"
+
+
 @register(
     "q139_crosstab_expected",
-    """
+    f"""
     WITH obs AS (
       SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
       FROM documents GROUP BY source, lang
@@ -4805,14 +4821,11 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS col_tot FROM obs GROUP BY lang),
     n AS (SELECT CAST(SUM(o) AS BIGINT) AS tot FROM obs)
     SELECT source, lang, o,
-           CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot AS DOUBLE)
-             AS expected,
-           FLOOR(((CAST(o AS DOUBLE)
-                   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot AS DOUBLE))
-                  * (CAST(o AS DOUBLE)
-                     - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot AS DOUBLE))
-                  / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(tot AS DOUBLE)))
-                 * 1000000 + 0.5) / 1000000.0 AS chi2_contribution
+           {_CHI_E} AS expected,
+           {floor_round6_sql(
+               f"(CAST(o AS DOUBLE) - {_CHI_E})"
+               f" * (CAST(o AS DOUBLE) - {_CHI_E}) / ({_CHI_E})"
+           )} AS chi2_contribution
     FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
     """,
     "Contingency-table drift check (source x lang): observed vs "
@@ -4826,7 +4839,10 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     obs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
-    obs = obs.localCheckpoint(eager=True)  # three reuses below
+    # persist, not localCheckpoint: keeps construction lazy (no job at
+    # build time) and recomputation reliable if an executor is lost,
+    # while still preventing the marginals from rescanning documents
+    obs = obs.persist()
     rt = obs.groupBy("source").agg(F.sum("o").alias("row_tot"))
     ct = obs.groupBy("lang").agg(F.sum("o").alias("col_tot"))
     n = obs.agg(F.sum("o").alias("tot"))
@@ -4852,32 +4868,34 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q140_benford_digits",
-    """
+    f"""
     WITH digits AS (
-      SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR), 1, 1) AS INT) AS d
+      -- leading digit from exact integer cents (floor-rule quantize,
+      -- then int->string): a double->DECIMAL cast here would hit the
+      -- HALF_UP-vs-binary rounding divergence at digit boundaries
+      SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
       FROM orders WHERE o_totalprice >= 1
     )
     SELECT d AS first_digit,
            CAST(COUNT(*) AS BIGINT) AS n,
-           FLOOR((CAST(COUNT(*) AS DOUBLE)
-                  / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+           {floor_round6_sql("CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)")}
              AS observed_share,
-           FLOOR(log10(1.0::DOUBLE + 1.0::DOUBLE / CAST(d AS DOUBLE)) * 1000000 + 0.5)
-             / 1000000.0 AS benford_share
+           {floor_round6_sql("log10(1.0::DOUBLE + 1.0::DOUBLE / CAST(d AS DOUBLE))")}
+             AS benford_share
     FROM digits GROUP BY d
     """,
     "Benford first-digit audit on order totals (the classic fraud / "
     "synthetic-data QC check): observed leading-digit shares vs the "
-    "Benford expectation log10(1 + 1/d). The digit comes from the "
-    "DECIMAL(14,2) string form so both engines see identical text; "
-    "shares are count ratios (exact ints, one division) and the "
-    "9-row window total is trivial — 6dp-floored on both sides",
+    "Benford expectation log10(1 + 1/d). The digit comes from exact "
+    "integer cents (floor-rule quantize, then int->string — identical "
+    "text on both engines at any value); shares are count ratios "
+    "(exact ints, one division) and the 9-row window total is "
+    "trivial — 6dp-floored on both sides",
 )
 def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
-    d = F.substring(F.col("o_totalprice").cast("decimal(14,2)").cast("string"), 1, 1).cast(
-        "int"
-    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
     counts = o.groupBy(d.alias("first_digit")).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy()
     share = F.col("n").cast("double") / F.sum("n").over(w).cast("double")

@@ -454,3 +454,27 @@ def test_weighted_sample_take_ordered(q):
     plan = plan_text(q("q138_weighted_sample"))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_crosstab_marginals_broadcast_no_rescan(q):
+    # q139: row/col totals and the grand total must derive from the
+    # persisted (source, lang) aggregate and broadcast back — never a
+    # sort-merge join, never a second documents scan per marginal
+    df = q("q139_crosstab_expected")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    import re
+
+    scans = re.findall(r"FileScan parquet[^\n]*documents", final)
+    assert len(scans) <= 1, "marginals must reuse the obs aggregate, not rescan"
+    assert "SortMergeJoin" not in final
+    assert "InMemoryTableScan" in final or len(scans) == 1
+
+
+def test_benford_single_aggregate(q):
+    # q140: digit histogram is one partial-agg pass; the 9-row window
+    # total adds a single tiny exchange
+    plan = plan_text(q("q140_benford_digits"))
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
