@@ -347,3 +347,49 @@ def test_cdc_compaction_matches_python_reference_on_random_data(spark):
     for eid, k1, k2, ts, v in sorted(rows, key=lambda r: (r[3], r[0])):
         want[(k1, k2)] = (eid, v)
     assert got == want
+
+
+def test_ssjoin_prefix_equals_naive_at_multiple_thresholds(spark):
+    """Prefix filtering must be threshold-complete for ANY t: on random
+    small token-set docs, ssjoin_prefix == the naive all-pairs Jaccard
+    join at t in {0.5, 0.75, 0.9} (the registry gate only pins 0.9)."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.dedup import (
+        ssjoin_prefix,
+    )
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(80):
+        k = rng.randrange(3, 12)
+        docs.append(Row(doc_id=i, text=" ".join(rng.sample(vocab, k))))
+    df = spark.createDataFrame(docs)
+
+    toks = df.select(
+        "doc_id", F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias("ts")
+    )
+    a = toks.select(F.col("doc_id").alias("a_id"), F.col("ts").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("b_id"), F.col("ts").alias("tb"))
+    naive_pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        (
+            F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+        ).alias("jaccard"),
+    )
+
+    for t in (0.5, 0.75, 0.9):
+        got = sorted(
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in ssjoin_prefix(df, "doc_id", "text", t).collect()
+        )
+        want = sorted(
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in naive_pairs.where(F.col("jaccard") >= t).collect()
+        )
+        assert got == want, f"threshold {t}: prefix filter lost or invented pairs"
