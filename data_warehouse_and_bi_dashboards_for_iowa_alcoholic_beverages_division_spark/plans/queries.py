@@ -4906,3 +4906,58 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_round6(share).alias("observed_share"),
         floor_round6(benford).alias("benford_share"),
     )
+
+
+# =====================================================================
+# ROLLUP with GROUPING() disambiguation
+# =====================================================================
+
+@register(
+    "q141_grouping_id",
+    f"""
+    SELECT r_name AS region, n_name AS nation,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS INT) AS gid,
+           SUM({REVENUE_SQL}) AS rev
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "ROLLUP with GROUPING() flags: the subtotal rows' NULLs are "
+    "disambiguated from data NULLs by per-column grouping indicators "
+    "and a composed grouping id — the contract BI tools rely on to "
+    "render drill-down totals correctly. One Expand + one shuffle; "
+    "dims broadcast; revenue decimal-exact at every grain",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    g_r = F.grouping("r_name").cast("int")
+    g_n = F.grouping("n_name").cast("int")
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            g_r.alias("g_region"),
+            g_n.alias("g_nation"),
+            (2 * g_r + g_n).cast("int").alias("gid"),
+            F.sum(F.expr(REVENUE_SQL)).alias("rev"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "g_region",
+            "g_nation",
+            "gid",
+            "rev",
+        )
+    )
