@@ -4961,3 +4961,41 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev",
         )
     )
+
+
+# =====================================================================
+# Rolling distinct count (window DISTINCT emulation)
+# =====================================================================
+
+@register(
+    "q142_rolling_distinct",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(DISTINCT event_type)
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS INT)
+             AS distinct_types_10
+    FROM events
+    """,
+    "Rolling distinct count (behavioral diversity over the last 10 "
+    "events per user): Spark has no DISTINCT window aggregates, so "
+    "the plan emulates it as size(array_distinct(collect_list(...) "
+    "over the frame)) — a bounded-frame array per row, JVM-side, one "
+    "shuffle on user_id. DuckDB states the same thing natively with "
+    "COUNT(DISTINCT) OVER, making the emulation value-checked",
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("int")
+        .alias("distinct_types_10"),
+    )
