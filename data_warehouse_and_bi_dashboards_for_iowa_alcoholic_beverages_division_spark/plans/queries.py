@@ -4999,3 +4999,75 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("distinct_types_10"),
     )
+
+
+# =====================================================================
+# Top-N with ties (RANK) + median absolute deviation (robust spread)
+# =====================================================================
+
+@register(
+    "q143_topn_with_ties",
+    """
+    SELECT p_brand, l_partkey, sum_qty, rk FROM (
+      SELECT p_brand, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             RANK() OVER (PARTITION BY p_brand ORDER BY
+                          SUM(CAST(l_quantity AS DECIMAL(12,2))) DESC) AS rk
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, l_partkey
+    ) t WHERE rk <= 3
+    """,
+    "Top-3 parts per brand by quantity with TIES KEPT: RANK over the "
+    "exact decimal sum admits every part tied at a kept rank (the "
+    "row_number variants q10/q104 pick arbitrary winners on ties — "
+    "wrong for leaderboards). Ordering on an exact decimal means tie "
+    "groups are engine-identical by construction; the rank filter "
+    "plans as WindowGroupLimit (partial top-k per mapper)",
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sums = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("sum_qty"))
+    return (
+        sums.withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "l_partkey", "sum_qty", "rk")
+    )
+
+
+@register(
+    "q144_median_abs_deviation",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS m
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ANY_VALUE(m) AS median_price,
+           median(abs(o.o_totalprice - m)) AS mad
+    FROM orders o JOIN med USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+    "Median absolute deviation per priority class — the robust spread "
+    "metric outlier-heavy money data needs (stddev is dominated by "
+    "tails; MAD is not). Two exact order statistics: the per-group "
+    "median broadcasts back, deviations are |x - m| on identical "
+    "doubles, then a second median — no float accumulation anywhere, "
+    "so cross-engine parity is exact without rounding",
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(F.median("o_totalprice").alias("m"))
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.any_value("m").alias("median_price"),
+            F.median(F.abs(F.col("o_totalprice") - F.col("m"))).alias("mad"),
+        )
+    )

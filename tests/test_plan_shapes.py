@@ -478,3 +478,13 @@ def test_benford_single_aggregate(q):
     plan = plan_text(q("q140_benford_digits"))
     assert "partial_count" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_topn_with_ties_window_group_limit(q):
+    # q143: rank<=3 must plan as WindowGroupLimit — each mapper ships
+    # a bounded prefix per brand, not the full per-part sums
+    df = q("q143_topn_with_ties")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final
