@@ -36,7 +36,11 @@ _BUCKET = "__bucket"
 
 
 def _bucket_of(col: str, bucket_seconds: int) -> Column:
-    return (F.unix_timestamp(F.col(col)) / bucket_seconds).cast("long")
+    # cast("timestamp") first: no-op for TIMESTAMP_LTZ, and the legal
+    # session-tz interpretation for TIMESTAMP_NTZ (unix_timestamp rejects
+    # NTZ directly); both join sides bucket through the same expression,
+    # so bucket alignment holds whatever the source type
+    return (F.unix_timestamp(F.col(col).cast("timestamp")) / bucket_seconds).cast("long")
 
 
 def interval_overlap_join(

@@ -990,8 +990,10 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    brk = F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0))
+    # interval arithmetic (not a cast to epoch seconds): legal on both
+    # TIMESTAMP and TIMESTAMP_NTZ, and literally the oracle's predicate
+    gap = F.col("ts") - F.lag("ts").over(w)
+    brk = F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), F.lit(1)).otherwise(F.lit(0))
     sessions = ev.select(
         "user_id",
         "event_id",

@@ -30,22 +30,44 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` across every on-disk encoding the
+    driver has shipped so far:
+
+    * TIMESTAMP(NANOS) → read as ``bigint`` under ``nanosAsLong``;
+      floor-divided to micros (integer DIV — double division loses
+      precision at 1e18) and rebuilt as a timestamp;
+    * plain ``timestamp[us]`` (no tz) → Spark infers TIMESTAMP_NTZ;
+    * tz-adjusted micros → TIMESTAMP_LTZ.
+
+    Canonical type is **TIMESTAMP_NTZ**: it matches DuckDB's naive read
+    of the same parquet bit-for-bit and never routes values through the
+    session timezone, so oracle comparisons are tz-independent.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    elif dt == "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan with pushdown: filters/projections applied by the
     caller reach the parquet reader via Catalyst (PushedFilters /
     ReadSchema) — never pre-collect or pre-filter driver-side.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright; we read nanos as long (runtime-settable
-    legacy conf, works on any caller-provided session) and floor-divide
-    to microseconds — the same truncation DuckDB applies.
+    ``events`` has drifted between TIMESTAMP(NANOS) and timestamp[us]
+    across driver data regenerations; ``normalize_events_ts`` pins one
+    canonical type whatever is on disk.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer DIV, not `/`: double division loses precision at 1e18
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

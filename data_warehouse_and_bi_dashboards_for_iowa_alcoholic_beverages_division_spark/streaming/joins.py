@@ -20,6 +20,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _as_event_time(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); upstream batch reads
+    canonicalize to TIMESTAMP_NTZ. Cast defensively so any caller's
+    stream works — session tz is pinned UTC, so the cast is
+    wall-clock-exact."""
+    if dict(events.dtypes).get(col) == "timestamp_ntz":
+        events = events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
+
+
 def attribute_clicks_to_views(
     events: DataFrame,
     *,
@@ -35,6 +45,7 @@ def attribute_clicks_to_views(
     the state store evict view rows older than
     ``watermark + horizon`` — bounded state at any scale.
     """
+    events = _as_event_time(events)
     views = (
         events.where(F.col("event_type") == "view")
         .select(
@@ -76,6 +87,6 @@ def dedup_within_watermark(
     the property a naive ``dropDuplicates`` on a stream lacks (its
     state never expires).
     """
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+    return _as_event_time(events).withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )

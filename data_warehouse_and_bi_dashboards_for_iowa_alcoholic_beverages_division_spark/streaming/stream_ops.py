@@ -14,41 +14,38 @@ asserted equal to the batch result in tests (same input ⇒ same rows).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as long
-# under nanosAsLong, converted to a real timestamp below)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..sources.tables import normalize_events_ts
+from .joins import _as_event_time
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events staging dir. At scale this is
     the same plan pointed at a Kafka source — everything downstream is
-    source-agnostic."""
+    source-agnostic.
+
+    The file source needs an explicit schema; we take it from the
+    file's own footer (one metadata read, no data scan) instead of
+    hard-coding it — the driver has regenerated events.parquet with a
+    different physical ts encoding between rounds, and a pinned schema
+    is exactly what broke last time. ``normalize_events_ts`` then maps
+    whatever arrived onto the canonical TIMESTAMP_NTZ ``ts``.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    # NTZ), so the stream carries LTZ; the session tz is pinned UTC, so
+    # the NTZ→LTZ cast preserves wall-clock exactly
+    return normalize_events_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -56,7 +53,7 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     value sum. The watermark bounds state: late rows beyond it are
     dropped and their windows finalized."""
     return (
-        events.withWatermark("ts", watermark)
+        _as_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -111,7 +108,7 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     emitted: exactly the sessions that can no longer grow. State per
     in-flight session is one (user, interval, count) row."""
     return (
-        events.withWatermark("ts", watermark)
+        _as_event_time(events).withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
