@@ -30,8 +30,14 @@ def test_full_warehouse_build_and_query(spark, tmp_path):
     assert wh["dim_item"].where("p_partkey = -1").count() == 1
     assert wh["dim_vendor"].where("s_suppkey = -1").count() == 1
 
-    # dashboard served from the WRITTEN warehouse == derived from base tables
-    got = {r["DayOfWeekNumber"]: (r["sum_rev"], r["n_sales"]) for r in revenue_by_weekday(wh).collect()}
+    # dashboard served from the WRITTEN warehouse == derived from base
+    # tables; the warehouse path keeps exact decimals while the registry
+    # entry canonicalizes terminal measures to DOUBLE — compare at the
+    # canonical (double) representation
+    got = {
+        r["DayOfWeekNumber"]: (float(r["sum_rev"]), r["n_sales"])
+        for r in revenue_by_weekday(wh).collect()
+    }
     want = {
         r["DayOfWeekNumber"]: (r["sum_rev"], r["n_sales"])
         for r in registry()["q23_star_weekday"].fn(spark, SF_DIR).collect()
