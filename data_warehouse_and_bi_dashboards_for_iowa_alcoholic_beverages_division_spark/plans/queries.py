@@ -948,14 +948,46 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), "doc_id", max_hamming=8)
 
 
+# DuckDB twin of dedup.char_shingles_expr (k=9): lowercased distinct
+# 9-char shingles; substr past the tail yields the same short shingles
+# Spark's substring does, and the greatest(...,1) floor keeps sub-k
+# texts producing one whole-text shingle on both engines.
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length(lower(text)) - 8, 1) + 1),"
+    " i -> substr(lower(text), i, 9)))"
+)
+
+
 @register(
     "q37_ngram_jaccard",
-    None,  # candidates come from the xxhash64 LSH pass
-    "Exact n-gram Jaccard verification over LSH candidate pairs",
+    f"""
+    WITH blocked AS (
+      SELECT doc_id, lang, source, n_chars // 16 AS blk, {_SHINGLES_SQL} AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+    FROM blocked a
+    JOIN blocked b
+      ON a.lang = b.lang AND a.source = b.source AND a.blk = b.blk
+     AND a.doc_id < b.doc_id
+    """,
+    "Exact n-gram Jaccard verification over deterministically blocked candidate "
+    "pairs (lang, source, n_chars DIV 16 — an equi-join, never all-pairs; the "
+    "xxhash64-LSH candidate flavor of the same verify stage is q35/q99)",
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    cands = dedup.minhash_lsh_candidates(docs, "doc_id")
+    blocked = docs.select("doc_id", "lang", "source", F.expr("n_chars DIV 16").alias("blk"))
+    a = blocked.select(F.col("doc_id").alias("id_a"), "lang", "source", "blk")
+    b = blocked.select(F.col("doc_id").alias("id_b"), "lang", "source", "blk")
+    cands = (
+        a.join(b, ["lang", "source", "blk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
     return dedup.ngram_jaccard_pairs(docs, cands, "doc_id")
 
 
@@ -999,9 +1031,47 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, emb.where("vec_id < 5"), k=10, n_planes=4)
 
 
+def _q40_oracle() -> str:
+    """DuckDB twin of similarity.embedding_near_dup_pairs(threshold=0.35,
+    n_planes=4, dim=64, seed=7). The hyperplanes come from the same
+    deterministic splitmix generator and are embedded as DOUBLE literals
+    (repr() is shortest-round-trip, so DuckDB parses the identical
+    double), making the sign-bucket blocking reproducible in pure SQL."""
+    planes = similarity._hyperplanes(64, 4, 7)
+
+    def dot(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        return (
+            "list_sum(list_transform(list_zip(embedding, " + lit + "),"
+            " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+        )
+
+    bucket = "\n           + ".join(
+        f"(CASE WHEN {dot(p)} > 0 THEN {1 << i} ELSE 0 END)" for i, p in enumerate(planes)
+    )
+    cosine = (
+        "list_sum(list_transform(list_zip(a.embedding, c.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * c.nrm)"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             {bucket} AS bucket
+      FROM embeddings
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {floor_round6_sql(cosine)} AS score
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ) WHERE score >= 0.35
+    """
+
+
 @register(
     "q40_embedding_near_dup",
-    None,
+    _q40_oracle(),
     "Embedding-cosine near-duplicate pairs, hyperplane-blocked",
 )
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
