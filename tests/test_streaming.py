@@ -301,3 +301,42 @@ def test_streaming_session_windows_match_batch_closed_sessions(spark):
         assert len(got) > 0
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_window_semantics_match_q43_batch_sessionization(spark):
+    """The streaming sessionizer's window semantics (session_window,
+    30-minute merging gap) == the oracle-checked batch sessionization
+    q43 (lag-gap > 30 min starts a new session): same (user,
+    session_start) set, same per-session event counts, and
+    session_window's exclusive end == q43's last-event ts + gap.
+    Pins the batch/stream twin-ness on the CURRENT data types — this
+    assertion would have caught the events.ts encoding drift."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        registry,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    sw = {
+        (r["user_id"], r["start"]): (r["n_events"], r["end"])
+        for r in (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("win.start").alias("start"), F.col("win.end").alias("end"), "n_events")
+            .collect()
+        )
+    }
+    q43 = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+        for r in registry()["q43_sessionization"].fn(spark, SF_DIR).collect()
+    }
+    assert set(sw) == set(q43)
+    for key, (n_sw, end_sw) in sw.items():
+        n_43, end_43 = q43[key]
+        assert n_sw == n_43, f"event count diverges for session {key}"
+        assert end_sw == end_43 + datetime.timedelta(minutes=30), (
+            f"session_window end must be last event + gap for {key}"
+        )
+    assert len(sw) > 0
