@@ -131,6 +131,71 @@ def bpe_train(
     return merges
 
 
+def bpe_train_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+    batch: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """The scale path for large merge budgets: accept up to ``batch``
+    merge rules per distributed pair-count, cutting driver round-trips
+    (and Spark job launches) from ``n_merges`` to ``~n_merges/batch``.
+    A real 50k-merge tokenizer train is infeasible at one job per merge;
+    this is the standard frequency-snapshot batching used by production
+    BPE trainers.
+
+    Selection per round: walk the top-``batch`` pairs in (count DESC,
+    pair ASC) order and greedily accept each pair whose symbols are
+    disjoint from every previously accepted pair *and* its merged
+    output — disjoint pairs' counts are provably unchanged by the other
+    accepted merges, so each accepted rule's count is its true corpus
+    count at acceptance time. The approximation vs sequential BPE: a
+    pair created *by* an accepted merge (it contains the new symbol)
+    cannot be chosen until the next round, so rule order can differ
+    from classic BPE where such a pair would immediately dominate.
+    ``bpe_train`` remains the exact-sequential reference; the batched
+    twin is golden-tested against a pure-Python implementation of this
+    same selection rule."""
+    vocab = word_freq_table(docs, text_col).withColumn("toks", _chars_expr("word"))
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        vocab = vocab.localCheckpoint(eager=True)
+        pairs = (
+            vocab.where(F.size("toks") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                        F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+            .where(F.col("cnt") >= min_pair_count)
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(batch).collect()
+        if not top:
+            break
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for row in top:
+            left, right, cnt = row["l"], row["r"], int(row["cnt"])
+            if left in used or right in used:
+                continue
+            accepted.append((left, right, cnt))
+            used.update((left, right, left + right))
+            if len(merges) + len(accepted) >= n_merges:
+                break
+        for left, right, cnt in accepted:
+            merges.append((len(merges), left, right, cnt))
+            vocab = vocab.withColumn("toks", _merge_pair_expr(F.col("toks"), left, right))
+    return merges
+
+
 def bpe_encode_expr(col: str, merges: list[tuple[int, str, str, int]]) -> Column:
     """Tokenize a word column with learned merges, applying each rule
     in rank order — the inference twin of :func:`bpe_train`, still a
