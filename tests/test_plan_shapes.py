@@ -488,3 +488,21 @@ def test_topn_with_ties_window_group_limit(q):
     final = df._jdf.queryExecution().executedPlan().toString()
     final = final.split("== Initial Plan ==")[0]
     assert "WindowGroupLimit" in final
+
+
+def test_no_registered_query_terminates_in_decimal(spark):
+    """Terminal decimal columns are a cross-engine hash hazard: the
+    engines agree on values but stringify trailing-zero decimals
+    differently, so whether a query's hash matches depends on whether
+    the data happens to land on a .x0 boundary. Every registered query
+    must canonicalize decimal outputs to DOUBLE at the very end of the
+    plan (decimal math inside the plan is encouraged — it is exact and
+    order-independent). A new query tripping this: add its terminal
+    decimal columns to queries._CANONICAL_DOUBLE."""
+    offenders = {}
+    for name, spec in registry().items():
+        df = spec.fn(spark, SF_DIR)
+        decs = [c for c, t in df.dtypes if t.startswith("decimal")]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, f"decimal terminal columns: {offenders}"
