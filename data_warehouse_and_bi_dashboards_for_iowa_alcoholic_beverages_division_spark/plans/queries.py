@@ -961,6 +961,9 @@ _SHINGLES_SQL = (
     "xxhash64-LSH candidate flavor of the same verify stage is q35/q99)",
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pair volume is O(s²) per (lang, source, length-bucket) block — same
+    # hazard profile as LSH buckets (dedup.py); on a boilerplate-heavy
+    # 100 TB corpus, cap or sub-salt oversized blocks before pairing
     docs = _t(spark, sf_dir, "documents")
     blocked = docs.select("doc_id", "lang", "source", F.expr("n_chars DIV 16").alias("blk"))
     a = blocked.select(F.col("doc_id").alias("id_a"), "lang", "source", "blk")
@@ -1001,12 +1004,12 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.where("vec_id < 5"), k=10)
 
 
-def _q40_oracle() -> str:
-    """DuckDB twin of similarity.embedding_near_dup_pairs(threshold=0.35,
-    n_planes=4, dim=64, seed=7). The hyperplanes come from the same
-    deterministic splitmix generator and are embedded as DOUBLE literals
-    (repr() is shortest-round-trip, so DuckDB parses the identical
-    double), making the sign-bucket blocking reproducible in pure SQL."""
+def _bucketed_embeddings_cte() -> str:
+    """Shared DuckDB CTE reproducing similarity's hyperplane sign-bucket
+    blocking (n_planes=4, dim=64, seed=7) in pure SQL. The hyperplanes
+    come from the same deterministic splitmix generator and are embedded
+    as DOUBLE literals (repr() is shortest-round-trip, so DuckDB parses
+    the identical double)."""
     planes = similarity._hyperplanes(64, 4, 7)
 
     def dot(plane: list[float]) -> str:
@@ -1019,10 +1022,6 @@ def _q40_oracle() -> str:
     bucket = "\n           + ".join(
         f"(CASE WHEN {dot(p)} > 0 THEN {1 << i} ELSE 0 END)" for i, p in enumerate(planes)
     )
-    cosine = (
-        "list_sum(list_transform(list_zip(a.embedding, c.embedding),"
-        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * c.nrm)"
-    )
     return f"""
     WITH b AS (
       SELECT vec_id, embedding,
@@ -1030,12 +1029,46 @@ def _q40_oracle() -> str:
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
              {bucket} AS bucket
       FROM embeddings
+    )"""
+
+
+def _q40_oracle() -> str:
+    """DuckDB twin of similarity.embedding_near_dup_pairs(threshold=0.35,
+    n_planes=4, dim=64, seed=7)."""
+    cosine = (
+        "list_sum(list_transform(list_zip(a.embedding, c.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * c.nrm)"
     )
+    return f"""{_bucketed_embeddings_cte()}
     SELECT * FROM (
       SELECT a.vec_id AS id_a, c.vec_id AS id_b,
              {floor_round6_sql(cosine)} AS score
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
     ) WHERE score >= 0.35
+    """
+
+
+def _q39_oracle() -> str:
+    """DuckDB twin of similarity.cosine_topk_lsh(k=10, n_planes=4,
+    n_probe=0): queries probe only their own sign bucket; ranking breaks
+    6dp-rounded score ties on neighbor id exactly like the Spark window."""
+    cosine = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * c.nrm)"
+    )
+    return f"""{_bucketed_embeddings_cte()},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {floor_round6_sql(cosine)} AS score
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
     """
 
 
@@ -5139,8 +5172,9 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q39_knn_lsh",
-    None,  # approximate path; validated against q38 in tests
-    "LSH-bucketed (random hyperplane) approximate top-k — the scale path",
+    _q39_oracle(),
+    "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "
+    "recall vs exact also pinned against q38 in tests",
 )
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

@@ -51,7 +51,6 @@ def test_rows_only_queries_are_the_known_set():
     assert rows_only == {
         "q35_minhash_lsh",
         "q36_simhash",
-        "q39_knn_lsh",
         "q56_approx_distinct",
         "q67_knn_ivf",
         "q71_media_resize",
