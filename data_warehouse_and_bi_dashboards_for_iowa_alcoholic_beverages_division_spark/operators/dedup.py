@@ -194,15 +194,25 @@ def ngram_jaccard_pairs(
 _BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
 
 
-def simhash_expr(text_col: str = "text") -> Column:
-    """SimHash: per token, ``xxhash64`` supplies the 64-bit pattern;
-    each bit position accumulates +1/−1 across tokens; the sign of each
-    accumulator forms the fingerprint bit. Pure bit arithmetic via
-    ``aggregate``/``zip_with`` over the token array — JVM-side, no UDF.
-    (Shift amounts must be literals in Spark, so per-bit masks are a
-    literal array zipped against the accumulator.)"""
+def md5_token_hash(t: Column) -> Column:
+    """Engine-portable 60-bit token hash: the first 15 hex chars of
+    md5, parsed as an integer. Slower than ``xxhash64`` (the production
+    default) but reproducible in external engines, which makes the
+    whole SimHash pipeline value-checkable against an independent SQL
+    implementation."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_expr(text_col: str = "text", hash_fn=None) -> Column:
+    """SimHash: per token, ``hash_fn`` (default ``xxhash64``) supplies
+    the bit pattern; each bit position accumulates +1/−1 across tokens;
+    the sign of each accumulator forms the fingerprint bit. Pure bit
+    arithmetic via ``aggregate``/``zip_with`` over the token array —
+    JVM-side, no UDF. (Shift amounts must be literals in Spark, so
+    per-bit masks are a literal array zipped against the accumulator.)"""
+    hash_fn = hash_fn or (lambda t: F.xxhash64(t))
     tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(tokens, hash_fn)
     masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
     counts = F.aggregate(
         hashes,
@@ -218,13 +228,15 @@ def simhash_expr(text_col: str = "text") -> Column:
     )
 
 
-def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3, hash_fn=None
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on the four
     16-bit quarters (pigeonhole: ≤3 differing bits ⇒ at least one
     identical quarter). Like the MinHash path, blocks are aggregated
     and pairs generated inline — the simhash computation runs once, not
     twice as in a bucket self-join."""
-    sh = df.select(F.col(id_col).alias("doc"), simhash_expr(text_col).alias("sh"))
+    sh = df.select(F.col(id_col).alias("doc"), simhash_expr(text_col, hash_fn).alias("sh"))
     quarters = sh.select(
         "doc",
         "sh",

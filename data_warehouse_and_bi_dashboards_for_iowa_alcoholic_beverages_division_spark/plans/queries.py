@@ -5141,12 +5141,69 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+@register(
+    "q145_simhash_md5",
+    r"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hl
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 60), i ->
+               CASE WHEN list_sum(list_transform(hl,
+                      h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS sh
+      FROM hs
+    ),
+    quarters AS (
+      SELECT doc_id, sh, q, (sh >> (q * 16)) & 65535 AS qv
+      FROM fp, range(0, 4) r(q)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM quarters a JOIN quarters b
+        ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    """,
+    "SimHash near-dup pairs with an engine-portable md5-derived 60-bit "
+    "token hash: the identical +1/-1 bit-vote, sign-fingerprint, 16-bit-"
+    "quarter blocking, and Hamming filter as q36, but every step is "
+    "reproducible in external SQL - so the SimHash bit arithmetic the "
+    "xxhash64 production path shares is value-checked end-to-end "
+    "(xxhash64 itself stays the production default: one multiply-shift "
+    "mix vs md5's full digest per token)",
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", max_hamming=8,
+        hash_fn=dedup.md5_token_hash,
+    )
+
+
+@register(
+    "q39_knn_lsh",
+    _q39_oracle(),
+    "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "
+    "recall vs exact also pinned against q38 in tests",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # 4 planes = 16 buckets: sized so buckets hold enough candidates to
+    # fill k=10 at this corpus size (recall/probe-cost tradeoff)
+    return similarity.cosine_topk_lsh(emb, emb.where("vec_id < 5"), k=10, n_planes=4)
+
+
 # =====================================================================
 # Rows-only queries (no SQL-expressible DuckDB oracle), grouped at the
 # registry tail: the driver hash-verifies a prefix of the registration
 # order, so every slot it checks should be a query it can actually
 # value-check. Each entry here is pinned by pytest instead — q35/q36/q99
-# by randomized comparison against naive all-pairs truth, q39/q67 by
+# by randomized comparison against naive all-pairs truth, q67 by
 # recall against the exact q38, q56 against the exact distinct count,
 # q71 by byte-level determinism, q126 against a pure-Python BPE.
 # =====================================================================
@@ -5168,19 +5225,6 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), "doc_id", max_hamming=8)
-
-
-@register(
-    "q39_knn_lsh",
-    _q39_oracle(),
-    "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "
-    "recall vs exact also pinned against q38 in tests",
-)
-def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    # 4 planes = 16 buckets: sized so buckets hold enough candidates to
-    # fill k=10 at this corpus size (recall/probe-cost tradeoff)
-    return similarity.cosine_topk_lsh(emb, emb.where("vec_id < 5"), k=10, n_planes=4)
 
 
 @register(
