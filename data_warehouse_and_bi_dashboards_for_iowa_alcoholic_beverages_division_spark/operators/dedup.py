@@ -42,12 +42,65 @@ def char_shingles_expr(text_col: str, k: int = 9) -> Column:
     return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k)))
 
 
+# --- engine-portable MinHash hash family --------------------------------
+# Base hash: 60-bit md5 prefix reduced mod 2^30; per-seed family:
+# (a_i * h + b_i) mod (2^31 - 1) with a_i, b_i < 2^30 from the splitmix
+# stream — every product stays < 2^60, so the arithmetic is exact 64-bit
+# integer math in ANY engine (no overflow, no engine-specific hashing).
+# xxhash64 remains the production family (one multiply-shift mix per
+# value); the portable family costs a full md5 per shingle and exists so
+# the complete MinHash+LSH pipeline can be value-checked externally.
+_MH_PRIME = 2_147_483_647
+_MH_BASE_MOD = 1 << 30
+
+
+def _mh_family_constants(n: int, seed: int = 11) -> list[tuple[int, int]]:
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    out = []
+    for _ in range(n):
+        pair = []
+        for _ in range(2):
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            pair.append(z % (_MH_BASE_MOD - 1) + 1)
+        out.append((pair[0], pair[1]))
+    return out
+
+
+def portable_base_hash(c: Column) -> Column:
+    """md5-prefix 60-bit hash reduced mod 2^30 (non-negative, exact in
+    any engine)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % F.lit(_MH_BASE_MOD)
+
+
+def portable_family(consts: list[tuple[int, int]]):
+    def fam(h: Column, i: int) -> Column:
+        a, b = consts[i]
+        return (F.lit(a) * h + F.lit(b)) % F.lit(_MH_PRIME)
+
+    return fam
+
+
+def portable_band_bucket(elements: list[Column]) -> Column:
+    """Polynomial combine of a band's signature rows (base 31, no mod:
+    4 values < 2^31 fold to < 2^46 — exact in 64-bit everywhere)."""
+    acc = elements[0]
+    for e in elements[1:]:
+        acc = acc * F.lit(31) + e
+    return acc
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     n_hashes: int = 32,
     shingle_k: int = 9,
+    base_hash=None,
+    family=None,
 ) -> DataFrame:
     """MinHash signatures as (doc, sig: array<bigint>[n_hashes]).
 
@@ -81,8 +134,10 @@ def minhash_signatures(
     # xxhash64's multiply-shift mix, and ANSI mode forbids the
     # classic overflowing a*h+b. Seeded xxhash64 over the long wins
     # under any session config.
-    base = positions.select("doc", F.xxhash64(F.expr(f"substring(lt, i, {shingle_k})")).alias("h0"))
-    sig_aggs = [F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    base_hash = base_hash or (lambda c: F.xxhash64(c))
+    family = family or (lambda h, i: F.xxhash64(h, F.lit(i)))
+    base = positions.select("doc", base_hash(F.expr(f"substring(lt, i, {shingle_k})")).alias("h0"))
+    sig_aggs = [F.min(family(F.col("h0"), i)).alias(f"h{i}") for i in range(n_hashes)]
     per_seed = base.groupBy("doc").agg(*sig_aggs)
     return per_seed.select("doc", F.array(*[f"h{s}" for s in range(n_hashes)]).alias("sig"))
 
@@ -108,6 +163,9 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 9,
+    base_hash=None,
+    family=None,
+    band_bucket=None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band hash are candidate
@@ -124,14 +182,15 @@ def minhash_lsh_candidates(
     (boilerplate-heavy corpora) before pairing.
     """
     rows_per_band = n_hashes // bands
-    banded = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).select(
+    band_bucket = band_bucket or (lambda els: F.xxhash64(*els))
+    banded = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, base_hash, family).select(
         "doc",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias(
+                        band_bucket([F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias(
                             "bucket"
                         ),
                     )

@@ -5185,6 +5185,77 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q146_oracle() -> str:
+    """DuckDB twin of the full MinHash+LSH candidate pipeline with the
+    engine-portable hash family (md5-prefix base mod 2^30, 32 linear
+    families mod 2^31-1, base-31 polynomial band buckets — all exact
+    64-bit integer math in any engine). Constants come from the same
+    splitmix stream the Spark side uses. Formulated as unnest + 32
+    vectorized MIN aggregates (mirroring the Spark plan) — nested
+    list_transform lambdas were measured ~20x slower."""
+    from ..operators.dedup import _MH_BASE_MOD, _MH_PRIME, _mh_family_constants
+
+    consts = _mh_family_constants(32, 11)
+    mins = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {_MH_PRIME}) AS s{i}" for i, (a, b) in enumerate(consts)
+    )
+    buckets = ",\n             ".join(
+        f"((s{4*b} * 31 + s{4*b+1}) * 31 + s{4*b+2}) * 31 + s{4*b+3} AS k{b}"
+        for b in range(8)
+    )
+    band_rows = ",\n      ".join(f"({b}, k{b})" for b in range(8))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shs FROM documents
+    ),
+    hm AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(u.s), 1, 15)) AS BIGINT) % {_MH_BASE_MOD} AS x
+      FROM sh, unnest(shs) u(s)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hm GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id,
+             {buckets}
+      FROM sig
+    ),
+    bands AS (
+      SELECT doc_id, t.b, t.bucket
+      FROM keyed, LATERAL (VALUES
+      {band_rows}
+      ) t(b, bucket)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM bands a JOIN bands c
+      ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    """
+
+
+@register(
+    "q146_minhash_portable",
+    _q146_oracle(),
+    "MinHash+LSH candidate pairs with an engine-portable hash family "
+    "(md5-prefix base hash, linear-congruential per-seed families, "
+    "polynomial band buckets - every step exact integer math): the "
+    "identical shingle/signature/banding/pairing pipeline as q35, "
+    "value-checked end-to-end against independent SQL; xxhash64 stays "
+    "the production family (no md5 digest per shingle)",
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    consts = dedup._mh_family_constants(32, 11)
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        base_hash=dedup.portable_base_hash,
+        family=dedup.portable_family(consts),
+        band_bucket=dedup.portable_band_bucket,
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
