@@ -153,3 +153,21 @@ def test_testdata_schema_fingerprint():
                 if col not in want:
                     problems.append(f"{sf}/{table}: NEW column {col!r} appeared")
     assert not problems, "TESTDATA DRIFT:\n" + "\n".join(problems)
+
+
+def test_embedding_dim_is_64():
+    # the hyperplane constants (similarity._hyperplanes) and the q39/q40
+    # oracle SQL literals are generated for dim=64; a regenerated
+    # embeddings table with a different dim would silently zero-pad or
+    # truncate dot products instead of failing
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        dims = con.execute(
+            f"SELECT DISTINCT len(embedding) FROM '/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchall()
+        assert dims == [(64,)], (
+            f"{sf}: embedding dims {dims} != 64 — regenerate hyperplanes/IVF "
+            f"constants (similarity.py) and the q39/q40 oracles for the new dim"
+        )
