@@ -347,6 +347,9 @@ def incremental_dedup(
     bands: int = 8,
     shingle_k: int = 9,
     min_jaccard: float = 0.5,
+    base_hash=None,
+    family=None,
+    band_bucket=None,
 ) -> DataFrame:
     """Near-duplicates of ``incoming`` documents against an existing
     ``corpus`` — the per-batch dedup a continuously-ingesting training
@@ -365,9 +368,10 @@ def incremental_dedup(
     Returns (new_id, old_id, jaccard) with jaccard >= ``min_jaccard``.
     """
     rows_per_band = n_hashes // bands
+    band_bucket = band_bucket or (lambda els: F.xxhash64(*els))
 
     def banded(df: DataFrame, is_new: bool) -> DataFrame:
-        return minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).select(
+        return minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, base_hash, family).select(
             "doc",
             F.lit(is_new).alias("is_new"),
             F.explode(
@@ -375,8 +379,8 @@ def incremental_dedup(
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[
+                            band_bucket(
+                                [
                                     F.element_at("sig", b * rows_per_band + r + 1)
                                     for r in range(rows_per_band)
                                 ]

@@ -5256,6 +5256,91 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q147_oracle() -> str:
+    """DuckDB twin of the bipartite incremental dedup (q99's shape) with
+    the portable MinHash family: incoming = doc_id % 10 == 0 vs corpus =
+    the rest, banded with shared seeds, in-bucket new x old candidates,
+    exact-Jaccard verification of candidates only."""
+    from ..operators.dedup import _MH_BASE_MOD, _MH_PRIME, _mh_family_constants
+
+    consts = _mh_family_constants(32, 11)
+    mins = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {_MH_PRIME}) AS s{i}" for i, (a, b) in enumerate(consts)
+    )
+    buckets = ",\n             ".join(
+        f"((s{4*b} * 31 + s{4*b+1}) * 31 + s{4*b+2}) * 31 + s{4*b+3} AS k{b}"
+        for b in range(8)
+    )
+    band_rows = ",\n      ".join(f"({b}, k{b})" for b in range(8))
+    jac = (
+        "CAST(len(list_intersect(s1.shs, s2.shs)) AS DOUBLE)"
+        " / CAST(len(list_distinct(list_concat(s1.shs, s2.shs))) AS DOUBLE)"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shs FROM documents
+    ),
+    hm AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(u.s), 1, 15)) AS BIGINT) % {_MH_BASE_MOD} AS x
+      FROM sh, unnest(shs) u(s)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hm GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id,
+             {buckets}
+      FROM sig
+    ),
+    bands AS (
+      SELECT doc_id, t.b, t.bucket
+      FROM keyed, LATERAL (VALUES
+      {band_rows}
+      ) t(b, bucket)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS old_id
+      FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+      WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    ),
+    jac AS (
+      SELECT cand.new_id, cand.old_id, {jac} AS j
+      FROM cand
+      JOIN sh s1 ON s1.doc_id = cand.new_id
+      JOIN sh s2 ON s2.doc_id = cand.old_id
+    )
+    SELECT new_id, old_id, {floor_round6_sql("j")} AS jaccard
+    FROM jac WHERE j >= 0.5
+    """
+
+
+@register(
+    "q147_incremental_portable",
+    _q147_oracle(),
+    "Incremental (bipartite) near-dup with the portable MinHash family: "
+    "new-batch x corpus banded with shared seeds, one bucket "
+    "aggregation, in-bucket new x old expansion (never corpus x corpus), "
+    "exact-Jaccard verify of candidates only - the q99 pipeline "
+    "value-checked end-to-end against independent SQL",
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    consts = dedup._mh_family_constants(32, 11)
+    docs = _t(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 10 == 0)
+    cor = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_dedup(
+        cor,
+        inc,
+        "doc_id",
+        base_hash=dedup.portable_base_hash,
+        family=dedup.portable_family(consts),
+        band_bucket=dedup.portable_band_bucket,
+    ).select("new_id", "old_id", floor_round6(F.col("jaccard")).alias("jaccard"))
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
