@@ -127,6 +127,40 @@ def test_simhash_near_dup(spark):
     assert (1, 3) in pairs, "one-word change → small hamming distance"
 
 
+def test_portable_hash_families_preserve_dedup_semantics(spark):
+    # the engine-portable families (q145-q147 oracles) must find the
+    # same obvious structure as the xxhash64 production families
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.dedup import (
+        _mh_family_constants,
+        md5_token_hash,
+        portable_band_bucket,
+        portable_base_hash,
+        portable_family,
+    )
+
+    consts = _mh_family_constants(32, 11)
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            _docs_df(spark),
+            "doc_id",
+            base_hash=portable_base_hash,
+            family=portable_family(consts),
+            band_bucket=portable_band_bucket,
+        ).collect()
+    }
+    assert (1, 2) in mh, "exact dup must collide in every band under any family"
+    assert (1, 4) not in mh and (3, 4) not in mh
+
+    sh = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            _docs_df(spark), "doc_id", max_hamming=12, hash_fn=md5_token_hash
+        ).collect()
+    }
+    assert sh.get((1, 2)) == 0, "identical text → identical simhash under any hash"
+
+
 def test_cosine_topk_exact_and_lsh(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0, 0.0]),
