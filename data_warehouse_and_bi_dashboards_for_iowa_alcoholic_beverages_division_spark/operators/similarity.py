@@ -261,6 +261,81 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Persist an IVF index: train the coarse quantizer once, write the
+    corpus as inverted lists ``partitionBy("cell")``, and store the
+    centroids as a tiny sidecar table. At 100 TB this is the point of
+    IVF — the expensive corpus pass happens once; every later query
+    batch reads only its probed cells' files (partition pruning), never
+    rescanning or reshuffling the corpus."""
+    spark = corpus.sparkSession
+    centroids = ivf_train_centroids(corpus, id_col, vec_col, n_cells, iters)
+    corpus.select(
+        F.col(id_col), F.col(vec_col), _argmax_cell_expr(vec_col, centroids).alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell INT, centroid ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(path + "_centroids")
+    return centroids
+
+
+def query_ivf_index(
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Top-k against a persisted IVF index. The probed cell set (≤
+    n_cells ids, one tiny driver round-trip) becomes a static partition
+    filter on the inverted-list scan — the plan reads ONLY those cells'
+    files (``PartitionFilters`` on the scan), which is what makes
+    repeated query batches ~``n_probe / n_cells`` of a full scan."""
+    spark = queries.sparkSession
+    cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+
+    cell_scores = []
+    for i, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(v) for v in cent])
+        cell_scores.append(
+            F.struct(floor_round6(cosine_expr(F.col(vec_col), lit_c)).alias("s"), F.lit(i).alias("c"))
+        )
+    probes = F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes).alias("probe"),
+    ).select("query_id", "q_vec", F.col("probe.c").alias("cell"))
+
+    probed_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+    c = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probed_cells))
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="cell", how="inner")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -427,3 +427,41 @@ def test_ssjoin_prefix_equals_naive_at_multiple_thresholds(spark):
             for r in naive_pairs.where(F.col("jaccard") >= t).collect()
         )
         assert got == want, f"threshold {t}: prefix filter lost or invented pairs"
+
+
+def test_ivf_index_persist_and_query(spark, tmp_path):
+    """Persisted IVF == in-memory IVF (same centroids, cells, scoring),
+    and the query-path scan carries a partition filter on cell — the
+    index property that makes repeated query batches ~n_probe/n_cells
+    of a full scan at 100 TB."""
+    import contextlib
+    import io
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        query_ivf_index,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 5")
+    idx = str(tmp_path / "ivf")
+
+    build_ivf_index(emb, idx, n_cells=8, iters=2)
+    got_df = query_ivf_index(queries, idx, k=10, n_probe=3)
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"]) for r in got_df.collect()}
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in cosine_topk_ivf(emb, queries, k=10, n_cells=8, n_probe=3).collect()
+    }
+    assert got == want
+    assert len(got) == 50
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
