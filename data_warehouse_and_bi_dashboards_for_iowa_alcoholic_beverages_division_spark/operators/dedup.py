@@ -166,6 +166,7 @@ def minhash_lsh_candidates(
     base_hash=None,
     family=None,
     band_bucket=None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band hash are candidate
@@ -205,10 +206,54 @@ def minhash_lsh_candidates(
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
         .where(F.size("docs") > 1)
     )
+    if max_bucket_size is not None:
+        # pathological buckets (boilerplate-heavy corpora hash identical
+        # bands for huge doc sets) generate O(s²) pairs; cap them to the
+        # first ``max_bucket_size`` sorted members — deterministic, and
+        # the kept prefix still pairs every retained doc. A capped bucket
+        # loses recall by construction: count them via the DataFrame
+        # below rather than capping silently.
+        buckets = buckets.withColumn("docs", F.slice("docs", 1, max_bucket_size))
     return (
         buckets.select(F.explode(_bucket_pairs_expr(F.col("docs"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+def oversized_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 9,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Audit companion to ``max_bucket_size``: (band, bucket, size) for
+    every bucket over the cap, so a capped run can report exactly what
+    it skipped (no silent truncation)."""
+    rows_per_band = n_hashes // bands
+    banded = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") > max_bucket_size)
     )
 
 

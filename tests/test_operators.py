@@ -465,3 +465,32 @@ def test_ivf_index_persist_and_query(spark, tmp_path):
         got_df.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_lsh_bucket_cap_and_audit(spark):
+    """max_bucket_size caps pathological buckets deterministically and
+    the audit companion reports exactly which buckets were over."""
+    from pyspark.sql import Row as _Row
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.dedup import (
+        oversized_lsh_buckets,
+    )
+
+    # 30 identical docs: every band collides into one 30-doc bucket
+    boiler = spark.createDataFrame(
+        [_Row(doc_id=i, text="same boilerplate text repeated everywhere in this corpus") for i in range(30)]
+    )
+    uncapped = minhash_lsh_candidates(boiler, "doc_id").count()
+    assert uncapped == 30 * 29 // 2
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(boiler, "doc_id", max_bucket_size=5).collect()
+    }
+    assert capped == {(a, b) for a in range(5) for b in range(5) if a < b}, (
+        "cap must keep the first 5 sorted docs and pair only those"
+    )
+
+    audit = oversized_lsh_buckets(boiler, "doc_id", max_bucket_size=5).collect()
+    assert len(audit) == 8, "all 8 bands hold one oversized bucket"
+    assert all(r["size"] == 30 for r in audit)
