@@ -179,8 +179,9 @@ def minhash_lsh_candidates(
     ~2x the signature cost at sf0.1) and shuffles twice. Here
     signatures are computed ONCE and the only shuffle is the tiny
     (band, bucket, doc) stream. Per-bucket pair count is O(s²) in
-    bucket size either way — at 100 TB cap or salt pathological buckets
-    (boilerplate-heavy corpora) before pairing.
+    bucket size either way — at 100 TB pass ``max_bucket_size`` to cap
+    pathological buckets (boilerplate-heavy corpora) and report the
+    capped ones via :func:`oversized_lsh_buckets`.
     """
     rows_per_band = n_hashes // bands
     band_bucket = band_bucket or (lambda els: F.xxhash64(*els))
