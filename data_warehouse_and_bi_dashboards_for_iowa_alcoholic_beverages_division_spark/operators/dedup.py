@@ -156,6 +156,41 @@ def _bucket_pairs_expr(docs: Column) -> Column:
     )
 
 
+def _banded_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+    base_hash,
+    family,
+    band_bucket,
+) -> DataFrame:
+    """(doc, band, bucket) rows — the ONE definition of band layout and
+    bucketing, shared by candidate generation, incremental dedup, and
+    the oversized-bucket audit so all three always describe the same
+    buckets for the same hash-family parameters."""
+    rows_per_band = n_hashes // bands
+    band_bucket = band_bucket or (lambda els: F.xxhash64(*els))
+    return minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, base_hash, family).select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(
+                            [F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -183,24 +218,9 @@ def minhash_lsh_candidates(
     pathological buckets (boilerplate-heavy corpora) and report the
     capped ones via :func:`oversized_lsh_buckets`.
     """
-    rows_per_band = n_hashes // bands
-    band_bucket = band_bucket or (lambda els: F.xxhash64(*els))
-    banded = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, base_hash, family).select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket([F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    banded = _banded_docs(
+        df, id_col, text_col, n_hashes, bands, shingle_k, base_hash, family, band_bucket
+    )
 
     buckets = (
         banded.groupBy("band", "bucket")
@@ -230,27 +250,19 @@ def oversized_lsh_buckets(
     bands: int = 8,
     shingle_k: int = 9,
     max_bucket_size: int = 1000,
+    base_hash=None,
+    family=None,
+    band_bucket=None,
 ) -> DataFrame:
     """Audit companion to ``max_bucket_size``: (band, bucket, size) for
     every bucket over the cap, so a capped run can report exactly what
-    it skipped (no silent truncation)."""
-    rows_per_band = n_hashes // bands
-    banded = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    it skipped (no silent truncation). Pass the SAME hash-family
+    parameters as the capped candidate run — both go through
+    :func:`_banded_docs`, so matching parameters audit exactly the
+    buckets that were capped."""
+    banded = _banded_docs(
+        df, id_col, text_col, n_hashes, bands, shingle_k, base_hash, family, band_bucket
+    )
     return (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("size"))
@@ -413,30 +425,10 @@ def incremental_dedup(
 
     Returns (new_id, old_id, jaccard) with jaccard >= ``min_jaccard``.
     """
-    rows_per_band = n_hashes // bands
-    band_bucket = band_bucket or (lambda els: F.xxhash64(*els))
-
     def banded(df: DataFrame, is_new: bool) -> DataFrame:
-        return minhash_signatures(df, id_col, text_col, n_hashes, shingle_k, base_hash, family).select(
-            "doc",
-            F.lit(is_new).alias("is_new"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            band_bucket(
-                                [
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ]
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc", "is_new", "bb.band", "bb.bucket")
+        return _banded_docs(
+            df, id_col, text_col, n_hashes, bands, shingle_k, base_hash, family, band_bucket
+        ).select("doc", F.lit(is_new).alias("is_new"), "band", "bucket")
 
     both = banded(incoming, True).unionByName(banded(corpus, False))
     buckets = (

@@ -315,6 +315,9 @@ def query_ivf_index(
         F.col(vec_col).alias("q_vec"),
         F.explode(probes).alias("probe"),
     ).select("query_id", "q_vec", F.col("probe.c").alias("cell"))
+    # q is consumed twice (probed-cell collect, then the broadcast join);
+    # checkpoint so the n_cells-per-row centroid scoring runs once
+    q = q.localCheckpoint(eager=True)
 
     probed_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
     c = (

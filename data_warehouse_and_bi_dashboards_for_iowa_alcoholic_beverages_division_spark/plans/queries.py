@@ -5185,14 +5185,16 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q146_oracle() -> str:
-    """DuckDB twin of the full MinHash+LSH candidate pipeline with the
-    engine-portable hash family (md5-prefix base mod 2^30, 32 linear
-    families mod 2^31-1, base-31 polynomial band buckets — all exact
-    64-bit integer math in any engine). Constants come from the same
-    splitmix stream the Spark side uses. Formulated as unnest + 32
-    vectorized MIN aggregates (mirroring the Spark plan) — nested
-    list_transform lambdas were measured ~20x slower."""
+def _portable_minhash_bands_cte() -> str:
+    """Shared DuckDB CTE chain reproducing the portable MinHash banding
+    (md5-prefix base mod 2^30, 32 linear families mod 2^31-1, base-31
+    polynomial band buckets — all exact 64-bit integer math in any
+    engine): sh → hm → sig → keyed → bands(doc_id, b, bucket). Constants
+    come from the same splitmix stream the Spark side uses. ONE
+    definition, used by both the batch (q146) and incremental (q147)
+    oracles, mirroring dedup._banded_docs on the Spark side. Formulated
+    as unnest + 32 vectorized MIN aggregates — nested list_transform
+    lambdas were measured ~9x slower."""
     from ..operators.dedup import _MH_BASE_MOD, _MH_PRIME, _mh_family_constants
 
     consts = _mh_family_constants(32, 11)
@@ -5228,7 +5230,13 @@ def _q146_oracle() -> str:
       FROM keyed, LATERAL (VALUES
       {band_rows}
       ) t(b, bucket)
-    )
+    )"""
+
+
+def _q146_oracle() -> str:
+    """DuckDB twin of the full MinHash+LSH candidate pipeline with the
+    portable hash family."""
+    return f"""{_portable_minhash_bands_cte()}
     SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
     FROM bands a JOIN bands c
       ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
@@ -5261,46 +5269,11 @@ def _q147_oracle() -> str:
     the portable MinHash family: incoming = doc_id % 10 == 0 vs corpus =
     the rest, banded with shared seeds, in-bucket new x old candidates,
     exact-Jaccard verification of candidates only."""
-    from ..operators.dedup import _MH_BASE_MOD, _MH_PRIME, _mh_family_constants
-
-    consts = _mh_family_constants(32, 11)
-    mins = ",\n             ".join(
-        f"MIN(({a} * x + {b}) % {_MH_PRIME}) AS s{i}" for i, (a, b) in enumerate(consts)
-    )
-    buckets = ",\n             ".join(
-        f"((s{4*b} * 31 + s{4*b+1}) * 31 + s{4*b+2}) * 31 + s{4*b+3} AS k{b}"
-        for b in range(8)
-    )
-    band_rows = ",\n      ".join(f"({b}, k{b})" for b in range(8))
     jac = (
         "CAST(len(list_intersect(s1.shs, s2.shs)) AS DOUBLE)"
         " / CAST(len(list_distinct(list_concat(s1.shs, s2.shs))) AS DOUBLE)"
     )
-    return f"""
-    WITH sh AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS shs FROM documents
-    ),
-    hm AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(u.s), 1, 15)) AS BIGINT) % {_MH_BASE_MOD} AS x
-      FROM sh, unnest(shs) u(s)
-    ),
-    sig AS (
-      SELECT doc_id,
-             {mins}
-      FROM hm GROUP BY doc_id
-    ),
-    keyed AS (
-      SELECT doc_id,
-             {buckets}
-      FROM sig
-    ),
-    bands AS (
-      SELECT doc_id, t.b, t.bucket
-      FROM keyed, LATERAL (VALUES
-      {band_rows}
-      ) t(b, bucket)
-    ),
+    return f"""{_portable_minhash_bands_cte()},
     cand AS (
       SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS old_id
       FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket

@@ -119,8 +119,11 @@ EXPECTED_PHYSICAL = {
 
 # every encoding sources.tables.normalize_events_ts can canonicalize;
 # a NEW type here means the normalizer needs a new branch, not that the
-# data is wrong
-TS_ENCODINGS_HANDLED = {"timestamp[us]", "timestamp[ns]", "timestamp[us, tz=UTC]", "int64"}
+# data is wrong. Deliberately NOT listed: raw "int64" — the normalizer's
+# bigint branch assumes NANOseconds (the nanosAsLong read of
+# timestamp[ns]); a plain int64 column's unit is unknowable from the
+# schema, so it must fail here rather than be silently misscaled 1000x.
+TS_ENCODINGS_HANDLED = {"timestamp[us]", "timestamp[ns]", "timestamp[us, tz=UTC]"}
 
 
 def test_testdata_schema_fingerprint():
