@@ -5315,6 +5315,55 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q148_doc_chunks",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(
+               CAST(ceil((length(text) - 512) / 384.0) AS BIGINT) + 1, 1))) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * 384 + 1 AS BIGINT) AS offset,
+           CAST(length(substr(text, CAST(i * 384 + 1 AS INT), 512)) AS INT) AS chunk_len,
+           md5(substr(text, CAST(i * 384 + 1 AS INT), 512)) AS chunk_md5
+    FROM idx
+    """,
+    "Overlapping document chunking (512-char windows, 128-char overlap, "
+    "stride 384) - the RAG/context-prep primitive distinct from token "
+    "packing (q100): 1 doc -> N chunk rows via sequence+transform+"
+    "posexplode, pure JVM, no shuffle, inherits scan partitioning; "
+    "chunk identity = md5 so downstream chunk-level dedup composes",
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = F.greatest(
+        F.ceil((F.length("text") - F.lit(512)) / F.lit(384.0)).cast("int") + F.lit(1), F.lit(1)
+    )
+    return (
+        docs.withColumn("n_chunks", n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, n_chunks - 1),"
+                    " i -> struct(CAST(i * 384 + 1 AS BIGINT) AS off,"
+                    " substring(text, i * 384 + 1, 512) AS chunk))"
+                )
+            ).alias("pos", "c"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("chunk_idx"),
+            F.col("c.off").alias("offset"),
+            F.length("c.chunk").cast("int").alias("chunk_len"),
+            F.md5("c.chunk").alias("chunk_md5"),
+        )
+    )
+
+
+@register(
     "q39_knn_lsh",
     _q39_oracle(),
     "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "
