@@ -5364,6 +5364,90 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q149_bigram_coherence",
+    f"""
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, i AS pos, w[i] AS a, w[i + 1] AS b
+      FROM ws, unnest(range(1, len(w))) t(i)
+      WHERE len(w) >= 2
+    ),
+    uni AS (
+      SELECT a, COUNT(*) AS c_a FROM bg GROUP BY a
+    ),
+    big AS (
+      SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b
+    ),
+    scored AS (
+      SELECT bg.doc_id, bg.pos,
+             CAST(big.c_ab AS DOUBLE) / CAST(uni.c_a AS DOUBLE) AS p
+      FROM bg JOIN big ON bg.a = big.a AND bg.b = big.b
+              JOIN uni ON bg.a = uni.a
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             list_sum(list(p ORDER BY pos)) AS s,
+             COUNT(*) AS n
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, {{0}} AS bigram_coherence, CAST(n AS BIGINT) AS n_bigrams
+    FROM perdoc
+    """.format(floor_round6_sql("s / n")),
+    "Bigram-LM coherence score (cheap perplexity proxy): corpus bigram "
+    "conditional probabilities P(b|a) = c_ab/c_a averaged per document. "
+    "Cross-engine float parity by construction: each P is one exact "
+    "IEEE division, the per-doc sum folds the SAME values in the SAME "
+    "(position) order on both engines (collect_list+array_sort fold vs "
+    "list(ORDER BY)), so no partial-aggregation order can leak in. Two "
+    "shuffles (bigram count, per-doc agg) + one broadcastable stats join",
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
+    ).where(F.size("w") >= 2)
+    bg = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("pos", "p"),
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "p.a", "p.b")
+    uni = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    big = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    scored = (
+        bg.join(big, ["a", "b"])
+        .join(uni, "a")
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("c_ab").cast("double") / F.col("c_a").cast("double")).alias("p"),
+        )
+    )
+    # deterministic summation order: fold the probs sorted by position,
+    # exactly the order the oracle's list(p ORDER BY pos) sums in
+    perdoc = scored.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return perdoc.select(
+        "doc_id",
+        floor_round6(F.col("s") / F.col("n")).alias("bigram_coherence"),
+        F.col("n").alias("n_bigrams"),
+    )
+
+
+@register(
     "q39_knn_lsh",
     _q39_oracle(),
     "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "
