@@ -5447,6 +5447,112 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q67_oracle() -> str:
+    """DuckDB twin of similarity.cosine_topk_ivf(k=10, n_cells=8,
+    n_probe=3, iters=2): the deterministic k-means-lite train is fully
+    unrolled in SQL — seeds are the 8 lowest-id vectors, each Lloyd
+    step is (argmax-cosine assignment, per-dimension mean rounded to
+    6dp, empty cells keep their previous centroid), then the corpus is
+    inverted-listed under the final centroids and each query probes its
+    3 best cells. Ties break exactly as the Spark side: assignment picks
+    the highest cell id, probe ranking is (score DESC, cell DESC),
+    neighbor ranking is (score DESC, neighbor ASC)."""
+    cos_c = (
+        "list_sum(list_transform(list_zip(v.embedding, {c}.cvec),"
+        " z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        " / (v.nrm * sqrt(list_sum(list_transform({c}.cvec, x -> x * x))))"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        scored = floor_round6_sql(cos_c.format(c=cents))
+        return f"""{name} AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, {cents}.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {scored} DESC, {cents}.cell DESC) AS rn
+        FROM v, {cents}
+      ) WHERE rn = 1
+    )"""
+
+    def lloyd(a: str, prev: str, new: str) -> str:
+        return f"""{new}_m AS (
+      SELECT {a}.cell, generate_subscripts(v.embedding, 1) AS pos,
+             unnest(v.embedding) AS x
+      FROM {a} JOIN v USING (vec_id)
+    ),
+    {new}_c AS (
+      SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos, round(avg(CAST(x AS DOUBLE)), 6) AS m
+        FROM {new}_m GROUP BY cell, pos
+      ) GROUP BY cell
+    ),
+    {new} AS (
+      SELECT {prev}.cell, COALESCE({new}_c.cvec, {prev}.cvec) AS cvec
+      FROM {prev} LEFT JOIN {new}_c USING (cell)
+    )"""
+
+    probe_score = floor_round6_sql(cos_c.format(c="c2"))
+    pair_cos = (
+        "list_sum(list_transform(list_zip(q.embedding, v.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm)"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    {assign("a1", "c0")},
+    {lloyd("a1", "c0", "c1")},
+    {assign("a2", "c1")},
+    {lloyd("a2", "c1", "c2")},
+    {assign("af", "c2")},
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT v.vec_id, c2.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {probe_score} DESC, c2.cell DESC) AS rn
+        FROM v, c2 WHERE v.vec_id < 5
+      ) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, v.vec_id AS neighbor_id,
+             {floor_round6_sql(pair_cos)} AS score
+      FROM probes p
+      JOIN af ON af.cell = p.cell
+      JOIN v ON v.vec_id = af.vec_id AND v.vec_id <> p.query_id
+      JOIN v q ON q.vec_id = p.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "q67_knn_ivf",
+    _q67_oracle(),
+    "IVF approximate top-k: k-means-lite coarse quantizer (deterministic "
+    "seeds + 2 distributed Lloyd steps), corpus inverted-listed by cell, "
+    "queries probe their 3 nearest of 8 cells - candidate work is "
+    "~n_probe/n_cells of brute force and the inverted lists bucket-write "
+    "cleanly at scale; the whole train+assign+probe pipeline is unrolled "
+    "as the DuckDB oracle, so even the iterative quantizer is value-checked",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(emb, emb.where("vec_id < 5"), k=10, n_cells=8, n_probe=3)
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
@@ -5465,8 +5571,8 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry tail: the driver hash-verifies a prefix of the registration
 # order, so every slot it checks should be a query it can actually
 # value-check. Each entry here is pinned by pytest instead — q35/q36/q99
-# by randomized comparison against naive all-pairs truth, q67 by
-# recall against the exact q38, q56 against the exact distinct count,
+# by randomized comparison against naive all-pairs truth,
+# q56 against the exact distinct count,
 # q71 by byte-level determinism, q126 against a pure-Python BPE.
 # =====================================================================
 
@@ -5500,24 +5606,6 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
     )
-
-
-# =====================================================================
-# ANN scale path #2 — IVF (inverted file) index
-# =====================================================================
-
-@register(
-    "q67_knn_ivf",
-    None,  # approximate path; recall vs the exact q38 pinned in tests
-    "IVF approximate top-k: k-means-lite coarse quantizer (deterministic "
-    "seeds + 2 distributed Lloyd steps), corpus inverted-listed by cell, "
-    "queries probe their 3 nearest of 8 cells — candidate work is "
-    "~n_probe/n_cells of brute force and the inverted lists bucket-write "
-    "cleanly at scale",
-)
-def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk_ivf(emb, emb.where("vec_id < 5"), k=10, n_cells=8, n_probe=3)
 
 
 @register(

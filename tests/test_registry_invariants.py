@@ -52,7 +52,6 @@ def test_rows_only_queries_are_the_known_set():
         "q35_minhash_lsh",
         "q36_simhash",
         "q56_approx_distinct",
-        "q67_knn_ivf",
         "q71_media_resize",
         "q99_incremental_lsh",
         "q126_bpe_train",
