@@ -5553,6 +5553,82 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_ivf(emb, emb.where("vec_id < 5"), k=10, n_cells=8, n_probe=3)
 
 
+def _q126_oracle(n_merges: int = 8, min_pair_count: int = 2) -> str:
+    """DuckDB twin of bpe_train(n_merges=8): the iterative train is
+    unrolled, one (pairs -> best -> merged vocab) CTE block per merge.
+    Token arrays are carried as boundary-marked strings
+    ("⟨t1⟩⟨t2⟩..."): applying a merge is then a plain substring
+    replace — non-overlapping left-to-right, which is EXACTLY the
+    greedy (out, pend) fold semantics of the Spark side (a token
+    consumed by a merge cannot participate in the next match of the
+    same pass). The ⟨⟩ markers make token boundaries explicit, so a
+    pattern can never match across a boundary. Argmax tiebreak (count
+    DESC, then pair text ASC) and the min-pair-count floor mirror the
+    Spark constants. If the corpus exhausts merges early, a best{k} CTE
+    is empty and every later step cascades empty — same early-break
+    rows as the Spark loop."""
+    steps = []
+    for k in range(n_merges):
+        steps.append(f"""pairs{k} AS (
+      SELECT tk[i] AS l, tk[i + 1] AS r, SUM(n) AS cnt FROM (
+        SELECT n, tk, unnest(range(1, len(tk))) AS i FROM (
+          SELECT n, string_split(substr(ws, 2, length(ws) - 2), '⟩⟨') AS tk
+          FROM vocab{k}
+        )
+      )
+      GROUP BY 1, 2 HAVING SUM(n) >= {min_pair_count}
+    ),
+    best{k} AS (
+      SELECT l, r, cnt FROM pairs{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    ),
+    vocab{k + 1} AS (
+      SELECT v.word, v.n,
+             replace(v.ws, '⟨' || b.l || '⟩⟨' || b.r || '⟩',
+                     '⟨' || b.l || b.r || '⟩') AS ws
+      FROM vocab{k} v, best{k} b
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f'SELECT {k} AS "rank", l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count FROM best{k}'
+        for k in range(n_merges)
+    )
+    body = ",\n    ".join(steps)
+    return f"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    vocab0 AS (
+      SELECT word, COUNT(*) AS n,
+             '⟨' || array_to_string(string_split(word, ''), '⟩⟨') || '⟩' AS ws
+      FROM words WHERE word <> '' GROUP BY word
+    ),
+    {body}
+    {unions}
+    """
+
+
+@register(
+    "q126_bpe_train",
+    _q126_oracle(),
+    "Distributed BPE tokenizer training (Sennrich et al. 2016) over "
+    "the corpus word-frequency table: per iteration one weighted pair-"
+    "count aggregate (shuffle carries distinct pairs, not occurrences), "
+    "a driver-side argmax with deterministic tiebreak, and an "
+    "expression-only greedy merge fold - no Python row processing; "
+    "localCheckpoint truncates the per-iteration lineage. The 8-merge "
+    "train is unrolled as the DuckDB oracle (greedy fold == non-"
+    "overlapping left-to-right replace on boundary-marked strings), so "
+    "the iterative algorithm is value-checked end-to-end",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8, min_pair_count=2)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
@@ -5572,8 +5648,7 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, so every slot it checks should be a query it can actually
 # value-check. Each entry here is pinned by pytest instead — q35/q36/q99
 # by randomized comparison against naive all-pairs truth,
-# q56 against the exact distinct count,
-# q71 by byte-level determinism, q126 against a pure-Python BPE.
+# q56 against the exact distinct count, q71 by byte-level determinism.
 # =====================================================================
 
 
@@ -5642,25 +5717,3 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# =====================================================================
-# BPE tokenizer training (iterative; rows-only)
-# =====================================================================
-
-@register(
-    "q126_bpe_train",
-    None,  # iterative argmax loop — not one SQL query; golden-tested
-    # against a pure-Python reference BPE in tests/test_bpe.py
-    "Distributed BPE tokenizer training (Sennrich et al. 2016) over "
-    "the corpus word-frequency table: per iteration one weighted pair-"
-    "count aggregate (shuffle carries distinct pairs, not occurrences), "
-    "a driver-side argmax with deterministic tiebreak, and an "
-    "expression-only greedy merge fold — no Python row processing; "
-    "localCheckpoint truncates the per-iteration lineage",
-)
-def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bpe import bpe_train
-
-    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8, min_pair_count=2)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count long"
-    )

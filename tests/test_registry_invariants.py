@@ -54,7 +54,6 @@ def test_rows_only_queries_are_the_known_set():
         "q56_approx_distinct",
         "q71_media_resize",
         "q99_incremental_lsh",
-        "q126_bpe_train",
     }
 
 
