@@ -5607,6 +5607,100 @@ def _q126_oracle(n_merges: int = 8, min_pair_count: int = 2) -> str:
     """
 
 
+def _q150_oracle() -> str:
+    """DuckDB twin of the portable HLL sketch. Everything before the
+    final division is exact: md5-prefix 60-bit hash, bucket = low 12
+    bits, rho = leading-zero rank of the remaining 48 bits via the
+    binary-string length (pure integer/string ops), registers = MAX per
+    bucket including empties (range join), and the indicator sum folds
+    1/2^r terms — each an exact power of two — in bucket order on both
+    engines. Only the last divide and the 6dp floor touch floats."""
+    alpha = "0.7213 / (1.0 + 1.079 / 4096.0)"
+    est = f"({alpha}) * 4096.0 * 4096.0 / s"
+    return f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM lineitem
+    ),
+    rr AS (
+      SELECT hv % 4096 AS bucket,
+             CASE WHEN hv // 4096 = 0 THEN 49
+                  ELSE 48 - length(bin(hv // 4096)) + 1 END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT r.range AS bucket, COALESCE(MAX(rr.rho), 0) AS reg
+      FROM range(0, 4096) r LEFT JOIN rr ON rr.bucket = r.range
+      GROUP BY r.range
+    ),
+    agg AS (
+      SELECT list_sum(list(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE) ORDER BY bucket)) AS s,
+             SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v
+      FROM regs
+    )
+    SELECT {floor_round6_sql(est)} AS hll_estimate,
+           CAST(v AS BIGINT) AS n_empty_registers,
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact_orders
+    FROM agg
+    """
+
+
+@register(
+    "q150_hll_portable",
+    _q150_oracle(),
+    "Portable HyperLogLog distinct-count sketch (p=12, 4096 registers) "
+    "built from explicit exact integer math - md5-prefix hash, bucket "
+    "split, leading-zero rank via binary-string length, MAX-merged "
+    "registers - with the harmonic-mean estimate folding exact powers "
+    "of two in register order. Unlike the built-in sketch (q56, engine-"
+    "specific by design), every step is reproducible in external SQL; "
+    "the registers MAX-merge associatively, which is the mergeability "
+    "that lets 100 TB partial sketches combine without rescanning",
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    rr = h.select(
+        (F.col("hv") % 4096).alias("bucket"),
+        F.when(F.expr("hv DIV 4096") == 0, F.lit(49))
+        .otherwise(F.lit(48) - F.length(F.bin(F.expr("hv DIV 4096"))) + F.lit(1))
+        .alias("rho"),
+    )
+    spark = li.sparkSession
+    all_buckets = spark.range(4096).select(F.col("id").alias("bucket"))
+    regs = (
+        all_buckets.join(rr, "bucket", "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("reg"))
+    )
+    agg = regs.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "reg"))),
+            F.lit(0.0),
+            # shiftleft() needs a literal bit count, so build 2^reg via
+            # pow + long-cast (exact for reg <= 49 — the established
+            # pattern from similarity._probe_buckets_expr's masks);
+            # dividing by an exact power of two is itself exact
+            lambda acc, x: acc
+            + F.lit(1.0) / F.pow(F.lit(2.0), x["reg"]).cast("long").cast("double"),
+        ).alias("s"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("v"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 4096.0)
+    exact = li.agg(F.count_distinct("l_orderkey").alias("exact_orders"))
+    return agg.crossJoin(F.broadcast(exact)).select(
+        floor_round6(F.lit(alpha) * F.lit(4096.0) * F.lit(4096.0) / F.col("s")).alias(
+            "hll_estimate"
+        ),
+        F.col("v").cast("long").alias("n_empty_registers"),
+        "exact_orders",
+    )
+
+
 @register(
     "q126_bpe_train",
     _q126_oracle(),
