@@ -5702,6 +5702,44 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q151_resize_text_twin",
+    """
+    SELECT doc_id AS media_id,
+           CAST(length(resized) AS INT) AS n_chars,
+           md5(resized) AS resized_md5
+    FROM (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN ''
+                  WHEN length(text) >= 1024 THEN substr(text, 1, 1024)
+                  ELSE substr(repeat(text, CAST(1024 // length(text) AS INT) + 1), 1, 1024)
+             END AS resized
+      FROM documents
+    )
+    """,
+    "Oracle-checked twin of the binary resize step (q71, rows-only "
+    "because the oracle engine lacks blob md5/substring): the identical "
+    "truncate-or-cycle-to-budget arithmetic on the text payload, so the "
+    "resize logic itself is value-checked cross-engine while the binary "
+    "flavor keeps exercising the BINARY-typed mapInPandas plumbing",
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    resized = (
+        F.when(n == 0, F.lit(""))
+        .when(n >= 1024, F.substring("text", 1, 1024))
+        .otherwise(
+            F.substring(F.repeat(F.col("text"), F.expr("CAST(1024 DIV length(text) AS INT) + 1")), 1, 1024)
+        )
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.length(resized).cast("int").alias("n_chars"),
+        F.md5(resized).alias("resized_md5"),
+    )
+
+
+@register(
     "q126_bpe_train",
     _q126_oracle(),
     "Distributed BPE tokenizer training (Sennrich et al. 2016) over "
