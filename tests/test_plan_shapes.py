@@ -506,3 +506,30 @@ def test_no_registered_query_terminates_in_decimal(spark):
         if decs:
             offenders[name] = decs
     assert not offenders, f"decimal terminal columns: {offenders}"
+
+
+def test_doc_chunks_no_shuffle(q):
+    # q148 is a pure flat-map (sequence+transform+posexplode): chunks
+    # inherit the scan partitioning; any Exchange means a refactor
+    # introduced a shuffle into an embarrassingly parallel op
+    plan = plan_text(q("q148_doc_chunks"))
+    assert "Exchange" not in plan
+    assert "Generate" in plan, "1 doc -> N chunks must be a generator, not a join"
+
+
+def test_bigram_coherence_stats_joins_broadcast(q):
+    # q149: the unigram/bigram count sides are corpus-vocabulary-sized
+    # aggregates; their join back onto the (much larger) bigram stream
+    # must broadcast, never sort-merge — at 100 TB a sort-merge here
+    # would reshuffle the whole exploded corpus twice
+    plan = plan_text(q("q149_bigram_coherence"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_register_aggregation_is_partial(q):
+    # q150: the per-bucket MAX must partial-aggregate map-side — the
+    # shuffle carries at most 4096 registers per mapper, never the raw
+    # hashed rows — and the final fold is one tiny single-row aggregate
+    plan = plan_text(q("q150_hll_portable"))
+    assert "partial_max" in plan
