@@ -5419,6 +5419,10 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "p"),
     ).select("doc_id", (F.col("pos") + 1).alias("pos"), "p.a", "p.b")
+    # bg feeds three consumers (unigram counts, bigram counts, the
+    # scored join); checkpoint so the corpus explode runs once, not
+    # three times — the multi-consumer device graph.py/dedup.py use
+    bg = bg.localCheckpoint(eager=True)
     uni = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
     big = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     scored = (
