@@ -5744,6 +5744,46 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q152_fuzzy_supplier_match",
+    """
+    WITH s AS (
+      SELECT s_suppkey, s_name, length(s_name) AS ln, substr(s_name, 1, 9) AS pfx
+      FROM supplier
+    )
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_distance
+    FROM s a JOIN s b
+      ON a.ln = b.ln AND a.pfx = b.pfx AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+    "Fuzzy entity matching: blocked Levenshtein self-join (exact integer "
+    "edit distance on both engines). Blocking = (name length, 9-char "
+    "prefix) equi-join - never all-pairs; at 100 TB indel-tolerant "
+    "matching additionally probes the +-k neighbor length buckets, the "
+    "same neighbor-expansion pattern as multi-probe LSH",
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.length("s_name").alias("ln"),
+        F.substring("s_name", 1, 9).alias("pfx"),
+    )
+    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"), "ln", "pfx")
+    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"), "ln", "pfx")
+    return (
+        a.join(b, ["ln", "pfx"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= 2)
+    )
+
+
+@register(
     "q126_bpe_train",
     _q126_oracle(),
     "Distributed BPE tokenizer training (Sennrich et al. 2016) over "
