@@ -209,7 +209,14 @@ def ivf_train_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims"))
             .collect()
         )
-        new = {r["cell"]: [round(float(d["m"]), 6) for d in r["dims"]] for r in means}
+        # the canonical floor_round6 formula, NOT Python round(): round()
+        # ties half-even while DuckDB round() ties half-away — a documented
+        # divergent pair (functions/rounding.py); the floor form evaluates
+        # to the identical double in Python, the JVM, and external SQL
+        new = {
+            r["cell"]: [math.floor(float(d["m"]) * 1000000 + 0.5) / 1000000.0 for d in r["dims"]]
+            for r in means
+        }
         centroids = [new.get(i, centroids[i]) for i in range(n_cells)]
     return centroids
 

@@ -5420,14 +5420,15 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "p"),
     ).select("doc_id", (F.col("pos") + 1).alias("pos"), "p.a", "p.b")
     # bg feeds three consumers (unigram counts, bigram counts, the
-    # scored join); checkpoint so the corpus explode runs once, not
-    # three times — the multi-consumer device graph.py/dedup.py use
-    bg = bg.localCheckpoint(eager=True)
+    # scored join); persist, not localCheckpoint — the q139 device for
+    # single-pass multi-consumer DAGs: construction stays lazy (no job
+    # at build time) and recomputation stays reliable on executor loss
+    bg = bg.persist()
     uni = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
     big = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     scored = (
-        bg.join(big, ["a", "b"])
-        .join(uni, "a")
+        bg.join(F.broadcast(big), ["a", "b"])
+        .join(F.broadcast(uni), "a")
         .select(
             "doc_id",
             "pos",
@@ -5486,7 +5487,7 @@ def _q67_oracle() -> str:
     ),
     {new}_c AS (
       SELECT cell, list(m ORDER BY pos) AS cvec FROM (
-        SELECT cell, pos, round(avg(CAST(x AS DOUBLE)), 6) AS m
+        SELECT cell, pos, {floor_round6_sql("avg(CAST(x AS DOUBLE))")} AS m
         FROM {new}_m GROUP BY cell, pos
       ) GROUP BY cell
     ),
@@ -5757,10 +5758,15 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.s_name, b.s_name) <= 2
     """,
     "Fuzzy entity matching: blocked Levenshtein self-join (exact integer "
-    "edit distance on both engines). Blocking = (name length, 9-char "
-    "prefix) equi-join - never all-pairs; at 100 TB indel-tolerant "
-    "matching additionally probes the +-k neighbor length buckets, the "
-    "same neighbor-expansion pattern as multi-probe LSH",
+    "edit distance on both engines, fully value-checked). Honest caveat: "
+    "on the synthetic supplier names the (length, prefix) key is CONSTANT "
+    "- every row lands in one block, so here the join degenerates to "
+    "all-pairs-within-table with maximal key skew; that is the worst "
+    "case of prefix blocking, not its design point. Real deployments "
+    "block on content-bearing keys (q-gram sets or deletion "
+    "neighborhoods - recall-complete for distance<=k, cf. the PPJoin "
+    "prefix filter in q130) and salt hot blocks; the pattern and the "
+    "cross-engine distance parity are what this entry pins",
 )
 def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select(

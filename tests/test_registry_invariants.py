@@ -186,3 +186,25 @@ def test_driver_checked_prefix_is_fully_oracled():
         f"rows-only queries inside the driver-checked prefix: {unoracled} "
         f"— move them to the rows-only tail section of queries.py"
     )
+
+
+def test_corpus_free_of_bpe_boundary_markers():
+    # q126's oracle carries token arrays as boundary-marked strings
+    # ("⟨t1⟩⟨t2⟩…"); a corpus word containing U+27E8/U+27E9 would forge
+    # token boundaries and silently diverge the oracle from the Spark
+    # fold. Current data is printable ASCII; if regenerated data ever
+    # contains the markers, fail HERE with a readable message instead
+    # of an inexplicable q126 hash mismatch.
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = con.execute(
+            f"SELECT COUNT(*) FROM '/root/testdata/{sf}/documents.parquet' "
+            f"WHERE text LIKE '%⟨%' OR text LIKE '%⟩%'"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{sf}: {n} documents contain the ⟨⟩ boundary markers q126's "
+            f"oracle reserves — switch the oracle's markers to characters "
+            f"absent from the corpus before trusting its value check"
+        )
