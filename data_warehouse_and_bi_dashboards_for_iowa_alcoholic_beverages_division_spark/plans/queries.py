@@ -5789,6 +5789,105 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q153_oracle() -> str:
+    """DuckDB twin of the HLL merge: per-priority register sets are
+    MAX-combined into the global registers — the associative partial-
+    sketch merge — and the merged estimate must equal what q150 computes
+    from the raw data directly."""
+    alpha = "0.7213 / (1.0 + 1.079 / 4096.0)"
+    est = f"({alpha}) * 4096.0 * 4096.0 / s"
+    return f"""
+    WITH h AS (
+      SELECT o_orderpriority AS grp,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM orders
+    ),
+    rr AS (
+      SELECT grp, hv % 4096 AS bucket,
+             CASE WHEN hv // 4096 = 0 THEN 49
+                  ELSE 48 - length(bin(hv // 4096)) + 1 END AS rho
+      FROM h
+    ),
+    grp_regs AS (
+      SELECT g.grp, r.range AS bucket, COALESCE(MAX(rr.rho), 0) AS reg
+      FROM (SELECT DISTINCT grp FROM rr) g
+      CROSS JOIN range(0, 4096) r
+      LEFT JOIN rr ON rr.grp = g.grp AND rr.bucket = r.range
+      GROUP BY g.grp, r.range
+    ),
+    merged AS (
+      SELECT bucket, MAX(reg) AS reg FROM grp_regs GROUP BY bucket
+    ),
+    agg AS (
+      SELECT list_sum(list(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE) ORDER BY bucket)) AS s
+      FROM merged
+    )
+    SELECT {floor_round6_sql(est)} AS merged_estimate,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS exact_orders,
+           (SELECT COUNT(DISTINCT grp) FROM rr) AS n_partial_sketches
+    FROM agg
+    """
+
+
+@register(
+    "q153_hll_merge",
+    _q153_oracle(),
+    "HLL partial-sketch merge: per-priority register sets MAX-combine "
+    "into the global registers, and the merged estimate is computed "
+    "WITHOUT touching the raw rows again - the associativity that lets "
+    "per-partition/per-day sketches at 100 TB answer corpus-wide "
+    "distinct counts from kilobytes of state. Same portable register "
+    "construction as q150, fully oracle-checked",
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    h = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    rr = h.select(
+        "grp",
+        (F.col("hv") % 4096).alias("bucket"),
+        F.when(F.expr("hv DIV 4096") == 0, F.lit(49))
+        .otherwise(F.lit(48) - F.length(F.bin(F.expr("hv DIV 4096"))) + F.lit(1))
+        .alias("rho"),
+    )
+    spark_s = o.sparkSession
+    groups = rr.select("grp").distinct()
+    all_buckets = spark_s.range(4096).select(F.col("id").alias("bucket"))
+    grp_regs = (
+        groups.crossJoin(F.broadcast(all_buckets))
+        .join(rr, ["grp", "bucket"], "left")
+        .groupBy("grp", "bucket")
+        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("reg"))
+    )
+    merged = grp_regs.groupBy("bucket").agg(F.max("reg").alias("reg"))
+    agg = merged.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "reg"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.lit(1.0) / F.pow(F.lit(2.0), x["reg"]).cast("long").cast("double"),
+        ).alias("s"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 4096.0)
+    exact = o.agg(F.count_distinct("o_orderkey").alias("exact_orders"))
+    nsk = groups.agg(F.count(F.lit(1)).alias("n_partial_sketches"))
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(nsk))
+        .select(
+            floor_round6(F.lit(alpha) * F.lit(4096.0) * F.lit(4096.0) / F.col("s")).alias(
+                "merged_estimate"
+            ),
+            "exact_orders",
+            F.col("n_partial_sketches").cast("long"),
+        )
+    )
+
+
 @register(
     "q126_bpe_train",
     _q126_oracle(),
