@@ -5888,6 +5888,106 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q154_oracle() -> str:
+    """DuckDB twin of the Count-Min sketch heavy-hitter estimates: 4
+    rows x 1024 counters, the same portable linear hash families as the
+    MinHash oracle (exact 64-bit integer math), point estimates = MIN
+    over the 4 addressed counters. Every number is an integer — parity
+    is exact by construction."""
+    from ..operators.dedup import _MH_PRIME, _mh_family_constants
+
+    consts = _mh_family_constants(4, 23)
+    buckets = ", ".join(
+        f"(({a} * (hv % 1073741824) + {b}) % {_MH_PRIME}) % 1024 AS b{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    return f"""
+    WITH h AS (
+      SELECT l_partkey,
+             CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM lineitem
+    ),
+    addr AS (
+      SELECT l_partkey, {buckets} FROM h
+    ),
+    counters AS (
+      SELECT 0 AS row_id, b0 AS bucket, COUNT(*) AS c FROM addr GROUP BY b0
+      UNION ALL SELECT 1, b1, COUNT(*) FROM addr GROUP BY b1
+      UNION ALL SELECT 2, b2, COUNT(*) FROM addr GROUP BY b2
+      UNION ALL SELECT 3, b3, COUNT(*) FROM addr GROUP BY b3
+    ),
+    top_keys AS (
+      SELECT l_partkey, COUNT(*) AS exact_count
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_count DESC, l_partkey ASC LIMIT 10
+    ),
+    key_addr AS (
+      SELECT t.l_partkey, t.exact_count, a.b0, a.b1, a.b2, a.b3
+      FROM top_keys t
+      JOIN (SELECT DISTINCT l_partkey, b0, b1, b2, b3 FROM addr) a USING (l_partkey)
+    )
+    SELECT k.l_partkey AS partkey,
+           CAST(k.exact_count AS BIGINT) AS exact_count,
+           CAST(least(c0.c, c1.c, c2.c, c3.c) AS BIGINT) AS cm_estimate
+    FROM key_addr k
+    JOIN counters c0 ON c0.row_id = 0 AND c0.bucket = k.b0
+    JOIN counters c1 ON c1.row_id = 1 AND c1.bucket = k.b1
+    JOIN counters c2 ON c2.row_id = 2 AND c2.bucket = k.b2
+    JOIN counters c3 ON c3.row_id = 3 AND c3.bucket = k.b3
+    """
+
+
+@register(
+    "q154_countmin_heavy_hitters",
+    _q154_oracle(),
+    "Count-Min sketch (4 x 1024 integer counters, portable linear hash "
+    "families) with heavy-hitter point estimates: estimate = MIN over "
+    "the 4 addressed counters, always >= the exact count by "
+    "construction. All-integer arithmetic, so cross-engine parity is "
+    "exact; at 100 TB the counter matrix is kilobytes of mergeable "
+    "(elementwise-additive) state per partition, the streaming-"
+    "frequency twin of the HLL distinct sketch",
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    consts = dedup._mh_family_constants(4, 23)
+    hv = (
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(1 << 30)
+    )
+    addr_cols = [
+        ((F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(2_147_483_647) % F.lit(1024)).alias(f"b{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    addr = li.select("l_partkey", hv.alias("hv")).select("l_partkey", *addr_cols)
+    addr = addr.persist()
+    counters = None
+    for i in range(4):
+        c = addr.groupBy(F.col(f"b{i}").alias("bucket")).agg(F.count(F.lit(1)).alias("c")).select(
+            F.lit(i).alias("row_id"), "bucket", "c"
+        )
+        counters = c if counters is None else counters.unionByName(c)
+    top_keys = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("l_partkey").asc())
+        .limit(10)
+    )
+    key_addr = top_keys.join(F.broadcast(addr.dropDuplicates(["l_partkey"])), "l_partkey")
+    out = key_addr
+    for i in range(4):
+        ci = counters.where(F.col("row_id") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        out = out.join(F.broadcast(ci), f"b{i}")
+    return out.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("exact_count").cast("long"),
+        F.least("c0", "c1", "c2", "c3").cast("long").alias("cm_estimate"),
+    )
+
+
 @register(
     "q126_bpe_train",
     _q126_oracle(),
