@@ -23,9 +23,18 @@ from pyspark.sql import DataFrame
 def _as_event_time(events: DataFrame, col: str = "ts") -> DataFrame:
     """Watermarks require TIMESTAMP (LTZ); upstream batch reads
     canonicalize to TIMESTAMP_NTZ. Cast defensively so any caller's
-    stream works — session tz is pinned UTC, so the cast is
-    wall-clock-exact."""
+    stream works — but the NTZ→LTZ cast is wall-clock-exact only under
+    a UTC session, so refuse to shift watermark/window boundaries
+    silently when a caller brings a non-UTC session."""
     if dict(events.dtypes).get(col) == "timestamp_ntz":
+        tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"event-time cast requires spark.sql.session.timeZone='UTC' "
+                f"(got {tz!r}): a non-UTC session would shift every "
+                f"watermark and window boundary by the zone offset. Use "
+                f"session.get_spark() or set the conf before streaming."
+            )
         events = events.withColumn(col, F.col(col).cast("timestamp"))
     return events
 

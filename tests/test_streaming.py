@@ -78,6 +78,26 @@ def test_watermark_helpers(spark):
     assert incremental_delta(df, "d", None).count() == 2
 
 
+def test_event_time_cast_requires_utc_session(spark):
+    """_as_event_time refuses a non-UTC session instead of silently
+    shifting every watermark/window boundary by the zone offset; under
+    the pinned-UTC session the cast goes through."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.joins import _as_event_time
+
+    df = spark.createDataFrame(
+        [Row(ts=datetime.datetime(2024, 1, 1, 12, 0, 0))]
+    ).select(F.col("ts").cast("timestamp_ntz"))
+    assert dict(_as_event_time(df).dtypes)["ts"] == "timestamp"
+
+    spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+    try:
+        with pytest.raises(ValueError, match="UTC"):
+            _as_event_time(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert dict(_as_event_time(df).dtypes)["ts"] == "timestamp"
+
+
 def test_scd_stream_upsert_matches_batch_rebuild(spark, tmp_path):
     """Two staged drops folded in by separate stream runs == one batch
     SCD build over the concatenated input (stream merge ≡ rebuild)."""
