@@ -43,7 +43,10 @@ HEADLINE = [
 
 def main() -> None:
     from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark import get_spark
-    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import registry
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        registry,
+        release_persisted,
+    )
 
     spark = get_spark("bench")
     reg = registry()
@@ -58,6 +61,7 @@ def main() -> None:
         t0 = time.time()
         reg[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        release_persisted()  # free tracked caches between queries
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

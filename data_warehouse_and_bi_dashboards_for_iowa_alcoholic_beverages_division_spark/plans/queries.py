@@ -144,6 +144,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Queries that cache a multi-consumer intermediate (q139/q149/q154)
+# register the persisted DataFrame here so long-lived sweep sessions —
+# the 153-query gate, the bench loop — can release executor storage
+# after each query's terminal action instead of relying on LRU
+# eviction. A single query's cache is tiny; 153 of them in one session
+# is executor-memory pressure at scale.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked cache; returns how many were released.
+    Safe to call at any point — queries re-persist on next build."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
+
 # =====================================================================
 # §2.4 A5 / A1 — flagship aggregation (TPC-H Q1 shape on lineitem)
 # =====================================================================
@@ -4910,8 +4935,9 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
     # persist, not localCheckpoint: keeps construction lazy (no job at
     # build time) and recomputation reliable if an executor is lost,
-    # while still preventing the marginals from rescanning documents
-    obs = obs.persist()
+    # while still preventing the marginals from rescanning documents;
+    # tracked so sweep runners release it after the terminal action
+    obs = _persist(obs)
     rt = obs.groupBy("source").agg(F.sum("o").alias("row_tot"))
     ct = obs.groupBy("lang").agg(F.sum("o").alias("col_tot"))
     n = obs.agg(F.sum("o").alias("tot"))
@@ -5422,8 +5448,9 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bg feeds three consumers (unigram counts, bigram counts, the
     # scored join); persist, not localCheckpoint — the q139 device for
     # single-pass multi-consumer DAGs: construction stays lazy (no job
-    # at build time) and recomputation stays reliable on executor loss
-    bg = bg.persist()
+    # at build time) and recomputation stays reliable on executor loss;
+    # tracked so sweep runners release it after the terminal action
+    bg = _persist(bg)
     uni = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
     big = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     scored = (
@@ -5961,7 +5988,7 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(consts)
     ]
     addr = li.select("l_partkey", hv.alias("hv")).select("l_partkey", *addr_cols)
-    addr = addr.persist()
+    addr = _persist(addr)
     counters = None
     for i in range(4):
         c = addr.groupBy(F.col(f"b{i}").alias("bucket")).agg(F.count(F.lit(1)).alias("c")).select(

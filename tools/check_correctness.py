@@ -67,6 +67,10 @@ def run_gate(spark, con, sf_dir, qs, oracles, names) -> int:
     """Shared compare loop (used here and by check_vanilla.py): run
     each query on ``spark`` and its oracle on ``con``, print one
     PASS/ROWS/FAIL line per query, return the failure count."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        release_persisted,
+    )
+
     failures = 0
     for name in names:
         t0 = time.time()
@@ -77,7 +81,9 @@ def run_gate(spark, con, sf_dir, qs, oracles, names) -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             failures += 1
+            release_persisted()
             continue
+        release_persisted()  # results are on the driver; free tracked caches
         if name not in oracles:
             print(f"ROWS {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
