@@ -5646,9 +5646,15 @@ def _q150_oracle() -> str:
     binary-string length (pure integer/string ops), registers = MAX per
     bucket including empties (range join), and the indicator sum folds
     1/2^r terms — each an exact power of two — in bucket order on both
-    engines. Only the last divide and the 6dp floor touch floats."""
+    engines. Only the last divide, the small-range linear-counting
+    correction (ln of a 4096/v integer ratio — same operand, same op,
+    both engines), and the 6dp floor touch floats."""
     alpha = "0.7213 / (1.0 + 1.079 / 4096.0)"
-    est = f"({alpha}) * 4096.0 * 4096.0 / s"
+    raw = f"({alpha}) * 4096.0 * 4096.0 / s"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * 4096.0 AND v > 0"
+        f" THEN 4096.0 * ln(4096.0 / v) ELSE {raw} END"
+    )
     return f"""
     WITH h AS (
       SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
@@ -5684,10 +5690,13 @@ def _q150_oracle() -> str:
     "built from explicit exact integer math - md5-prefix hash, bucket "
     "split, leading-zero rank via binary-string length, MAX-merged "
     "registers - with the harmonic-mean estimate folding exact powers "
-    "of two in register order. Unlike the built-in sketch (q56, engine-"
-    "specific by design), every step is reproducible in external SQL; "
-    "the registers MAX-merge associatively, which is the mergeability "
-    "that lets 100 TB partial sketches combine without rescanning",
+    "of two in register order, and the standard small-range linear-"
+    "counting correction (est <= 2.5m and empty registers present -> "
+    "m*ln(m/v)) applied identically on both engines. Unlike the built-"
+    "in sketch (q56, engine-specific by design), every step is "
+    "reproducible in external SQL; the registers MAX-merge "
+    "associatively, which is the mergeability that lets 100 TB partial "
+    "sketches combine without rescanning",
 )
 def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -5724,10 +5733,16 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alpha = 0.7213 / (1.0 + 1.079 / 4096.0)
     exact = li.agg(F.count_distinct("l_orderkey").alias("exact_orders"))
+    raw = F.lit(alpha) * F.lit(4096.0) * F.lit(4096.0) / F.col("s")
+    # standard HLL small-range correction: when the raw harmonic-mean
+    # estimate is below 2.5m and empty registers remain, linear counting
+    # m*ln(m/v) is the accurate estimator (exercised at sf0.001)
+    est = F.when(
+        (raw <= F.lit(2.5) * F.lit(4096.0)) & (F.col("v") > 0),
+        F.lit(4096.0) * F.log(F.lit(4096.0) / F.col("v")),
+    ).otherwise(raw)
     return agg.crossJoin(F.broadcast(exact)).select(
-        floor_round6(F.lit(alpha) * F.lit(4096.0) * F.lit(4096.0) / F.col("s")).alias(
-            "hll_estimate"
-        ),
+        floor_round6(est).alias("hll_estimate"),
         F.col("v").cast("long").alias("n_empty_registers"),
         "exact_orders",
     )
@@ -5851,7 +5866,11 @@ def _q153_oracle() -> str:
     sketch merge — and the merged estimate must equal what q150 computes
     from the raw data directly."""
     alpha = "0.7213 / (1.0 + 1.079 / 4096.0)"
-    est = f"({alpha}) * 4096.0 * 4096.0 / s"
+    raw = f"({alpha}) * 4096.0 * 4096.0 / s"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * 4096.0 AND v > 0"
+        f" THEN 4096.0 * ln(4096.0 / v) ELSE {raw} END"
+    )
     return f"""
     WITH h AS (
       SELECT o_orderpriority AS grp,
@@ -5875,7 +5894,8 @@ def _q153_oracle() -> str:
       SELECT bucket, MAX(reg) AS reg FROM grp_regs GROUP BY bucket
     ),
     agg AS (
-      SELECT list_sum(list(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE) ORDER BY bucket)) AS s
+      SELECT list_sum(list(1.0 / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE) ORDER BY bucket)) AS s,
+             SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v
       FROM merged
     )
     SELECT {floor_round6_sql(est)} AS merged_estimate,
@@ -5927,17 +5947,23 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc
             + F.lit(1.0) / F.pow(F.lit(2.0), x["reg"]).cast("long").cast("double"),
         ).alias("s"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0)).alias("v"),
     )
     alpha = 0.7213 / (1.0 + 1.079 / 4096.0)
     exact = o.agg(F.count_distinct("o_orderkey").alias("exact_orders"))
     nsk = groups.agg(F.count(F.lit(1)).alias("n_partial_sketches"))
+    raw = F.lit(alpha) * F.lit(4096.0) * F.lit(4096.0) / F.col("s")
+    # same small-range linear-counting correction as q150 — applied on
+    # the MERGED registers, exactly as a production merge would
+    est = F.when(
+        (raw <= F.lit(2.5) * F.lit(4096.0)) & (F.col("v") > 0),
+        F.lit(4096.0) * F.log(F.lit(4096.0) / F.col("v")),
+    ).otherwise(raw)
     return (
         agg.crossJoin(F.broadcast(exact))
         .crossJoin(F.broadcast(nsk))
         .select(
-            floor_round6(F.lit(alpha) * F.lit(4096.0) * F.lit(4096.0) / F.col("s")).alias(
-                "merged_estimate"
-            ),
+            floor_round6(est).alias("merged_estimate"),
             "exact_orders",
             F.col("n_partial_sketches").cast("long"),
         )
