@@ -5598,7 +5598,10 @@ def _q126_oracle(n_merges: int = 8, min_pair_count: int = 2) -> str:
     DESC, then pair text ASC) and the min-pair-count floor mirror the
     Spark constants. If the corpus exhausts merges early, a best{k} CTE
     is empty and every later step cascades empty — same early-break
-    rows as the Spark loop."""
+    rows as the Spark loop. Vocab CTEs are MATERIALIZED: each is
+    consumed twice (pair counts + next vocab), and DuckDB's default
+    inlining re-evaluates the whole chain per consumer — exponential in
+    the number of unrolled rounds (measured 2.6 s -> 0.1 s here, 26x)."""
     steps = []
     for k in range(n_merges):
         steps.append(f"""pairs{k} AS (
@@ -5613,7 +5616,7 @@ def _q126_oracle(n_merges: int = 8, min_pair_count: int = 2) -> str:
     best{k} AS (
       SELECT l, r, cnt FROM pairs{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
     ),
-    vocab{k + 1} AS (
+    vocab{k + 1} AS MATERIALIZED (
       SELECT v.word, v.n,
              replace(v.ws, '⟨' || b.l || '⟩⟨' || b.r || '⟩',
                      '⟨' || b.l || b.r || '⟩') AS ws
@@ -5629,13 +5632,127 @@ def _q126_oracle(n_merges: int = 8, min_pair_count: int = 2) -> str:
       SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
       FROM documents
     ),
-    vocab0 AS (
+    vocab0 AS MATERIALIZED (
       SELECT word, COUNT(*) AS n,
              '⟨' || array_to_string(string_split(word, ''), '⟩⟨') || '⟩' AS ws
       FROM words WHERE word <> '' GROUP BY word
     ),
     {body}
     {unions}
+    """
+
+
+def _q155_oracle(n_merges: int = 8, batch: int = 4, min_pair_count: int = 2) -> str:
+    """DuckDB twin of bpe_train_batched(n_merges=8, batch=4): q126's
+    unrolled-round technique extended to batched selection. Per round:
+    the top-``batch`` pairs pivot onto ONE row (l1..l4, r1..r4,
+    c1..c4), the greedy disjoint-acceptance walk is unrolled as boolean
+    columns a1..a4 (ai requires, for every earlier ACCEPTED aj, that
+    {li, ri} avoid {lj, rj, lj||rj} — the exact `used`-set rule of
+    bpe.py:183-192), and the accepted rules apply to the boundary-
+    marked vocab strings as nested conditional replaces in walk order.
+    ``n_merges`` rounds are unrolled (enough even if every round
+    accepts a single rule); the final projection takes the first
+    ``n_merges`` accepted rules in (round, walk) order, which equals
+    the Spark loop's mid-round cap + break: rules past the cap in the
+    capped round are exactly the ones truncation drops, rules from
+    later rounds cannot enter, and acceptance of earlier rules never
+    depends on later ones. Empty pair sets cascade as NULL pivots
+    (aggregate over zero rows), accepting nothing — the Spark
+    early-break. Vocab and acceptance CTEs are MATERIALIZED — with
+    DuckDB's default inlining the multi-consumer chain re-evaluates
+    exponentially across unrolled rounds (measured 59 s -> 1 s here)."""
+
+    def disj(i: int, j: int) -> str:
+        return (
+            f"l{i} <> l{j} AND l{i} <> r{j} AND l{i} <> l{j} || r{j}"
+            f" AND r{i} <> l{j} AND r{i} <> r{j} AND r{i} <> l{j} || r{j}"
+        )
+
+    pivots = ",\n             ".join(
+        f"MAX(CASE WHEN rn = {i} THEN l END) AS l{i},"
+        f" MAX(CASE WHEN rn = {i} THEN r END) AS r{i},"
+        f" MAX(CASE WHEN rn = {i} THEN cnt END) AS c{i}"
+        for i in range(1, batch + 1)
+    )
+    # a1..a4 reference each other; build them as cascading select layers
+    accept_cols = []
+    for i in range(1, batch + 1):
+        conds = [f"l{i} IS NOT NULL"] + [
+            f"(NOT a{j} OR ({disj(i, j)}))" for j in range(1, i)
+        ]
+        accept_cols.append((f"a{i}", " AND ".join(conds)))
+
+    steps = []
+    for k in range(n_merges):
+        ws = "v.ws"
+        for i in range(1, batch + 1):
+            ws = (
+                f"CASE WHEN a{i} THEN replace({ws},"
+                f" '⟨' || l{i} || '⟩⟨' || r{i} || '⟩',"
+                f" '⟨' || l{i} || r{i} || '⟩') ELSE {ws} END"
+            )
+        # cascade the acceptance booleans via nested selects (each ai
+        # consumes a1..a{i-1} from the previous layer)
+        accept_layers = "SELECT * FROM t{k}".format(k=k)
+        for name, expr in accept_cols:
+            accept_layers = f"SELECT *, ({expr}) AS {name} FROM ({accept_layers})"
+        acc_union = "\n      UNION ALL ".join(
+            f"SELECT {i} AS rn, l{i} AS l, r{i} AS r, c{i} AS cnt FROM f{k} WHERE a{i}"
+            for i in range(1, batch + 1)
+        )
+        steps.append(f"""pairs{k} AS (
+      SELECT tk[i] AS l, tk[i + 1] AS r, SUM(n) AS cnt FROM (
+        SELECT n, tk, unnest(range(1, len(tk))) AS i FROM (
+          SELECT n, string_split(substr(ws, 2, length(ws) - 2), '⟩⟨') AS tk
+          FROM vocab{k}
+        )
+      )
+      GROUP BY 1, 2 HAVING SUM(n) >= {min_pair_count}
+    ),
+    top{k} AS (
+      SELECT l, r, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS rn
+      FROM pairs{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT {batch}
+    ),
+    t{k} AS (
+      SELECT {pivots}
+      FROM top{k}
+    ),
+    f{k} AS MATERIALIZED (
+      {accept_layers}
+    ),
+    acc{k} AS (
+      {acc_union}
+    ),
+    vocab{k + 1} AS MATERIALIZED (
+      SELECT v.word, v.n, {ws} AS ws
+      FROM vocab{k} v, f{k}
+    )""")
+    body = ",\n    ".join(steps)
+    merged_union = "\n      UNION ALL ".join(
+        f"SELECT {k} AS round, rn, l, r, cnt FROM acc{k}" for k in range(n_merges)
+    )
+    return f"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    vocab0 AS MATERIALIZED (
+      SELECT word, COUNT(*) AS n,
+             '⟨' || array_to_string(string_split(word, ''), '⟩⟨') || '⟩' AS ws
+      FROM words WHERE word <> '' GROUP BY word
+    ),
+    {body},
+    merged AS (
+      {merged_union}
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY round, rn) - 1 AS rk, l, r, cnt
+      FROM merged
+    )
+    SELECT CAST(rk AS INT) AS "rank", l AS "left", r AS "right",
+           CAST(cnt AS BIGINT) AS pair_count
+    FROM ranked WHERE rk < {n_merges}
     """
 
 
@@ -6087,6 +6204,29 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train
 
     merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=8, min_pair_count=2)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+@register(
+    "q155_bpe_batched",
+    _q155_oracle(),
+    "Batched BPE training - the 100x-scale path (bpe.py:134): up to 4 "
+    "disjoint merge rules accepted per distributed pair-count, cutting "
+    "driver round-trips from n_merges to ~n_merges/4 (a 50k-merge "
+    "tokenizer train is infeasible at one job per merge). Disjointness "
+    "makes each accepted rule's count its true corpus count at "
+    "acceptance time; the full round/accept/apply pipeline is unrolled "
+    "as the DuckDB oracle, so the batched trainer is value-checked "
+    "end-to-end like the sequential q126",
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train_batched
+
+    merges = bpe_train_batched(
+        _t(spark, sf_dir, "documents"), n_merges=8, min_pair_count=2, batch=4
+    )
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
