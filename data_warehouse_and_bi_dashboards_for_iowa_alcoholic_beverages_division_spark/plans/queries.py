@@ -6233,6 +6233,28 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q156_ivf_persisted",
+    _q67_oracle(),
+    "Persisted IVF index end-to-end: train the coarse quantizer ONCE, "
+    "write the corpus as inverted lists partitionBy(cell) with a "
+    "centroid sidecar, then answer the query batch from the index - "
+    "the probed cell ids become a static partition filter, so the scan "
+    "reads ~n_probe/n_cells of the corpus files (PartitionFilters "
+    "pinned in tests/test_plan_shapes.py) and repeat query batches "
+    "never reshuffle or rescan the corpus. Same train/assign/probe "
+    "math as q67, so the unrolled q67 oracle value-checks the whole "
+    "build+query round trip through parquet",
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    similarity.build_ivf_index(emb, path, n_cells=8, iters=2)
+    return similarity.query_ivf_index(emb.where("vec_id < 5"), path, k=10, n_probe=3)
+
+
+@register(
     "q39_knn_lsh",
     _q39_oracle(),
     "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "

@@ -533,3 +533,25 @@ def test_hll_register_aggregation_is_partial(q):
     # hashed rows — and the final fold is one tiny single-row aggregate
     plan = plan_text(q("q150_hll_portable"))
     assert "partial_max" in plan
+
+
+def test_ivf_persisted_query_scan_is_partition_pruned(spark, tmp_path):
+    # the point of the persisted IVF index: the probed cell ids must
+    # land as a static PARTITION filter on the inverted-list scan (file
+    # pruning — ~n_probe/n_cells of the corpus read), not a post-scan
+    # predicate over all cells
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "index")
+    build_ivf_index(emb, path, n_cells=8, iters=2)
+    out = query_ivf_index(emb.where("vec_id < 5"), path, k=10, n_probe=3)
+    plan = plan_text(out)
+    seg = plan.split("PartitionFilters: [")
+    assert len(seg) > 1, "inverted-list scan lost its partition filter"
+    assert "cell" in seg[1].split("]")[0]
+    assert out.count() > 0
