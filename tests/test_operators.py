@@ -494,3 +494,27 @@ def test_lsh_bucket_cap_and_audit(spark):
     audit = oversized_lsh_buckets(boiler, "doc_id", max_bucket_size=5).collect()
     assert len(audit) == 8, "all 8 bands hold one oversized bucket"
     assert all(r["size"] == 30 for r in audit)
+
+
+def test_ivf_centroids_invariant_to_partitioning(spark):
+    """Tripwire for the ADVICE-flagged float hazard: the Lloyd-step
+    mean is an order-dependent float sum, so a 6dp-rounded centroid
+    component sitting within an ulp of a rounding boundary could flip
+    between cluster shapes and cascade into a q67/q156 assignment
+    mismatch. Retrain under shuffled partitioning and ordering; the
+    rounded centroids must be bit-identical."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base = ivf_train_centroids(emb, n_cells=8, iters=2)
+    for reshaped in (
+        emb.repartition(13),
+        emb.repartition(3, "vec_id").sortWithinPartitions(F.desc("vec_id")),
+        emb.coalesce(1),
+    ):
+        assert ivf_train_centroids(reshaped, n_cells=8, iters=2) == base
