@@ -38,6 +38,10 @@ HEADLINE = [
     "q43_sessionization",
     "q45_media_features",
     "q53_running_total",
+    # skew-mitigation pair: same 90%-one-key join, salted vs AQE-split;
+    # the two must stay within ~2x of each other (BASELINE.md)
+    "q157_skew_join_salted",
+    "q158_skew_join_aqe",
 ]
 
 

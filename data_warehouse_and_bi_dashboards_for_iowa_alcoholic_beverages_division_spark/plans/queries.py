@@ -6254,6 +6254,74 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.query_ivf_index(emb.where("vec_id < 5"), path, k=10, n_probe=3)
 
 
+_SKEW_ORACLE = """
+    WITH f AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 < 9 THEN 1 ELSE o_custkey END AS custkey
+      FROM orders
+    )
+    SELECT f.o_orderkey, f.custkey, c.c_mktsegment
+    FROM f JOIN customer c ON f.custkey = c.c_custkey
+    """
+
+
+def _skewed_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key generator: 90% of order rows remapped onto ONE hot
+    customer key — the '100 TB megacity/null-key' distribution that
+    makes an unmitigated shuffle join put 90% of the probe side in a
+    single task. Used by the q157/q158 skew-mitigation pair and the
+    bench's skew entries."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 < 9, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey"),
+    )
+
+
+@register(
+    "q157_skew_join_salted",
+    _SKEW_ORACLE,
+    "Salted join under a 90%-one-key skew: fact rows spread over 8 "
+    "salt buckets (deterministic xxhash64 of the order key), dim rows "
+    "exploded 8x, so the hot key runs as 8 tasks instead of one "
+    "straggler. Sort-merge is forced (no broadcast) because the demo "
+    "is shuffle-skew mitigation - result must equal the plain join "
+    "(the DuckDB oracle) exactly. Benchmarked against the unskewed "
+    "q158 twin; the explicit-salt fallback for the single-key-too-hot "
+    "case AQE cannot split",
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return salted_join(
+        _skewed_fact(spark, sf_dir), dim.hint("merge"), "custkey", salt=8,
+        salt_source="o_orderkey",
+    ).select("o_orderkey", "custkey", "c_mktsegment")
+
+
+@register(
+    "q158_skew_join_aqe",
+    _SKEW_ORACLE,
+    "The same 90%-one-key skewed join left to AQE: sort-merge forced, "
+    "no salt - spark.sql.adaptive.skewJoin splits the oversized "
+    "shuffle partition at runtime (plan-pinned in "
+    "tests/test_stateful_skew.py). Same oracle as q157: both "
+    "mitigations must be result-transparent; bench pins that neither "
+    "pays more than 2x the other",
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return _skewed_fact(spark, sf_dir).hint("merge").join(dim, "custkey").select(
+        "o_orderkey", "custkey", "c_mktsegment"
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),

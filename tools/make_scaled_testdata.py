@@ -1,0 +1,125 @@
+"""Generate a 10x scale-up of the driver's sf0.1 testdata for the
+scaling study (BASELINE.md): sf1.0 = 10 DISJOINT key-offset shards,
+each isomorphic to sf0.1.
+
+Construction notes (what keeps the scale-up honest):
+
+- Every key column is offset by ``shard * (max_key + 1)`` so
+  referential integrity holds within each shard and shards never
+  collide — row counts scale exactly 10x with unchanged distributions.
+- ``nation``/``region`` stay fixed (they are fixed-size dimensions at
+  every TPC-H scale factor); customer/supplier nationkeys still
+  resolve.
+- ``documents.text`` gets a per-shard word suffix (``w -> w x<i>``)
+  for shards > 0: shard i's corpus is shingle-disjoint from shard j's,
+  so near-dup PAIRS scale 10x (per-shard structure preserved exactly),
+  not 100x as verbatim copies would — verbatim duplication would turn
+  the dedup benchmarks into an every-doc-has-9-exact-dups stress test
+  instead of a scale-up of the sf0.1 distribution.
+- ``embeddings`` vectors copy verbatim (timing is scan/score-bound);
+  ``vec_id < 5`` keeps the q38 query batch fixed while the corpus
+  grows 10x — the scaling a production ANN serves.
+
+Usage: python tools/make_scaled_testdata.py [--out /root/repo/.localdata/sf1.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def q(con, sql):
+    return con.execute(sql).fetchone()[0]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/root/repo/.localdata/sf1.0")
+    ap.add_argument("--copies", type=int, default=COPIES)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'")
+
+    stride = {
+        "order": q(con, "SELECT max(o_orderkey) + 1 FROM orders"),
+        "cust": q(con, "SELECT max(c_custkey) + 1 FROM customer"),
+        "supp": q(con, "SELECT max(s_suppkey) + 1 FROM supplier"),
+        "part": q(con, "SELECT max(p_partkey) + 1 FROM part"),
+        "doc": q(con, "SELECT max(doc_id) + 1 FROM documents"),
+        "vec": q(con, "SELECT max(vec_id) + 1 FROM embeddings"),
+        "event": q(con, "SELECT max(event_id) + 1 FROM events"),
+        "user": q(con, "SELECT max(user_id) + 1 FROM events"),
+    }
+
+    def shard_union(tpl: str) -> str:
+        return "\nUNION ALL\n".join(tpl.format(i=i) for i in range(args.copies))
+
+    copies = {
+        "region": "SELECT * FROM region",
+        "nation": "SELECT * FROM nation",
+        "customer": shard_union(
+            f"SELECT c_custkey + {{i}} * {stride['cust']} AS c_custkey,"
+            " c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"
+        ),
+        "supplier": shard_union(
+            f"SELECT s_suppkey + {{i}} * {stride['supp']} AS s_suppkey,"
+            " s_name, s_nationkey, s_acctbal FROM supplier"
+        ),
+        "part": shard_union(
+            f"SELECT p_partkey + {{i}} * {stride['part']} AS p_partkey,"
+            " p_name, p_brand, p_type, p_size, p_retailprice FROM part"
+        ),
+        "orders": shard_union(
+            f"SELECT o_orderkey + {{i}} * {stride['order']} AS o_orderkey,"
+            f" o_custkey + {{i}} * {stride['cust']} AS o_custkey,"
+            " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders"
+        ),
+        "lineitem": shard_union(
+            f"SELECT l_orderkey + {{i}} * {stride['order']} AS l_orderkey,"
+            f" l_partkey + {{i}} * {stride['part']} AS l_partkey,"
+            f" l_suppkey + {{i}} * {stride['supp']} AS l_suppkey,"
+            " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+            " l_returnflag, l_linestatus, l_shipdate FROM lineitem"
+        ),
+        "events": shard_union(
+            f"SELECT event_id + {{i}} * {stride['event']} AS event_id, ts,"
+            f" user_id + {{i}} * {stride['user']} AS user_id,"
+            " event_type, value, props FROM events"
+        ),
+        "documents": shard_union(
+            f"SELECT doc_id + {{i}} * {stride['doc']} AS doc_id,"
+            " CASE WHEN {i} = 0 THEN text ELSE array_to_string("
+            "   list_transform(str_split(text, ' '), w -> w || 'x{i}'), ' ') END AS text,"
+            " lang, source,"
+            " CASE WHEN {i} = 0 THEN n_chars ELSE CAST(length(array_to_string("
+            "   list_transform(str_split(text, ' '), w -> w || 'x{i}'), ' ')) AS BIGINT)"
+            " END AS n_chars"
+            " FROM documents"
+        ),
+        "embeddings": shard_union(
+            f"SELECT vec_id + {{i}} * {stride['vec']} AS vec_id, embedding, label"
+            " FROM embeddings"
+        ),
+    }
+
+    for t, sql in copies.items():
+        dst = f"{args.out}/{t}.parquet"
+        con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
+        n = q(con, f"SELECT count(*) FROM '{dst}'")
+        print(f"{t}: {n} rows -> {dst}")
+
+
+if __name__ == "__main__":
+    main()
