@@ -1,0 +1,104 @@
+"""BM25 text retrieval scoring — beyond-reference layer.
+
+Ranked keyword retrieval over the documents corpus: the standard
+Okapi BM25 function
+
+    score(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+expressed as pure DataFrame aggregations — no UDFs, no driver loops.
+
+Scale shape (100 TB corpus): the only full-corpus pass is the document
+token-length aggregation (one map-side-combined groupBy on doc_id —
+needed for dl/avgdl regardless of query). Everything query-dependent
+filters to the query's terms *before* any shuffle, so tf/df
+aggregations move only rows whose term is in the query; the df and
+corpus-stats sides are single-row / per-term tiny and broadcast. In a
+real system dl/avgdl would be precomputed once per corpus snapshot —
+the operator takes them as an optional precomputed input for exactly
+that reason.
+
+Cross-engine float parity: each per-term score uses one fixed
+expression tree (identical operand order in the DuckDB oracle), and
+the per-document sum over matched terms folds in sorted term order
+(``aggregate(array_sort(collect_list(...)))`` vs ``list_sum(list(...
+ORDER BY term))`` — the established q150 device), so IEEE results are
+bit-identical on both engines before the final 6dp floor.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.rounding import floor_round6
+
+
+def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One (id, term) row per token: lowercase, non-alphanumerics to
+    spaces, split. JVM expressions only."""
+    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " ")
+    return docs.select(F.col(id_col), F.explode(toks).alias("term")).where(F.col("term") != "")
+
+
+def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, dl) token counts — the one full-corpus aggregation; at
+    scale this is a precomputed corpus statistic."""
+    return tokenize(docs, id_col, text_col).groupBy(id_col).agg(F.count("*").alias("dl"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lengths: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query, deterministically
+    tiebroken by id. Returns (id, score) with the score floored to 6dp.
+    """
+    tok = tokenize(docs, id_col, text_col)
+    dl = lengths if lengths is not None else tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+
+    corpus = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").alias("sum_dl"))
+    )
+
+    qtok = tok.where(F.col("term").isin(query_terms))
+    tf = qtok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    term_score = (
+        idf
+        * (tf_d * F.lit(k1 + 1.0))
+        / (tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)))
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), F.col("term"), term_score.alias("s"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        floor_round6(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            )
+        ).alias("score")
+    )
+    # deterministic top-k: TakeOrderedAndProject (no single-partition
+    # window) — the rounded score plus the id tiebreak makes the cut
+    # unambiguous on both engines
+    return per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.dates import build_date_dim, season_name_expr, season_number_expr
 from ..functions.rounding import floor_round6, floor_round6_sql
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import bloomfilter, dedup, multimodal, retrieval, similarity, text
 from ..operators.scd import create_scd_from_input, scd_point_in_time_join, scd_update_and_insert
 from ..sources.tables import load_table
 from .warehouse import COST_SQL, PROFIT_SQL, REVENUE_SQL, fact_sales
@@ -6320,6 +6320,156 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skewed_fact(spark, sf_dir).hint("merge").join(dim, "custkey").select(
         "o_orderkey", "custkey", "c_mktsegment"
     )
+
+
+def _q159_oracle() -> str:
+    """DuckDB twin of the Bloom runtime filter: identical md5-prefix
+    hash family, identical 60-bit word packing, so the *false-positive
+    set itself* — not just the final join — is value-checked
+    cross-engine. Everything is exact integer math."""
+
+    def hashed(i: int) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '#"
+            f"{i}'), 1, 15)) AS BIGINT) % 64"
+        )
+
+    def bit_set(p: str) -> str:
+        return (
+            f"(wa[CAST({p} // 60 AS INT) + 1] & "
+            f"(CAST(1 AS BIGINT) << CAST({p} % 60 AS INT))) <> 0"
+        )
+
+    return f"""
+    WITH bkeys AS (
+      SELECT DISTINCT s_suppkey AS key FROM supplier WHERE s_acctbal > 9000
+    ),
+    pos AS (
+      SELECT CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '#' ||
+               CAST(t.i AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS pos
+      FROM bkeys, range(0, 2) t(i)
+    ),
+    words AS (
+      SELECT pos // 60 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INT)) AS bits
+      FROM pos GROUP BY pos // 60
+    ),
+    wordarr AS (
+      SELECT list(COALESCE(words.bits, 0) ORDER BY r.range) AS wa
+      FROM range(0, 2) r LEFT JOIN words ON words.w = r.range
+    ),
+    hashed AS (
+      SELECT l_suppkey, {hashed(0)} AS p0, {hashed(1)} AS p1 FROM lineitem
+    ),
+    cand AS (
+      SELECT h.l_suppkey FROM hashed h, wordarr
+      WHERE {bit_set('p0')} AND {bit_set('p1')}
+    )
+    SELECT (SELECT COUNT(*) FROM bkeys) AS n_build_keys,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM lineitem l JOIN bkeys b ON l.l_suppkey = b.key)
+             AS n_matches,
+           (SELECT COUNT(*) FROM cand)
+             - (SELECT COUNT(*) FROM lineitem l JOIN bkeys b ON l.l_suppkey = b.key)
+             AS n_false_positive_rows
+    """
+
+
+@register(
+    "q159_bloom_prune_join",
+    _q159_oracle(),
+    "Bloom-filter join pruning (runtime-filter pattern): build an "
+    "m=64/k=2 filter over the selective supplier subset (one bit_or "
+    "aggregation, word vector collected to the driver - kilobytes, the "
+    "IVF-centroid bounded-collect contract), probe the fact side with "
+    "a literal-array JVM expression inside the scan stage, then remove "
+    "false positives with the exact semi join. At 100 TB this is the "
+    "pattern that keeps never-matching fact rows out of the join "
+    "exchange; m=64 here is deliberately small so the cross-engine "
+    "check covers a *nonzero* false-positive set. No false negatives "
+    "by construction (property-tested in tests/test_bloom.py)",
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .where("s_acctbal > 9000")
+        .select(F.col("s_suppkey").alias("key"))
+        .distinct()
+    )
+    words = bloomfilter.bloom_build(sup, "key", m_bits=64, k=2)
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    cand = bloomfilter.bloom_prune(li, "l_suppkey", words, m_bits=64, k=2)
+    matches = li.join(F.broadcast(sup), li["l_suppkey"] == sup["key"], "left_semi")
+    return (
+        sup.agg(F.count("*").alias("n_build_keys"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(matches.agg(F.count("*").alias("n_matches")))
+        .withColumn("n_false_positive_rows", F.col("n_candidates") - F.col("n_matches"))
+    )
+
+
+_Q160_TERMS = ("vector", "merge", "window")
+
+
+def _q160_oracle() -> str:
+    """DuckDB twin of BM25: identical tokenization regex, identical
+    per-term expression tree (constants written as the same IEEE ops —
+    ``(1.2 + 1.0)`` not ``2.2`` — so folding matches Python's
+    ``k1 + 1.0``), per-doc sum folded in term order."""
+    terms = ", ".join(f"'{t}'" for t in _Q160_TERMS)
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    score = (
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        " * (CAST(tf AS DOUBLE) * (1.2 + 1.0))"
+        " / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *"
+        f" (CAST(dl AS DOUBLE) / {avgdl})))"
+    )
+    return f"""
+    WITH tok0 AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                    ' ')) AS term
+      FROM documents
+    ),
+    tok AS (SELECT * FROM tok0 WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT SUM(dl) FROM dl) AS sum_dl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, {score} AS s
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), corpus
+    ),
+    perdoc AS (
+      SELECT doc_id, {floor_round6_sql("list_sum(list(s ORDER BY term))")} AS score
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM perdoc ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "q160_bm25_topk",
+    _q160_oracle(),
+    "Okapi BM25 ranked retrieval, top-10 for a 3-term query: the only "
+    "full-corpus pass is the token-length aggregation (a precomputable "
+    "corpus statistic - the operator accepts it precomputed); tf/df "
+    "shuffles see only rows whose term is in the query, df and corpus "
+    "stats are broadcast, and the final top-k is TakeOrderedAndProject "
+    "- no single-partition window. Per-term scores use one fixed "
+    "expression tree and the per-doc sum folds in sorted term order "
+    "(the q150 device), so both engines agree bit-for-bit before the "
+    "6dp floor",
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, list(_Q160_TERMS), k=10)
 
 
 @register(

@@ -1,0 +1,48 @@
+"""BM25 scoring vs an independent pure-Python implementation."""
+
+import math
+import re
+from collections import Counter
+
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+    retrieval,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+TERMS = ["vector", "merge", "window"]
+
+
+def _py_bm25(rows, terms, k1=1.2, b=0.75):
+    toks = {r["doc_id"]: re.sub(r"[^a-z0-9]+", " ", (r["text"] or "").lower()).split() for r in rows}
+    n = len(rows)
+    dls = {d: len(t) for d, t in toks.items() if t}
+    avgdl = sum(dls.values()) / n
+    df = Counter(t for d, tk in toks.items() for t in set(tk) if t in terms)
+    scores = {}
+    for d, tk in toks.items():
+        tfc = Counter(t for t in tk if t in terms)
+        s = 0.0
+        for t in sorted(tfc):
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tfc[t] * (k1 + 1.0)) / (
+                tfc[t] + k1 * ((1.0 - b) + b * (dls[d] / avgdl))
+            )
+        if tfc:
+            scores[d] = math.floor(s * 1000000 + 0.5) / 1000000.0
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+
+
+def test_bm25_matches_pure_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = [r.asDict() for r in docs.select("doc_id", "text").collect()]
+    expected = _py_bm25(rows, TERMS)[:10]
+    got = [(r["doc_id"], r["score"]) for r in retrieval.bm25_topk(docs, TERMS, k=10).collect()]
+    assert got == expected
+
+
+def test_bm25_precomputed_lengths_equivalent(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dl = retrieval.doc_lengths(docs)
+    a = retrieval.bm25_topk(docs, TERMS, k=10).collect()
+    c = retrieval.bm25_topk(docs, TERMS, k=10, lengths=dl).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in c]
