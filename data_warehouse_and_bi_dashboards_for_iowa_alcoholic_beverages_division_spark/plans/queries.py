@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.dates import build_date_dim, season_name_expr, season_number_expr
 from ..functions.rounding import floor_round6, floor_round6_sql
-from ..operators import bloomfilter, dedup, multimodal, retrieval, similarity, text
+from ..operators import bloomfilter, dedup, multimodal, retrieval, similarity, sketches, text
 from ..operators.scd import create_scd_from_input, scd_point_in_time_join, scd_update_and_insert
 from ..sources.tables import load_table
 from .warehouse import COST_SQL, PROFIT_SQL, REVENUE_SQL, fact_sales
@@ -6470,6 +6470,170 @@ def _q160_oracle() -> str:
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return retrieval.bm25_topk(docs, list(_Q160_TERMS), k=10)
+
+
+_KMV_HASH_SQL = "CAST(('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 15)) AS BIGINT)"
+_KMV_EST_SQL = "({n} - 1.0) / (CAST({hk} AS DOUBLE) / 1152921504606846976.0)"
+
+
+def _q161_oracle() -> str:
+    """DuckDB twin of the KMV sketch: same 60-bit hashes, same direct
+    k-min (ORDER BY LIMIT), same shard-partial merge — the merged k-th
+    hash must equal the direct one (associativity, checked as data)."""
+    hv = _KMV_HASH_SQL.format(v="l_orderkey")
+    est = _KMV_EST_SQL.format(n="CAST(n AS DOUBLE)", hk="hk")
+    return f"""
+    WITH h AS (SELECT DISTINCT {hv} AS hv FROM lineitem),
+    direct AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+    d AS (SELECT MAX(hv) AS hk, COUNT(*) AS n FROM direct),
+    parts AS (
+      SELECT hv FROM (
+        SELECT hv, ROW_NUMBER() OVER (PARTITION BY hv % 4 ORDER BY hv) AS rn
+        FROM h
+      ) r WHERE rn <= 256
+    ),
+    merged AS (SELECT hv FROM parts ORDER BY hv LIMIT 256),
+    m AS (SELECT MAX(hv) AS merged_kth_hash FROM merged)
+    SELECT {floor_round6_sql(est)} AS kmv_estimate,
+           d.hk AS kth_hash,
+           m.merged_kth_hash,
+           CAST(d.n AS BIGINT) AS n_sketch,
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS exact_orders
+    FROM d, m
+    """
+
+
+@register(
+    "q161_kmv_distinct",
+    _q161_oracle(),
+    "K-Minimum-Values distinct sketch (k=256) over order keys: k "
+    "smallest distinct 60-bit hashes via ORDER BY LIMIT - "
+    "TakeOrderedAndProject, a per-partition heap + k-value driver "
+    "merge, no full sort - plus the shard-merge path (4 hash-mod "
+    "partials re-ranked) whose k-th hash must equal the direct one; "
+    "the associativity that lets 100 TB partial sketches combine "
+    "without rescanning, checked as data cross-engine. Completes the "
+    "sketch family: HLL (q150/q153) counts, Count-Min (q154) "
+    "frequencies, KMV adds set operations (q162)",
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    h = li.select(sketches.kmv_hash(F.col("l_orderkey")).alias("hv")).distinct()
+    direct = h.orderBy("hv").limit(256)
+    d = direct.agg(F.max("hv").alias("hk"), F.count("*").alias("n"))
+    parts = sketches.kmv_grouped_sketch(
+        li, sketches.kmv_hash(F.col("l_orderkey")) % 4, "l_orderkey", 256
+    )
+    m = sketches.kmv_merge(parts, 256).agg(F.max("hv").alias("merged_kth_hash"))
+    exact = li.agg(F.count_distinct("l_orderkey").alias("exact_orders"))
+    est = (F.col("n").cast("double") - F.lit(1.0)) / (
+        F.col("hk").cast("double") / F.lit(sketches.TWO_60)
+    )
+    return (
+        d.crossJoin(m)
+        .crossJoin(exact)
+        .select(
+            floor_round6(est).alias("kmv_estimate"),
+            F.col("hk").alias("kth_hash"),
+            "merged_kth_hash",
+            F.col("n").cast("bigint").alias("n_sketch"),
+            "exact_orders",
+        )
+    )
+
+
+def _q162_oracle() -> str:
+    """DuckDB twin of the KMV Jaccard/intersection estimate. All
+    sketch content is exact integers; the three floats (jaccard, union
+    estimate, their product) use identical expression trees."""
+    hv = _KMV_HASH_SQL.format(v="l_orderkey")
+    uest = _KMV_EST_SQL.format(n="127.0 + 1.0", hk="hku")
+    jac = "CAST(matches AS DOUBLE) / 128.0"
+    return f"""
+    WITH a AS (
+      SELECT DISTINCT {hv} AS hv FROM lineitem WHERE l_quantity > 25
+    ),
+    b AS (
+      SELECT DISTINCT {hv} AS hv FROM lineitem WHERE l_discount > 0.05
+    ),
+    sa AS (SELECT hv FROM a ORDER BY hv LIMIT 128),
+    sb AS (SELECT hv FROM b ORDER BY hv LIMIT 128),
+    su AS (
+      SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb) u
+      ORDER BY hv LIMIT 128
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM su s
+               WHERE s.hv IN (SELECT hv FROM sa)
+                 AND s.hv IN (SELECT hv FROM sb)) AS matches,
+             (SELECT MAX(hv) FROM su) AS hku
+    ),
+    exact AS (
+      SELECT (SELECT COUNT(*) FROM a JOIN b USING (hv)) AS exact_intersection,
+             (SELECT COUNT(*) FROM (SELECT hv FROM a UNION SELECT hv FROM b) x)
+               AS exact_union
+    )
+    SELECT {floor_round6_sql(jac)} AS jaccard_est,
+           {floor_round6_sql(f"({jac}) * ({uest})")} AS intersection_est,
+           CAST(matches AS BIGINT) AS n_common_in_sketch,
+           exact_intersection, exact_union
+    FROM stats, exact
+    """
+
+
+@register(
+    "q162_kmv_jaccard",
+    _q162_oracle(),
+    "KMV set-operation estimates - the capability HLL lacks: Jaccard "
+    "and intersection size of two order-key sets (quantity>25 vs "
+    "discount>0.05) from two k=128 sketches alone. The union sketch is "
+    "the k-min of the two sketches' union (mergeability), the overlap "
+    "estimator is |KMV(AuB) n KMV(A) n KMV(B)| / k (Beyer et al. "
+    "SIGMOD'07), and exact values ride along for error inspection. At "
+    "100 TB both sketches are kilobytes of state answering overlap "
+    "questions that would otherwise need a full-corpus join",
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = (
+        li.where("l_quantity > 25")
+        .select(sketches.kmv_hash(F.col("l_orderkey")).alias("hv"))
+        .distinct()
+    )
+    b = (
+        li.where("l_discount > 0.05")
+        .select(sketches.kmv_hash(F.col("l_orderkey")).alias("hv"))
+        .distinct()
+    )
+    sa = a.orderBy("hv").limit(128)
+    sb = b.orderBy("hv").limit(128)
+    su = sketches.kmv_merge(sa.unionByName(sb), 128)
+    matches = (
+        su.join(F.broadcast(sa.withColumnRenamed("hv", "ha")), F.col("hv") == F.col("ha"), "left_semi")
+        .join(F.broadcast(sb.withColumnRenamed("hv", "hb")), F.col("hv") == F.col("hb"), "left_semi")
+        .agg(F.count("*").alias("matches"))
+    )
+    hku = su.agg(F.max("hv").alias("hku"))
+    exact = (
+        a.join(b, "hv", "inner")
+        .agg(F.count("*").alias("exact_intersection"))
+        .crossJoin(a.unionByName(b).distinct().agg(F.count("*").alias("exact_union")))
+    )
+    jac = F.col("matches").cast("double") / F.lit(128.0)
+    uest = (F.lit(127.0) + F.lit(1.0) - F.lit(1.0)) / (
+        F.col("hku").cast("double") / F.lit(sketches.TWO_60)
+    )
+    return (
+        matches.crossJoin(hku)
+        .crossJoin(exact)
+        .select(
+            floor_round6(jac).alias("jaccard_est"),
+            floor_round6(jac * uest).alias("intersection_est"),
+            F.col("matches").cast("bigint").alias("n_common_in_sketch"),
+            "exact_intersection",
+            "exact_union",
+        )
+    )
 
 
 @register(

@@ -1,0 +1,48 @@
+"""KMV sketch properties: merge associativity, estimate accuracy."""
+
+import pyspark.sql.functions as F
+
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+    sketches,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _hashes(r):
+    return sorted(x["hv"] for x in r)
+
+
+def test_shard_merge_equals_direct_sketch(spark):
+    # k-min over the union of per-shard k-mins == k-min over everything,
+    # for any sharding — the associativity the 100 TB merge relies on
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    k = 64
+    direct = _hashes(sketches.kmv_global_sketch(li, "l_orderkey", k).collect())
+    for n_shards in (2, 7):
+        parts = sketches.kmv_grouped_sketch(
+            li, sketches.kmv_hash(F.col("l_orderkey")) % n_shards, "l_orderkey", k
+        )
+        merged = _hashes(sketches.kmv_merge(parts, k).collect())
+        assert merged == direct, f"shard count {n_shards}"
+
+
+def test_distinct_estimate_within_tolerance(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    k = 128
+    sk = sketches.kmv_global_sketch(li, "l_orderkey", k)
+    row = sk.agg(F.max("hv").alias("hk"), F.count("*").alias("n")).collect()[0]
+    assert row["n"] == k, "fixture must have more distinct keys than k"
+    est = (row["n"] - 1.0) / (row["hk"] / sketches.TWO_60)
+    exact = li.select("l_orderkey").distinct().count()
+    # k=128 → relative standard error ~ 1/sqrt(k-1) ≈ 9%; allow 3 sigma
+    assert abs(est - exact) / exact < 0.27, (est, exact)
+
+
+def test_small_set_sketch_is_exact(spark):
+    # fewer distinct values than k: the sketch IS the hashed set
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(40)
+    sk = sketches.kmv_global_sketch(li, "l_orderkey", 1000).collect()
+    n_distinct = li.select("l_orderkey").distinct().count()
+    assert len(sk) == n_distinct
+    assert len({r["hv"] for r in sk}) == n_distinct
