@@ -91,3 +91,70 @@ def dedup_clusters(
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).alias("keep"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list ``(src, dst)`` — the
+    link-graph importance score a web-scale corpus pipeline uses for
+    quality weighting (the original crawl-prioritization signal).
+
+    Each iteration is one join of the rank vector against the edge
+    list plus one aggregation on ``dst`` — the payload shuffled per
+    round is (edge, one double), never the corpus. Dangling nodes
+    (no out-edges) simply leak their mass, the standard simplification;
+    ranks still order nodes by in-link weight. ``n_iter`` is a small
+    constant: at any scale the cost is n_iter scans of the edge list.
+
+    Cross-engine float parity (q163 oracle unrolls the same
+    iterations in DuckDB CTEs): contributions fold per target in
+    sorted source order — ``aggregate(array_sort(collect_list(...)))``
+    vs ``list_sum(list(... ORDER BY src))`` — and every arithmetic
+    expression uses one fixed tree, so the ranks are bit-identical
+    before any rounding.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nstat = nodes.agg(F.count("*").alias("n"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+
+    r = nodes.crossJoin(F.broadcast(nstat)).select(
+        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("r")
+    )
+    for _ in range(n_iter):
+        contribs = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                "src",
+                (F.lit(damping) * (F.col("r") / F.col("deg").cast("double"))).alias("c"),
+            )
+        )
+        agg = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s")
+        )
+        r = (
+            nodes.join(agg, nodes["node"] == agg["dst"], "left")
+            .crossJoin(F.broadcast(nstat))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n").cast("double")
+                    + F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return r

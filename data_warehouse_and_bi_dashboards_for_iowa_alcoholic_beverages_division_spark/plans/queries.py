@@ -6636,6 +6636,77 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q163_oracle(n_iter: int = 3) -> str:
+    """DuckDB twin of PageRank: the same ``n_iter`` iterations
+    unrolled as CTEs (the q67/q126 unrolled-oracle technique), with
+    per-target contribution sums folded in source order and identical
+    arithmetic trees — ranks match bit-for-bit before the 6dp floor."""
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+    c{i} AS (
+      SELECT e.dst, e.src, 0.85 * ({prev}.r / CAST(o.deg AS DOUBLE)) AS c
+      FROM edges e
+      JOIN {prev} ON {prev}.node = e.src
+      JOIN outdeg o ON o.src = e.src
+    ),
+    a{i} AS (
+      SELECT dst, list_sum(list(c ORDER BY src)) AS s FROM c{i} GROUP BY dst
+    ),
+    r{i} AS (
+      SELECT node,
+             (1.0 - 0.85) / CAST(n AS DOUBLE) + COALESCE(a{i}.s, 0.0) AS r
+      FROM nodes LEFT JOIN a{i} ON a{i}.dst = nodes.node, nstat
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT -l_suppkey AS src, o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nstat AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS r FROM nodes, nstat),
+    {",".join(iters)}
+    SELECT node, {floor_round6_sql("r")} AS pr
+    FROM {prev}
+    ORDER BY pr DESC, node LIMIT 20
+    """
+
+
+@register(
+    "q163_pagerank",
+    _q163_oracle(),
+    "PageRank (3 iterations, d=0.85) over the supplier-to-customer "
+    "trade graph (suppliers namespaced negative): the link-graph "
+    "quality-weighting signal for a crawled corpus. Each iteration "
+    "shuffles (edge, one double) - never the corpus - and the "
+    "iteration count is a constant, so cost is n_iter edge-list scans "
+    "at any scale. Contribution sums fold in sorted source order (the "
+    "q150 device) and the oracle unrolls the identical iterations as "
+    "DuckDB CTEs, so ranks match bit-for-bit cross-engine before the "
+    "6dp floor; top-20 tiebroken by node id",
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select((-F.col("l_suppkey")).alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+    )
+    from ..operators.graph import pagerank
+
+    r = pagerank(edges, n_iter=3, damping=0.85)
+    return (
+        r.select("node", floor_round6(F.col("r")).alias("pr"))
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(20)
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
