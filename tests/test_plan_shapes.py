@@ -555,3 +555,33 @@ def test_ivf_persisted_query_scan_is_partition_pruned(spark, tmp_path):
     assert len(seg) > 1, "inverted-list scan lost its partition filter"
     assert "cell" in seg[1].split("]")[0]
     assert out.count() > 0
+
+
+def test_bloom_prune_broadcast_semi_no_smj(q):
+    plan = plan_text(q("q159_bloom_prune_join"))
+    # the exact FP-removal semi join broadcasts the 9-key dim; the
+    # bloom probe itself is a scan-stage filter, never a join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_topk_is_take_ordered(q):
+    plan = plan_text(q("q160_bm25_topk"))
+    # final top-k must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_global_sketch_is_take_ordered(q):
+    plan = plan_text(q("q161_kmv_distinct"))
+    # the k-min is a per-partition heap + driver merge, not a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_aggregate_partially(q):
+    plan = plan_text(q("q163_pagerank"))
+    # contribution folds are collect_list aggregates: partial
+    # (map-side) ObjectHashAggregate before each exchange
+    assert "ObjectHashAggregate" in plan
+    assert "CartesianProduct" not in plan
