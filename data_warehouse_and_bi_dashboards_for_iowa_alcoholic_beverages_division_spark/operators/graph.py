@@ -117,11 +117,17 @@ def pagerank(
     expression uses one fixed tree, so the ranks are bit-identical
     before any rounding.
     """
-    e = edges.select("src", "dst").distinct()
+    # checkpoint the static inputs and each round's rank vector —
+    # without truncation the unrolled plan re-evaluates the edge
+    # derivation once per nesting level and the previous ranks
+    # O(n_iter^2) times (same device as connected_components above;
+    # values are unaffected, folds stay order-pinned)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nstat = nodes.agg(F.count("*").alias("n"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
@@ -156,5 +162,6 @@ def pagerank(
                     + F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )
+            .localCheckpoint(eager=True)
         )
     return r

@@ -579,9 +579,10 @@ def test_kmv_global_sketch_is_take_ordered(q):
     assert "CartesianProduct" not in plan
 
 
-def test_pagerank_iterations_aggregate_partially(q):
+def test_pagerank_topk_over_checkpointed_rounds(q):
+    # each iteration is checkpointed (plan truncation — see
+    # graph.pagerank), so the visible plan is the top-k over the final
+    # rank vector: TakeOrderedAndProject, no global sort, no cartesian
     plan = plan_text(q("q163_pagerank"))
-    # contribution folds are collect_list aggregates: partial
-    # (map-side) ObjectHashAggregate before each exchange
-    assert "ObjectHashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
