@@ -68,3 +68,63 @@ def kmv_estimate(kth_hash: Column, n_in_sketch: Column) -> Column:
     (k-1)/h_(k) estimator when the sketch is full (n = k); callers
     should treat n < k as "sketch holds the whole set"."""
     return (n_in_sketch.cast("double") - F.lit(1.0)) / (kth_hash.cast("double") / F.lit(TWO_60))
+
+
+# --- mergeable equi-width histogram → quantile estimates ---------------
+#
+# Fourth member of the sketch family: HLL (counts), Count-Min
+# (frequencies), KMV (set operations), histogram (quantiles). Fixed
+# power-of-two bin width over a declared domain → the sketch is a
+# (bin, count) vector; partial vectors from disjoint shards merge by
+# integer addition (associative, exact), so corpus-wide percentiles
+# come from kilobytes of per-shard state. Bin width a power of two
+# keeps `value / width` exact in IEEE doubles → identical binning in
+# any engine.
+
+
+def histogram_bins(df: DataFrame, value_col: str, width: int) -> DataFrame:
+    """(bin, cnt) histogram; ``bin = floor(value / width)``. One
+    map-side-combined aggregation."""
+    b = F.floor(F.col(value_col).cast("double") / F.lit(float(width))).cast("long")
+    return df.select(b.alias("bin")).groupBy("bin").agg(F.count("*").alias("cnt"))
+
+
+def histogram_merge(partials: DataFrame) -> DataFrame:
+    """Sum partial (bin, cnt) vectors — exact, associative."""
+    return partials.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(bins: DataFrame, width: int, qs: list[float]) -> DataFrame:
+    """Linear-interpolated quantile estimates from a (bin, cnt)
+    histogram: one row (quantile, estimate) per q. The cumulative walk
+    is over the bin vector (|bins| = domain/width rows, never the
+    data), so the single-partition window is over kilobytes.
+
+    Float parity: target rank ``ceil(q * n)``, interpolation
+    ``bin*width + width * ((target - cum_before) / cnt)`` — fixed
+    expression trees mirrored in the q164 oracle.
+    """
+    spark = bins.sparkSession
+    n = bins.agg(F.sum("cnt").alias("n"))
+    cum = bins.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    qdf = spark.createDataFrame([(float(x),) for x in qs], "quantile double")
+    targets = qdf.crossJoin(F.broadcast(n)).select(
+        "quantile",
+        F.ceil(F.col("quantile") * F.col("n").cast("double")).cast("long").alias("target"),
+    )
+    crossing = (
+        targets.join(cum, cum["cum"] >= targets["target"])
+        .groupBy("quantile", "target")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        F.col("bin").cast("double") * F.lit(float(width))
+        + F.lit(float(width))
+        * ((F.col("target") - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt").cast("double"))
+    )
+    return (
+        crossing.join(cum.select("bin", "cnt", "cum"), "bin")
+        .select("quantile", est.alias("estimate"))
+    )

@@ -6708,6 +6708,91 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q164_histogram_quantiles",
+    f"""
+    WITH bins AS (
+      SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 4096.0) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    n AS (SELECT SUM(cnt) AS n FROM bins),
+    cum AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+    qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                          CAST(0.99 AS DOUBLE)]) AS quantile),
+    targets AS (
+      SELECT quantile,
+             CAST(CEIL(quantile * CAST(n AS DOUBLE)) AS BIGINT) AS target
+      FROM qs, n
+    ),
+    crossing AS (
+      SELECT quantile, target, MIN(bin) AS bin
+      FROM targets JOIN cum ON cum.cum >= targets.target
+      GROUP BY quantile, target
+    )
+    SELECT quantile,
+           {floor_round6_sql(
+               "CAST(bin AS DOUBLE) * 4096.0 + 4096.0 * "
+               "(CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))"
+           )} AS estimate
+    FROM crossing JOIN cum USING (bin)
+    """,
+    "Mergeable equi-width histogram -> p50/p90/p99 estimates over order "
+    "totals: fixed power-of-two bin width (4096) makes binning exact in "
+    "IEEE doubles on any engine and the (bin,count) vector an "
+    "integer-additive sketch - per-shard partials sum into the global "
+    "histogram (associativity pinned in tests/test_sketches.py), so "
+    "corpus-wide percentiles come from kilobytes of state instead of "
+    "the full sort exact percentiles need (q72). The cumulative walk "
+    "and interpolation touch only the ~120-row bin vector",
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bins = sketches.histogram_bins(o, "o_totalprice", 4096)
+    qdf = sketches.histogram_quantiles(bins, 4096, [0.5, 0.9, 0.99])
+    return qdf.select("quantile", floor_round6(F.col("estimate")).alias("estimate"))
+
+
+@register(
+    "q165_boilerplate_ngrams",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN
+               list_distinct([array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 4), ' ')
+                              for i in range(1, len(w) - 4 + 1)])
+             ELSE []::VARCHAR[] END AS gs
+      FROM norm
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams)
+    SELECT g AS gram, COUNT(*) AS doc_freq
+    FROM ex GROUP BY g ORDER BY doc_freq DESC, gram LIMIT 15
+    """,
+    "Boilerplate span mining (the analysis behind C4/Lee-et-al. "
+    "repeated-span removal): document frequency of every distinct "
+    "word-5-gram, top 15 - spans shared by many documents are "
+    "headers/footers/license text to strip before training. Grams are "
+    "distinct per doc (one array expr, no self-join), the groupBy is "
+    "map-side partial, top-k is TakeOrderedAndProject. At 100 TB the "
+    "shuffle key would be the gram's md5 prefix (q85's device) with "
+    "text recovered only for the k winners",
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", F.explode(text.word_ngrams_expr("text", 5)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(15)
+    )
+
+
+@register(
     "q39_knn_lsh",
     _q39_oracle(),
     "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "

@@ -586,3 +586,17 @@ def test_pagerank_topk_over_checkpointed_rounds(q):
     plan = plan_text(q("q163_pagerank"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_histogram_quantiles_aggregate_partial(q):
+    plan = plan_text(q("q164_histogram_quantiles"))
+    # the histogram build is a partial (map-side) count before the
+    # exchange; the quantile walk is over the tiny bin vector
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_ngrams_take_ordered(q):
+    plan = plan_text(q("q165_boilerplate_ngrams"))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan

@@ -46,3 +46,35 @@ def test_small_set_sketch_is_exact(spark):
     n_distinct = li.select("l_orderkey").distinct().count()
     assert len(sk) == n_distinct
     assert len({r["hv"] for r in sk}) == n_distinct
+
+
+def test_histogram_merge_equals_direct(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    direct = {
+        (r["bin"], r["cnt"])
+        for r in sketches.histogram_bins(o, "o_totalprice", 4096).collect()
+    }
+    # shard by order key, build partial histograms, merge
+    parts = []
+    for shard in range(3):
+        sub = o.where(F.col("o_orderkey") % 3 == shard)
+        parts.append(sketches.histogram_bins(sub, "o_totalprice", 4096))
+    merged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    got = {(r["bin"], r["cnt"]) for r in sketches.histogram_merge(merged).collect()}
+    assert got == direct
+
+
+def test_histogram_quantile_within_bin_width_of_exact(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    width = 4096
+    bins = sketches.histogram_bins(o, "o_totalprice", width)
+    est = {
+        r["quantile"]: r["estimate"]
+        for r in sketches.histogram_quantiles(bins, width, [0.5, 0.9, 0.99]).collect()
+    }
+    vals = sorted(r["o_totalprice"] for r in o.select("o_totalprice").collect())
+    import math
+
+    for q in (0.5, 0.9, 0.99):
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert abs(est[q] - exact) <= width, (q, est[q], exact)
