@@ -118,3 +118,45 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
             "n_events",
         )
     )
+
+
+def windowed_distinct_sketch(
+    events: DataFrame, k: int = 64, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-window KMV distinct-user sketch + estimate: the streaming
+    twin of the q161 batch sketch (operators/sketches.py). Each
+    tumbling window carries its k smallest distinct user-id hashes, so
+    downstream consumers can merge windows (k-min of concatenated
+    sketches — associative) or union days into a distinct-users-per-
+    week estimate without reprocessing, exactly the partial-sketch
+    contract of the batch family.
+
+    State honesty: the aggregation buffer is ``collect_set`` over the
+    window's distinct hashes — O(distinct-per-window), not O(k);
+    windows bound it (an hour of users, not the corpus), and the
+    emitted row is k values. A strictly-O(k) buffer needs a custom
+    JVM UDAF or ``applyInPandasWithState`` (demonstrated in
+    scd_stream.py) — this is the declarative form.
+
+    ``exact_distinct`` rides along (the collect_set size is exact) so
+    tests pin the estimator error per window.
+    """
+    from ..operators.sketches import TWO_60, kmv_hash
+
+    sk = F.slice(F.array_sort(F.col("hs")), 1, k)
+    n = F.least(F.size("hs"), F.lit(k))
+    hk = F.element_at(sk, n)
+    est = (n.cast("double") - F.lit(1.0)) / (hk.cast("double") / F.lit(TWO_60))
+    return (
+        _as_event_time(events)
+        .withWatermark("ts", watermark)
+        .withColumn("hv", kmv_hash(F.col("user_id")))
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(F.collect_set("hv").alias("hs"))
+        .select(
+            F.col("win.start").alias("hour_start"),
+            sk.alias("sketch"),
+            F.size("hs").alias("exact_distinct"),
+            est.alias("kmv_estimate"),
+        )
+    )

@@ -378,3 +378,41 @@ def test_session_window_semantics_match_q43_batch_sessionization(spark):
             f"session_window end must be last event + gap for {key}"
         )
     assert len(sw) > 0
+
+
+def test_streaming_kmv_sketch_matches_batch_and_bounds_error(spark):
+    """Per-window KMV sketches drained availableNow == the same
+    computation over the batch table, and every full sketch's estimate
+    is within 3 sigma of the window's exact distinct count."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.stream_ops import (
+        windowed_distinct_sketch,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        k = 64
+        stream = windowed_distinct_sketch(events_stream(spark, SF_DIR), k=k)
+        run_available_now(stream, ckpt, "kmv_out")
+        got = {
+            r["hour_start"]: (tuple(r["sketch"]), r["exact_distinct"], r["kmv_estimate"])
+            for r in spark.sql("SELECT * FROM kmv_out").collect()
+        }
+        from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+            load_table,
+        )
+
+        batch_events = load_table(spark, SF_DIR, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        want = {
+            r["hour_start"]: (tuple(r["sketch"]), r["exact_distinct"], r["kmv_estimate"])
+            for r in windowed_distinct_sketch(batch_events, k=k).collect()
+        }
+        assert got == want
+        assert len(got) > 50
+        for start, (sketch, exact, est) in got.items():
+            assert len(sketch) == min(exact, k)
+            if exact >= k:  # full sketch: estimator error bound applies
+                assert abs(est - exact) / exact < 3.0 / (k - 1) ** 0.5, (start, est, exact)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
