@@ -47,20 +47,20 @@ def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return tokenize(docs, id_col, text_col).groupBy(id_col).agg(F.count("*").alias("dl"))
 
 
-def bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
     *,
-    k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
     lengths: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k documents for a bag-of-words query, deterministically
-    tiebroken by id. Returns (id, score) with the score floored to 6dp.
-    """
+    """(id, score) for every document matching at least one query
+    term; score floored to 6dp. The shared scoring core of
+    ``bm25_topk`` (headline retrieval) and ``bm25_ranked`` (rank lists
+    for fusion)."""
     tok = tokenize(docs, id_col, text_col)
     dl = lengths if lengths is not None else tok.groupBy(id_col).agg(F.count("*").alias("dl"))
 
@@ -98,7 +98,26 @@ def bm25_topk(
             )
         ).alias("score")
     )
-    # deterministic top-k: TakeOrderedAndProject (no single-partition
-    # window) — the rounded score plus the id tiebreak makes the cut
-    # unambiguous on both engines
+    return per_doc
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], *, k: int = 10, **kw) -> DataFrame:
+    """Top-k documents, deterministically tiebroken by id. The top-k is
+    TakeOrderedAndProject (no single-partition window) — the rounded
+    score plus the id tiebreak makes the cut unambiguous on both
+    engines."""
+    per_doc = bm25_scores(docs, query_terms, **kw)
+    id_col = kw.get("id_col", "doc_id")
     return per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def bm25_ranked(docs: DataFrame, query_terms: list[str], *, k: int = 50, **kw) -> DataFrame:
+    """(id, score, rank) for the top-k: the rank-list form consumed by
+    reciprocal-rank fusion (q166). The window is over the matched-doc
+    scores only (query-term-filtered — bounded), not the corpus."""
+    from pyspark.sql import Window
+
+    per_doc = bm25_scores(docs, query_terms, **kw)
+    id_col = kw.get("id_col", "doc_id")
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return per_doc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -6411,11 +6411,13 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q160_TERMS = ("vector", "merge", "window")
 
 
-def _q160_oracle() -> str:
-    """DuckDB twin of BM25: identical tokenization regex, identical
-    per-term expression tree (constants written as the same IEEE ops —
-    ``(1.2 + 1.0)`` not ``2.2`` — so folding matches Python's
-    ``k1 + 1.0``), per-doc sum folded in term order."""
+def _bm25_perdoc_cte() -> str:
+    """Shared BM25 CTE chain ending in ``perdoc(doc_id, score)`` —
+    identical tokenization regex, identical per-term expression tree
+    (constants written as the same IEEE ops — ``(1.2 + 1.0)`` not
+    ``2.2`` — so folding matches Python's ``k1 + 1.0``), per-doc sum
+    folded in term order. Used by the q160 (top-k) and q166 (rank
+    fusion) oracles."""
     terms = ", ".join(f"'{t}'" for t in _Q160_TERMS)
     avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
     score = (
@@ -6449,9 +6451,14 @@ def _q160_oracle() -> str:
     perdoc AS (
       SELECT doc_id, {floor_round6_sql("list_sum(list(s ORDER BY term))")} AS score
       FROM scored GROUP BY doc_id
+    )"""
+
+
+def _q160_oracle() -> str:
+    return (
+        _bm25_perdoc_cte()
+        + "\n    SELECT doc_id, score FROM perdoc ORDER BY score DESC, doc_id LIMIT 10\n    "
     )
-    SELECT doc_id, score FROM perdoc ORDER BY score DESC, doc_id LIMIT 10
-    """
 
 
 @register(
@@ -6789,6 +6796,91 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), "gram")
         .limit(15)
+    )
+
+
+def _q166_oracle() -> str:
+    """DuckDB twin of hybrid retrieval: the shared BM25 perdoc CTE
+    ranked, the q38 cosine expression ranked for the single query
+    vector, full-outer-joined and fused with the standard RRF formula
+    (1/(60+rank) per list, missing rank contributes 0 via COALESCE of
+    the NULL-propagated division)."""
+    cosine = (
+        "(list_sum(list_transform(list_zip(q.qv, c.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    )
+    rrf = (
+        "COALESCE(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)"
+        " + COALESCE(1.0 / (60.0 + CAST(r_vec AS DOUBLE)), 0.0)"
+    )
+    return f"""{_bm25_perdoc_cte()},
+    lex AS (
+      SELECT doc_id, r_lex FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+        FROM perdoc
+      ) WHERE r_lex <= 50
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    scoredv AS (
+      SELECT c.vec_id AS doc_id, {floor_round6_sql(cosine)} AS vscore
+      FROM q, embeddings c WHERE c.vec_id <> 7
+    ),
+    vec AS (
+      SELECT doc_id, r_vec FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS r_vec
+        FROM scoredv
+      ) WHERE r_vec <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             {rrf} AS s,
+             CAST(r_lex AS INT) AS lex_rank,
+             CAST(r_vec AS INT) AS vec_rank
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, {floor_round6_sql("s")} AS rrf_score, lex_rank, vec_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "q166_hybrid_rrf",
+    _q166_oracle(),
+    "Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical "
+    "rank list (3-term query, top 50) and the exact-cosine vector rank "
+    "list (doc 7's embedding, top 50) full-outer-joined on doc and "
+    "fused as 1/(60+rank) per list (Cormack et al. SIGIR'09) - the "
+    "standard RAG retrieval stack as one Catalyst plan. Rank lists are "
+    "bounded (k rows each), so the fusion join is trivially small at "
+    "any corpus scale; both ranking windows run over query-matched "
+    "candidates only, never the corpus",
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_ranked(docs, list(_Q160_TERMS), k=50).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    vec = similarity.cosine_topk(emb, emb.where("vec_id = 7"), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_vec")
+    )
+    j = lex.join(vec, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("r_lex").cast("double")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_vec").cast("double")), F.lit(0.0))
+    return (
+        j.select(
+            "doc_id",
+            floor_round6(rrf).alias("rrf_score"),
+            F.col("r_lex").cast("int").alias("lex_rank"),
+            F.col("r_vec").cast("int").alias("vec_rank"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
     )
 
 

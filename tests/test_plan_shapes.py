@@ -600,3 +600,9 @@ def test_boilerplate_ngrams_take_ordered(q):
     plan = plan_text(q("q165_boilerplate_ngrams"))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_hybrid_rrf_take_ordered_no_cartesian(q):
+    plan = plan_text(q("q166_hybrid_rrf"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -46,3 +46,37 @@ def test_bm25_precomputed_lengths_equivalent(spark):
     a = retrieval.bm25_topk(docs, TERMS, k=10).collect()
     c = retrieval.bm25_topk(docs, TERMS, k=10, lengths=dl).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in c]
+
+
+def test_bm25_ranked_head_equals_topk(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    topk = [(r["doc_id"], r["score"]) for r in retrieval.bm25_topk(docs, TERMS, k=10).collect()]
+    ranked = retrieval.bm25_ranked(docs, TERMS, k=10)
+    ordered = [
+        (r["doc_id"], r["score"])
+        for r in sorted(ranked.collect(), key=lambda r: r["rank"])
+    ]
+    assert ordered == topk
+
+
+def test_rrf_fusion_scores_recomputed_independently(spark):
+    # every fused row's score must equal the RRF formula applied to its
+    # own rank columns, and the result must be rank-sorted
+    import math
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        registry,
+    )
+
+    rows = registry()["q166_hybrid_rrf"].fn(spark, SF_DIR).collect()
+    assert rows, "fusion must return results"
+    for r in rows:
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60.0 + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1.0 / (60.0 + r["vec_rank"])
+        assert abs(r["rrf_score"] - math.floor(expect * 1e6 + 0.5) / 1e6) < 1e-12
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
