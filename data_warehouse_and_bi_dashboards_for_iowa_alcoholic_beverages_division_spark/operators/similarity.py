@@ -413,3 +413,41 @@ def cosine_to_query_pandas_udf(query_vec: list[float]):
     # pandas just for this escape-hatch demo
     _score.__annotations__ = {"col": pd.Series, "return": pd.Series}
     return pandas_udf("double")(_score)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    lo: float,
+    hi: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the top-k corpus vectors whose cosine lands in [lo, hi) —
+    similar enough to be informative negatives, below the near-dup
+    threshold (``hi``) so positives/duplicates are excluded.
+
+    Same shape as ``cosine_topk`` (broadcast queries × corpus, no
+    corpus shuffle); the band filter runs on the 6dp-floored score so
+    the boundary is ulp-stable and identical cross-engine. At scale
+    the corpus side swaps in the IVF/LSH candidate streams (the band
+    filter composes unchanged).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"),
+        )
+        .where((F.col("score") >= F.lit(lo)) & (F.col("score") < F.lit(hi)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

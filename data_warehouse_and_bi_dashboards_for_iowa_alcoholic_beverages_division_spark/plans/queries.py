@@ -6885,6 +6885,41 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q167_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             FLOOR(
+               (list_sum(list_transform(list_zip(q.qv, c.embedding),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+               * 1000000 + 0.5) / 1000000.0 AS score
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.query_id
+    ),
+    banded AS (SELECT * FROM scored WHERE score >= 0.25 AND score < 0.35)
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM banded
+    ) WHERE rank <= 10
+    """,
+    "Hard-negative mining for contrastive training: per query vector, "
+    "the top-10 corpus vectors with cosine in [0.25, 0.35) - similar "
+    "enough to be informative negatives, strictly below the q40 "
+    "near-dup threshold (0.35) so duplicates are excluded. Band filter "
+    "on the 6dp-floored score (ulp-stable boundary cross-engine); "
+    "broadcast-queries shape, corpus never shuffles; at 100 TB the "
+    "corpus side swaps in the IVF/LSH candidate streams",
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, emb.where("vec_id < 5"), lo=0.25, hi=0.35, k=10)
+
+
+@register(
     "q39_knn_lsh",
     _q39_oracle(),
     "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "

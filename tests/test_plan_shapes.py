@@ -606,3 +606,11 @@ def test_hybrid_rrf_take_ordered_no_cartesian(q):
     plan = plan_text(q("q166_hybrid_rrf"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_no_corpus_shuffle(q):
+    # broadcast-queries shape like q38: the corpus side must not be
+    # exchanged for the scoring join
+    plan = plan_text(q("q167_hard_negatives"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

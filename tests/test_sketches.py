@@ -78,3 +78,29 @@ def test_histogram_quantile_within_bin_width_of_exact(spark):
     for q in (0.5, 0.9, 0.99):
         exact = vals[math.ceil(q * len(vals)) - 1]
         assert abs(est[q] - exact) <= width, (q, est[q], exact)
+
+
+def test_hard_negatives_band_and_disjoint_from_neardups(spark):
+    # negatives must live strictly inside the band and never collide
+    # with the near-dup region [hi, 1]
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where("vec_id < 3")
+    neg = hard_negatives(emb, queries, lo=0.2, hi=0.3, k=5).collect()
+    assert neg, "band must contain candidates at this SF"
+    for r in neg:
+        assert 0.2 <= r["score"] < 0.3
+        assert r["query_id"] != r["neighbor_id"]
+    # per-query rank lists are dense 1..n and score-sorted
+    by_q = {}
+    for r in neg:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
