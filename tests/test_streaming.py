@@ -416,3 +416,58 @@ def test_streaming_kmv_sketch_matches_batch_and_bounds_error(spark):
                 assert abs(est - exact) / exact < 3.0 / (k - 1) ** 0.5, (start, est, exact)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_checkpoint_resume_processes_each_file_exactly_once(spark):
+    """Two availableNow drains of a GROWING staging dir against the
+    same checkpoint: the second run must process only the new file —
+    the restart-recovery contract that makes the incremental pipeline
+    exactly-once across process restarts, not just within one run."""
+    import os
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.stream_ops import (
+        hourly_counts as hc,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_resume_")
+    staging = tempfile.mkdtemp(prefix="staging_")
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        half1 = ev.where(F.col("user_id") % 2 == 0)
+        half2 = ev.where(F.col("user_id") % 2 != 0)
+        half1.write.parquet(os.path.join(staging, "batch1"))
+
+        def staged_stream():
+            schema = spark.read.parquet(os.path.join(staging, "batch1")).schema
+            raw = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(staging)
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+        run_available_now(hc(staged_stream()), ckpt, "resume_out")
+        n1 = spark.sql("SELECT SUM(n_events) AS s FROM resume_out").collect()[0]["s"]
+        assert n1 == half1.count()
+
+        half2.write.parquet(os.path.join(staging, "batch2"))
+        run_available_now(hc(staged_stream()), ckpt, "resume_out")
+        got = {
+            (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM resume_out").collect()
+        }
+        batch = (
+            ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(12,2)")).alias("s"),
+            )
+            .select(F.col("win.start").alias("h"), "event_type", "n", "s")
+        )
+        want = {(r["h"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+        # both halves counted exactly once: no loss, no double-count of
+        # the first file on resume
+        assert got == want
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
