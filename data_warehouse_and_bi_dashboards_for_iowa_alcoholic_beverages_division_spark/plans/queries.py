@@ -6919,6 +6919,106 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(emb, emb.where("vec_id < 5"), lo=0.25, hi=0.35, k=10)
 
 
+def _q168_oracle() -> str:
+    """DuckDB twin of sketch-driven join-size estimation. The KMV
+    machinery is q162's; the estimate composes intersection-distinct x
+    average fact multiplicity with one fixed float tree."""
+    hv = _KMV_HASH_SQL.format(v="l_orderkey")
+    hvo = _KMV_HASH_SQL.format(v="o_orderkey")
+    uest = _KMV_EST_SQL.format(n="127.0 + 1.0", hk="hku")
+    jac = "CAST(matches AS DOUBLE) / 128.0"
+    inter = f"({jac}) * ({uest})"
+    return f"""
+    WITH a AS (SELECT DISTINCT {hv} AS hv FROM lineitem),
+    b AS (
+      SELECT DISTINCT {hvo} AS hv FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    sa AS (SELECT hv FROM a ORDER BY hv LIMIT 128),
+    sb AS (SELECT hv FROM b ORDER BY hv LIMIT 128),
+    su AS (
+      SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb) u
+      ORDER BY hv LIMIT 128
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM su s
+               WHERE s.hv IN (SELECT hv FROM sa)
+                 AND s.hv IN (SELECT hv FROM sb)) AS matches,
+             (SELECT MAX(hv) FROM su) AS hku
+    ),
+    fact AS (
+      SELECT COUNT(*) AS n_fact,
+             (SELECT COUNT(*) FROM a) AS d_fact
+      FROM lineitem
+    ),
+    exact AS (
+      SELECT COUNT(*) AS exact_join_rows
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+    )
+    SELECT {floor_round6_sql(
+        f"({inter}) * (CAST(n_fact AS DOUBLE) / CAST(d_fact AS DOUBLE))"
+    )} AS est_join_rows,
+           CAST(matches AS BIGINT) AS n_common_in_sketch,
+           exact_join_rows
+    FROM stats, fact, exact
+    """
+
+
+@register(
+    "q168_join_size_estimate",
+    _q168_oracle(),
+    "Sketch-driven join cardinality estimation - the statistic that "
+    "drives join ordering and broadcast decisions at 100 TB: "
+    "|fact JOIN dim-subset| ~= KMV-estimated distinct-key overlap x "
+    "average fact multiplicity (rows/distinct), computed from two "
+    "k=128 sketches plus two scalar counts - kilobytes of state, no "
+    "join executed. The exact join count rides along for error "
+    "inspection; the estimator reuses q162's KMV overlap machinery "
+    "verbatim",
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    a = li.select(sketches.kmv_hash(F.col("l_orderkey")).alias("hv")).distinct()
+    b = (
+        o.where("o_orderpriority = '1-URGENT'")
+        .select(sketches.kmv_hash(F.col("o_orderkey")).alias("hv"))
+        .distinct()
+    )
+    sa = a.orderBy("hv").limit(128)
+    sb = b.orderBy("hv").limit(128)
+    su = sketches.kmv_merge(sa.unionByName(sb), 128)
+    matches = (
+        su.join(F.broadcast(sa.withColumnRenamed("hv", "ha")), F.col("hv") == F.col("ha"), "left_semi")
+        .join(F.broadcast(sb.withColumnRenamed("hv", "hb")), F.col("hv") == F.col("hb"), "left_semi")
+        .agg(F.count("*").alias("matches"))
+    )
+    hku = su.agg(F.max("hv").alias("hku"))
+    fact = li.agg(F.count("*").alias("n_fact")).crossJoin(
+        a.agg(F.count("*").alias("d_fact"))
+    )
+    exact = (
+        li.join(o.where("o_orderpriority = '1-URGENT'"), li["l_orderkey"] == o["o_orderkey"])
+        .agg(F.count("*").alias("exact_join_rows"))
+    )
+    jac = F.col("matches").cast("double") / F.lit(128.0)
+    uest = (F.lit(127.0) + F.lit(1.0) - F.lit(1.0)) / (
+        F.col("hku").cast("double") / F.lit(sketches.TWO_60)
+    )
+    inter = jac * uest
+    est = inter * (F.col("n_fact").cast("double") / F.col("d_fact").cast("double"))
+    return (
+        matches.crossJoin(hku)
+        .crossJoin(fact)
+        .crossJoin(exact)
+        .select(
+            floor_round6(est).alias("est_join_rows"),
+            F.col("matches").cast("bigint").alias("n_common_in_sketch"),
+            "exact_join_rows",
+        )
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
