@@ -7020,6 +7020,83 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q169_incremental_agg_merge",
+    """
+    WITH old_state AS (
+      SELECT o_custkey, COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+      GROUP BY o_custkey
+    ),
+    delta AS (
+      SELECT o_custkey, COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+      GROUP BY o_custkey
+    ),
+    merged AS (
+      SELECT COALESCE(o.o_custkey, d.o_custkey) AS o_custkey,
+             COALESCE(o.n_orders, 0) + COALESCE(d.n_orders, 0) AS n_orders,
+             COALESCE(o.spend, CAST(0 AS DECIMAL(18,2)))
+               + COALESCE(d.spend, CAST(0 AS DECIMAL(18,2))) AS spend
+      FROM old_state o FULL OUTER JOIN delta d ON o.o_custkey = d.o_custkey
+    ),
+    full_recompute AS (
+      SELECT o_custkey, COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT m.o_custkey, CAST(m.n_orders AS BIGINT) AS n_orders,
+           CAST(m.spend AS DOUBLE) AS spend,
+           CAST((m.n_orders = f.n_orders AND m.spend = f.spend) AS BOOLEAN) AS matches_full
+    FROM merged m JOIN full_recompute f ON m.o_custkey = f.o_custkey
+    """,
+    "Incremental aggregate maintenance (materialized-rollup refresh "
+    "without history rescan): the standing per-customer state merges "
+    "with a delta batch via the partial-aggregate algebra - counts "
+    "add, decimal sums add (exact, order-free) - through one full "
+    "outer join on the group key. The merged state is verified "
+    "row-for-row against a full recompute AS DATA (matches_full), so "
+    "the oracle checks the algebra itself; at 100 TB this is the "
+    "difference between touching the delta and touching all history",
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(F.count("*").alias("n_orders"), spend)
+
+    old_state = agg(o.where("o_orderdate < DATE '1997-01-01'")).select(
+        F.col("o_custkey").alias("k"), F.col("n_orders").alias("n_a"), F.col("spend").alias("s_a")
+    )
+    delta = agg(o.where("o_orderdate >= DATE '1997-01-01'")).select(
+        F.col("o_custkey").alias("k2"), F.col("n_orders").alias("n_b"), F.col("spend").alias("s_b")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    merged = (
+        old_state.join(delta, old_state["k"] == delta["k2"], "full_outer")
+        .select(
+            F.coalesce(F.col("k"), F.col("k2")).alias("o_custkey"),
+            (F.coalesce(F.col("n_a"), F.lit(0)) + F.coalesce(F.col("n_b"), F.lit(0))).alias(
+                "n_orders"
+            ),
+            (F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero)).alias("spend"),
+        )
+    )
+    full = agg(o).select(
+        F.col("o_custkey").alias("fk"),
+        F.col("n_orders").alias("n_f"),
+        F.col("spend").alias("s_f"),
+    )
+    return merged.join(full, merged["o_custkey"] == full["fk"]).select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("spend").cast("double").alias("spend"),
+        ((F.col("n_orders") == F.col("n_f")) & (F.col("spend") == F.col("s_f"))).alias(
+            "matches_full"
+        ),
+    )
+
+
+@register(
     "q39_knn_lsh",
     _q39_oracle(),
     "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "
