@@ -135,6 +135,7 @@ def pagerank(
     r = nodes.crossJoin(F.broadcast(nstat)).select(
         "node", (F.lit(1.0) / F.col("n").cast("double")).alias("r")
     )
+    prev: DataFrame | None = None
     for _ in range(n_iter):
         contribs = (
             e.join(r.withColumnRenamed("node", "src"), "src")
@@ -164,4 +165,12 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # the new round is eagerly materialized from its own blocks, so
+        # the previous round's checkpoint is dead weight — release it
+        # (long sweep sessions would otherwise hold n_iter copies)
+        if prev is not None:
+            prev.unpersist()
+        prev = r
+    e.unpersist()
+    nodes.unpersist()
     return r
