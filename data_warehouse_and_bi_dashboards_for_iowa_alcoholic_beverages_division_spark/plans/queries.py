@@ -7097,6 +7097,127 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q170_filtered_ann",
+    """
+    WITH allowed AS (
+      SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 120
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             FLOOR(
+               (list_sum(list_transform(list_zip(q.qv, c.embedding),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+               * 1000000 + 0.5) / 1000000.0 AS score
+      FROM q, embeddings c
+      WHERE c.vec_id <> q.query_id
+        AND c.vec_id IN (SELECT doc_id FROM allowed)
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    "Filtered ANN (the vector-store metadata-predicate problem): top-10 "
+    "cosine neighbors restricted to documents passing a metadata filter "
+    "(lang + length), as a PRE-filter - the predicate prunes the corpus "
+    "side via a semi join BEFORE any distance is computed, so filtered "
+    "search costs selectivity x corpus, and top-k is never starved the "
+    "way post-filtering a fixed candidate list can be. At 100 TB the "
+    "allowed-set semi join rides the same IVF/LSH candidate streams; "
+    "with a partitioned index the filter becomes partition pruning",
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    allowed = docs.where("lang = 'en' AND n_chars >= 120").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(F.broadcast(allowed), "vec_id", "left_semi")
+    return similarity.cosine_topk(corpus, emb.where("vec_id < 5"), k=10)
+
+
+@register(
+    "q171_length_bucketed_batches",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ntok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, ntok, NTILE(8) OVER (ORDER BY ntok, doc_id) AS bucket
+      FROM tok
+    ),
+    batched AS (
+      SELECT bucket, ntok,
+             (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ntok, doc_id) - 1) // 32
+               AS batch
+      FROM bucketed
+    ),
+    per_batch AS (
+      SELECT bucket, batch, COUNT(*) AS n, MAX(ntok) AS mx, SUM(ntok) AS sm
+      FROM batched GROUP BY bucket, batch
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(mx * n) AS BIGINT) AS padded_tokens,
+           CAST(SUM(sm) AS BIGINT) AS real_tokens,
+           {pad_frac} AS padding_frac
+    FROM per_batch
+    GROUP BY bucket
+    """.replace(
+        "{pad_frac}",
+        floor_round6_sql(
+            "CAST(SUM(mx * n) - SUM(sm) AS DOUBLE) / CAST(SUM(mx * n) AS DOUBLE)"
+        ),
+    ),
+    "Length-bucketed batching for training/inference: docs NTILE'd "
+    "into 8 token-length buckets (at scale: range partitioning by "
+    "precomputed length quantiles - q164's histogram gives them for "
+    "free), fixed 32-doc batches within each bucket, and the padding "
+    "waste each batch pays (batch_max x batch_size - real tokens). "
+    "Grouping similar lengths is THE lever on padding FLOPs; the "
+    "padding_frac column quantifies it per bucket from exact integer "
+    "token counts",
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", text.token_count_expr("text").alias("ntok"))
+    wb = Window.orderBy("ntok", "doc_id")
+    bucketed = tok.withColumn("bucket", F.ntile(8).over(wb))
+    wr = Window.partitionBy("bucket").orderBy("ntok", "doc_id")
+    batched = bucketed.withColumn(
+        "batch", ((F.row_number().over(wr) - F.lit(1)) / F.lit(32)).cast("int")
+    )
+    per_batch = batched.groupBy("bucket", "batch").agg(
+        F.count("*").alias("n"), F.max("ntok").alias("mx"), F.sum("ntok").alias("sm")
+    )
+    padded = F.sum(F.col("mx") * F.col("n"))
+    real = F.sum("sm")
+    return per_batch.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_batches"),
+        padded.cast("bigint").alias("padded_tokens"),
+        real.cast("bigint").alias("real_tokens"),
+        floor_round6(
+            (padded - real).cast("double") / padded.cast("double")
+        ).alias("padding_frac"),
+    ).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_docs",
+        "n_batches",
+        "padded_tokens",
+        "real_tokens",
+        "padding_frac",
+    )
+
+
+@register(
     "q39_knn_lsh",
     _q39_oracle(),
     "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "
