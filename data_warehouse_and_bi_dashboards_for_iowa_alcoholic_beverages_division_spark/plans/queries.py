@@ -7217,6 +7217,92 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q172_oracle() -> str:
+    """DuckDB twin of the KL drift score: identical smoothing trees
+    ((cnt+1)/(tot+V)), KL terms folded in word order."""
+    pa = "((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + CAST(v AS DOUBLE)))"
+    qb = "((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + CAST(v AS DOUBLE)))"
+    term = f"{pa} * ln({pa} / {qb})"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    counts AS (
+      SELECT word,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS cnt_a,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cnt_b
+      FROM tok WHERE word <> '' GROUP BY word
+    ),
+    tots AS (
+      SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b, COUNT(*) AS v FROM counts
+    ),
+    terms AS (
+      SELECT word, {term} AS klt FROM counts, tots
+    )
+    SELECT {floor_round6_sql("list_sum(list(klt ORDER BY word))")} AS kl_divergence,
+           (SELECT CAST(v AS BIGINT) FROM tots) AS n_vocab,
+           (SELECT CAST(tot_a AS BIGINT) FROM tots) AS tokens_a,
+           (SELECT CAST(tot_b AS BIGINT) FROM tots) AS tokens_b
+    FROM terms
+    """
+
+
+@register(
+    "q172_corpus_drift_kl",
+    _q172_oracle(),
+    "Corpus drift detection: add-1-smoothed KL divergence between the "
+    "word distributions of two corpus snapshots (even vs odd doc ids "
+    "as the stand-in for yesterday-vs-today) over the union "
+    "vocabulary. One token pass, one vocab-sized aggregate, scalar "
+    "totals broadcast - the cheap tripwire that catches a scraper or "
+    "upstream-mix change before it poisons a training run. KL terms "
+    "fold in word order (the q150 device) for bit-identical "
+    "cross-engine floats",
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    counts = tok.groupBy("word").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    tots = counts.agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b"), F.count("*").alias("v")
+    )
+    pa = (F.col("cnt_a").cast("double") + F.lit(1.0)) / (
+        F.col("tot_a").cast("double") + F.col("v").cast("double")
+    )
+    qb = (F.col("cnt_b").cast("double") + F.lit(1.0)) / (
+        F.col("tot_b").cast("double") + F.col("v").cast("double")
+    )
+    terms = counts.crossJoin(F.broadcast(tots)).select(
+        "word", (pa * F.log(pa / qb)).alias("klt")
+    )
+    kl = terms.agg(
+        floor_round6(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("word", "klt"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["klt"],
+            )
+        ).alias("kl_divergence")
+    )
+    return kl.crossJoin(
+        F.broadcast(
+            tots.select(
+                F.col("v").cast("bigint").alias("n_vocab"),
+                F.col("tot_a").cast("bigint").alias("tokens_a"),
+                F.col("tot_b").cast("bigint").alias("tokens_b"),
+            )
+        )
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
