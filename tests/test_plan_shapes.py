@@ -614,3 +614,24 @@ def test_hard_negatives_no_corpus_shuffle(q):
     plan = plan_text(q("q167_hard_negatives"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_filtered_ann_prefilters_with_semi_join(q):
+    # the metadata predicate must prune the corpus BEFORE scoring:
+    # left-semi against the allowed set, no sort-merge
+    plan = plan_text(q("q170_filtered_ann"))
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_bucketed_batches_partial_aggs(q):
+    plan = plan_text(q("q171_length_bucketed_batches"))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_drift_kl_broadcast_totals(q):
+    # scalar totals must broadcast against the vocab-sized side
+    plan = plan_text(q("q172_corpus_drift_kl"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
