@@ -7304,6 +7304,36 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q173_k_anonymity",
+    """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS n
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source,
+           CASE WHEN n >= 5 THEN n ELSE NULL END AS n_docs,
+           CAST(n < 5 AS BOOLEAN) AS suppressed
+    FROM cells
+    """,
+    "k-anonymity suppression (k=5) over the quasi-identifier pair "
+    "(lang, source): equivalence-class sizes below k are withheld "
+    "(NULLed) and flagged - the release-safety gate for sharing corpus "
+    "statistics or training-data provenance reports. One partial "
+    "aggregate; the suppression rule is a pure projection, so the "
+    "audit costs the same as the report it protects",
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    return cells.select(
+        "lang",
+        "source",
+        F.when(F.col("n") >= 5, F.col("n")).alias("n_docs"),
+        (F.col("n") < 5).alias("suppressed"),
+    )
+
+
+@register(
     "q39_knn_lsh",
     _q39_oracle(),
     "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "
