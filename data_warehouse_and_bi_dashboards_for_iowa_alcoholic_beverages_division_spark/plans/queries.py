@@ -7334,6 +7334,58 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q174_markov_transitions",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    rows_tot AS (
+      SELECT from_type, SUM(n_transitions) AS row_total FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n_transitions AS BIGINT) AS n_transitions,
+           {floor_round6_sql(
+               "CAST(t.n_transitions AS DOUBLE) / CAST(r.row_total AS DOUBLE)"
+           )} AS prob
+    FROM trans t JOIN rows_tot r USING (from_type)
+    """,
+    "User-journey Markov transition matrix: per-user event sequences "
+    "(LEAD over ts with event_id tiebreak - (user,ts) pairs are unique "
+    "at us precision, verified), transition counts, and row-normalized "
+    "probabilities. One window shuffle on user_id + one small "
+    "aggregate; the |event_types|^2 matrix is the behavioral-model "
+    "input (next-action prediction, anomaly scoring) at any event "
+    "volume",
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+    trans = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n_transitions").alias("row_total"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        floor_round6(
+            F.col("n_transitions").cast("double") / F.col("row_total").cast("double")
+        ).alias("prob"),
+    )
+
+
+@register(
     "q39_knn_lsh",
     _q39_oracle(),
     "LSH-bucketed (random hyperplane) approximate top-k — the scale path; "
