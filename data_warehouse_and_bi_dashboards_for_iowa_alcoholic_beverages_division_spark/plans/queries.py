@@ -7385,6 +7385,108 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q175_oracle() -> str:
+    """DuckDB twin of Markov surprise scoring: the q174 matrix
+    (including its 6dp prob floor, so both engines log the same
+    value), per-user NLL folded in event order."""
+    prob = floor_round6_sql(
+        "CAST(t.n_transitions AS DOUBLE) / CAST(r.row_total AS DOUBLE)"
+    )
+    return f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    steps AS (SELECT * FROM seq WHERE next_type IS NOT NULL),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_transitions
+      FROM steps GROUP BY event_type, next_type
+    ),
+    rows_tot AS (
+      SELECT from_type, SUM(n_transitions) AS row_total FROM trans GROUP BY from_type
+    ),
+    probs AS (
+      SELECT t.from_type, t.to_type, {prob} AS p
+      FROM trans t JOIN rows_tot r USING (from_type)
+    ),
+    scored AS (
+      SELECT s.user_id, s.ts, s.event_id, -ln(p.p) AS nll
+      FROM steps s
+      JOIN probs p ON p.from_type = s.event_type AND p.to_type = s.next_type
+    ),
+    per_user AS (
+      SELECT user_id,
+             list_sum(list(nll ORDER BY ts, event_id)) AS total_nll,
+             COUNT(*) AS n_steps
+      FROM scored GROUP BY user_id
+    )
+    SELECT user_id,
+           {floor_round6_sql("total_nll / CAST(n_steps AS DOUBLE)")} AS surprise,
+           CAST(n_steps AS BIGINT) AS n_steps
+    FROM per_user
+    ORDER BY surprise DESC, user_id LIMIT 10
+    """
+
+
+@register(
+    "q175_journey_surprise",
+    _q175_oracle(),
+    "Behavioral anomaly scoring from the q174 Markov model: each "
+    "user's mean negative log-likelihood under the corpus-wide "
+    "transition matrix (probabilities taken AFTER the 6dp floor so "
+    "both engines log identical values), NLL folded in event order, "
+    "top-10 most surprising journeys. The matrix is tiny and "
+    "broadcasts; the per-user fold rides the same user_id shuffle the "
+    "sequence window already paid - composition, not a new pass",
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    trans = steps.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n_transitions"))
+    tot = trans.groupBy("from_type").agg(F.sum("n_transitions").alias("row_total"))
+    probs = trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        floor_round6(
+            F.col("n_transitions").cast("double") / F.col("row_total").cast("double")
+        ).alias("p"),
+    )
+    scored = steps.join(
+        F.broadcast(probs),
+        (steps["event_type"] == probs["from_type"]) & (steps["next_type"] == probs["to_type"]),
+    ).select("user_id", "ts", "event_id", (-F.log(F.col("p"))).alias("nll"))
+    per_user = scored.groupBy("user_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "nll"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["nll"],
+        ).alias("total_nll"),
+        F.count("*").alias("n_steps"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            floor_round6(F.col("total_nll") / F.col("n_steps").cast("double")).alias(
+                "surprise"
+            ),
+            F.col("n_steps").cast("bigint").alias("n_steps"),
+        )
+        .orderBy(F.col("surprise").desc(), "user_id")
+        .limit(10)
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
