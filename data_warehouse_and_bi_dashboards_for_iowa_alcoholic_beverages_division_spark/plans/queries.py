@@ -7487,6 +7487,102 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q176_oracle() -> str:
+    """DuckDB twin of the Zipf fit: identical rank window, four
+    rank-ordered folds for the regression sums, one closed-form
+    slope/intercept tree."""
+    slope = (
+        "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - sx * sx)"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    counts AS (
+      SELECT word, COUNT(*) AS f FROM tok WHERE word <> '' GROUP BY word
+    ),
+    ranked AS (
+      SELECT word, f, ROW_NUMBER() OVER (ORDER BY f DESC, word) AS rnk
+      FROM counts QUALIFY rnk <= 64
+    ),
+    terms AS (
+      SELECT rnk, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      FROM ranked
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             list_sum(list(x ORDER BY rnk)) AS sx,
+             list_sum(list(y ORDER BY rnk)) AS sy,
+             list_sum(list(x * y ORDER BY rnk)) AS sxy,
+             list_sum(list(x * x ORDER BY rnk)) AS sxx
+      FROM terms
+    )
+    SELECT {floor_round6_sql(slope)} AS zipf_slope,
+           {floor_round6_sql(f"(sy - ({slope}) * sx) / CAST(n AS DOUBLE)")} AS intercept,
+           CAST(n AS BIGINT) AS n_vocab_used
+    FROM sums
+    """
+
+
+@register(
+    "q176_zipf_fit",
+    _q176_oracle(),
+    "Corpus-linguistics diagnostic: least-squares slope of ln(freq) vs "
+    "ln(rank) over the top-64 vocabulary - natural corpora fit "
+    "Zipf's law (slope ~ -1), so a shallow or kinked slope flags "
+    "synthetic/templated/spam-heavy text before it trains. One vocab "
+    "aggregate, regression sums folded in rank order (four ordered "
+    "folds, the q150 device), closed-form slope/intercept with one "
+    "mirrored expression tree",
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    counts = tok.groupBy("word").agg(F.count("*").alias("f"))
+    wr = Window.orderBy(F.col("f").desc(), "word")
+    ranked = counts.withColumn("rnk", F.row_number().over(wr)).where(F.col("rnk") <= 64)
+    terms = ranked.select(
+        "rnk",
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+
+    def fold(expr_name):
+        return F.aggregate(
+            F.col("arr"), F.lit(0.0), lambda acc, s: acc + s[expr_name]
+        )
+
+    sums = (
+        terms.select(
+            "rnk", "x", "y", (F.col("x") * F.col("y")).alias("xy"), (F.col("x") * F.col("x")).alias("xx")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.array_sort(F.collect_list(F.struct("rnk", "x", "y", "xy", "xx"))).alias("arr"),
+        )
+        .select(
+            "n",
+            fold("x").alias("sx"),
+            fold("y").alias("sy"),
+            fold("xy").alias("sxy"),
+            fold("xx").alias("sxx"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        floor_round6(slope).alias("zipf_slope"),
+        floor_round6((F.col("sy") - slope * F.col("sx")) / n_d).alias("intercept"),
+        F.col("n").cast("bigint").alias("n_vocab_used"),
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
