@@ -451,3 +451,137 @@ def hard_negatives(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# --- product quantization (PQ) ----------------------------------------
+#
+# Embedding compression for billion-vector ANN: split each vector into
+# M subspaces, k-means each subspace, store each vector as M small
+# codes (here 2 x 2 bits instead of 64 floats). Search uses asymmetric
+# distance computation (ADC): per query, one small distance table per
+# subspace against the codebook, then every corpus vector's distance
+# is M table lookups — no original vectors touched (Jegou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI'11).
+# Codebooks are driver-resident like the IVF centroids (M*K*dsub
+# floats, bounded); training is the same distributed Lloyd device as
+# ivf_train_centroids with L2/argmin instead of cosine/argmax.
+
+
+def l2_expr(a: Column, b: Column) -> Column:
+    """Squared L2 distance, same fold device as dot_expr."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _argmin_cell_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Cell id with the smallest 6dp-floored L2 to the vector:
+    array_min over (dist, cell) structs — ties pick the LOWEST cell id
+    (struct ordering), mirrored in oracles as ORDER BY dist, cell."""
+    entries = []
+    for i, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(v) for v in cent])
+        entries.append(
+            F.struct(floor_round6(l2_expr(vec_col, lit_c)).alias("d"), F.lit(i).alias("c"))
+        )
+    return F.array_min(F.array(*entries))["c"]
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train M codebooks of K centroids each (deterministic: seeds are
+    the K lowest-id vectors' sub-vectors, per-dimension means floored
+    to 6dp — the ivf_train_centroids contract, per subspace)."""
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        subdf = corpus.select(F.col(id_col).alias("id"), sub.alias("sv"))
+        seeds = subdf.orderBy("id").limit(k).select("sv").collect()
+        cents = [[float(x) for x in r[0]] for r in seeds]
+        for _ in range(iters):
+            assigned = subdf.select(
+                F.col("sv").alias("v"), _argmin_cell_expr(F.col("sv"), cents).alias("cell")
+            )
+            means = (
+                assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("mn"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("dims"))
+                .collect()
+            )
+            new = {
+                r["cell"]: [
+                    math.floor(float(d["mn"]) * 1000000 + 0.5) / 1000000.0 for d in r["dims"]
+                ]
+                for r in means
+            }
+            cents = [new.get(i, cents[i]) for i in range(k)]
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0 .. code_{M-1}): each vector compressed to M small
+    codes — the representation that lets a billion-vector index live
+    in memory. Pure JVM expressions, no shuffle."""
+    dsub = len(books[0][0])
+    cols = [F.col(id_col)]
+    for s, cents in enumerate(books):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        cols.append(_argmin_cell_expr(sub, cents).alias(f"code_{s}"))
+    return corpus.select(*cols)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k: corpus side is codes only; per pair
+    the distance is the sum over subspaces of the 6dp-floored L2 from
+    the query's sub-vector to the centroid the code names (the
+    distance-table lookup, expressed as element_at into a per-query
+    literal-codebook table)."""
+    dsub = len(books[0][0])
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    adc = None
+    for s, cents in enumerate(books):
+        qsub = F.slice(F.col("q_vec"), s * dsub + 1, dsub)
+        table = F.array(
+            *[
+                floor_round6(l2_expr(qsub, F.array(*[F.lit(v) for v in cent])))
+                for cent in cents
+            ]
+        )
+        term = F.element_at(table, F.col(f"code_{s}") + F.lit(1))
+        adc = term if adc is None else adc + term
+    scored = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -7583,6 +7583,110 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q177_oracle() -> str:
+    """DuckDB twin of PQ train+encode+ADC (m=2 subspaces, k=4, 2 Lloyd
+    steps): the q67 unrolled-quantizer technique per subspace, with
+    L2/argmin in place of cosine/argmax — assignment ties break to the
+    LOWEST cell (array_min struct ordering on the Spark side =
+    ORDER BY dist, cell here), per-dimension means floored to 6dp,
+    ADC distance = d0 + d1 of the floored per-subspace lookups."""
+    l2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])))"
+    )
+
+    def sub_cte(s: int) -> str:
+        lo = s * 32 + 1
+        return f"""v{s} AS (
+      SELECT vec_id, list_slice(embedding, {lo}, {lo + 31}) AS sv FROM embeddings
+    ),
+    c{s}_0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(sv, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT vec_id, list_slice(embedding, {lo}, {lo + 31}) AS sv
+            FROM embeddings ORDER BY vec_id LIMIT 4) seeds
+    )"""
+
+    def assign(s: int, name: str, cents: str) -> str:
+        d = floor_round6_sql(l2.format(a="v.sv", b=f"{cents}.cvec"))
+        return f"""{name} AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, {cents}.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d} ASC, {cents}.cell ASC) AS rn
+        FROM v{s} v, {cents}
+      ) WHERE rn = 1
+    )"""
+
+    def lloyd(s: int, a: str, prev: str, new: str) -> str:
+        return f"""{new}_m AS (
+      SELECT {a}.cell, generate_subscripts(v.sv, 1) AS pos, unnest(v.sv) AS x
+      FROM {a} JOIN v{s} v USING (vec_id)
+    ),
+    {new}_c AS (
+      SELECT cell, list(mn ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos, {floor_round6_sql("avg(CAST(x AS DOUBLE))")} AS mn
+        FROM {new}_m GROUP BY cell, pos
+      ) GROUP BY cell
+    ),
+    {new} AS (
+      SELECT {prev}.cell, COALESCE({new}_c.cvec, {prev}.cvec) AS cvec
+      FROM {prev} LEFT JOIN {new}_c USING (cell)
+    )"""
+
+    blocks = []
+    for s in (0, 1):
+        blocks.append(sub_cte(s))
+        blocks.append(assign(s, f"a{s}_1", f"c{s}_0"))
+        blocks.append(lloyd(s, f"a{s}_1", f"c{s}_0", f"c{s}_1"))
+        blocks.append(assign(s, f"a{s}_2", f"c{s}_1"))
+        blocks.append(lloyd(s, f"a{s}_2", f"c{s}_1", f"c{s}_2"))
+        blocks.append(assign(s, f"codes{s}", f"c{s}_2"))
+        dq = floor_round6_sql(l2.format(a="q.sv", b="c.cvec"))
+        blocks.append(
+            f"""dist{s} AS (
+      SELECT q.vec_id AS query_id, c.cell, {dq} AS d
+      FROM v{s} q, c{s}_2 c WHERE q.vec_id < 5
+    )"""
+        )
+    body = ",\n    ".join(blocks)
+    return f"""
+    WITH {body},
+    scored AS (
+      SELECT d0.query_id, k0.vec_id AS neighbor_id, d0.d + d1.d AS adc_dist
+      FROM codes0 k0
+      JOIN codes1 k1 ON k1.vec_id = k0.vec_id
+      JOIN dist0 d0 ON d0.cell = k0.cell
+      JOIN dist1 d1 ON d1.cell = k1.cell AND d1.query_id = d0.query_id
+      WHERE k0.vec_id <> d0.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "q177_pq_adc",
+    _q177_oracle(),
+    "Product quantization (Jegou et al. TPAMI'11): 64-dim vectors "
+    "compressed to 2 codes via per-subspace k-means (deterministic "
+    "seeds, 2 Lloyd steps, the q67 quantizer device with L2/argmin), "
+    "then asymmetric-distance top-10 - per query one 4-entry distance "
+    "table per subspace, every corpus vector scored by 2 table lookups "
+    "on its codes alone, original vectors never touched at query time. "
+    "The memory side of billion-vector ANN (32x compression here); "
+    "train + encode + ADC all unrolled as the DuckDB oracle",
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=2, k=4, iters=2, dim=64)
+    return similarity.pq_adc_topk(emb, emb.where("vec_id < 5"), books, k=10)
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),

@@ -104,3 +104,43 @@ def test_hard_negatives_band_and_disjoint_from_neardups(spark):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_codes_bounded_and_adc_orders_by_true_distance(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        l2_expr,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    import pyspark.sql.functions as F2
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_train(emb, m=2, k=4, iters=2, dim=64)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    assert all(len(c) == 32 for b in books for c in b)
+    codes = pq_encode(emb, books).collect()
+    assert all(0 <= r["code_0"] <= 3 and 0 <= r["code_1"] <= 3 for r in codes)
+    # ADC top-10 must overlap the exact L2 top-10 (coarse 2x4 codebooks:
+    # expect at least some agreement, and every adc_dist non-negative)
+    queries = emb.where("vec_id < 3")
+    adc = pq_adc_topk(emb, queries, books, k=10).collect()
+    assert all(r["adc_dist"] >= 0 for r in adc)
+    q = queries.select(F2.col("vec_id").alias("qid"), F2.col("embedding").alias("qv"))
+    exact = (
+        F2.broadcast(q)
+        .crossJoin(emb.select(F2.col("vec_id").alias("nid"), F2.col("embedding").alias("cv")))
+        .where(F2.col("qid") != F2.col("nid"))
+        .select("qid", "nid", l2_expr(F2.col("qv"), F2.col("cv")).alias("d"))
+    )
+    import collections
+
+    top_exact = collections.defaultdict(set)
+    for r in exact.collect():
+        top_exact[r["qid"]].add((r["d"], r["nid"]))
+    hits = 0
+    for qid in (0, 1, 2):
+        best = {nid for _, nid in sorted(top_exact[qid])[:10]}
+        got = {r["neighbor_id"] for r in adc if r["query_id"] == qid}
+        hits += len(best & got)
+    assert hits >= 3, f"ADC recall collapsed: {hits}/30 overlap with exact L2"
