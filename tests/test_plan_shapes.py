@@ -635,3 +635,29 @@ def test_corpus_drift_kl_broadcast_totals(q):
     plan = plan_text(q("q172_corpus_drift_kl"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_markov_matrix_broadcast_normalization(q):
+    plan = plan_text(q("q174_markov_transitions"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_journey_surprise_broadcast_model(q):
+    # the transition matrix must broadcast against the event stream
+    plan = plan_text(q("q175_journey_surprise"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zipf_fit_partial_vocab_agg(q):
+    plan = plan_text(q("q176_zipf_fit"))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_corpus_never_shuffles(q):
+    # queries broadcast against the code table; ADC is pure projection
+    plan = plan_text(q("q177_pq_adc"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
