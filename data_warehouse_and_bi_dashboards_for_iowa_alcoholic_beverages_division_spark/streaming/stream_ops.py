@@ -160,3 +160,66 @@ def windowed_distinct_sketch(
             est.alias("kmv_estimate"),
         )
     )
+
+
+def windowed_mix_drift(
+    events: DataFrame,
+    ref_probs: dict[str, float],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window KL divergence of the event-type mix against a
+    reference distribution (a batch snapshot's probabilities) — the
+    streaming twin of q172's corpus-drift tripwire: an upstream change
+    (a scraper breaks, a producer floods one type) raises the KL of
+    every window it touches, live.
+
+    Chained aggregations are illegal in streaming append mode, so the
+    per-type counts come from ONE windowed aggregation with a
+    conditional sum per (known, fixed) reference type, and the KL is a
+    pure projection over those columns — smoothed add-1 terms folded
+    in sorted type order at expression-construction time, so batch and
+    stream (and any engine re-deriving it) agree bit-for-bit.
+    """
+    types = sorted(ref_probs)
+    agg_cols = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{i}")
+        for i, t in enumerate(types)
+    ]
+    out = (
+        _as_event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(F.count("*").alias("n_total"), *agg_cols)
+    )
+    v = float(len(types))
+    kl = None
+    for i, t in enumerate(types):
+        p = (F.col(f"n_{i}").cast("double") + F.lit(1.0)) / (
+            F.col("n_total").cast("double") + F.lit(v)
+        )
+        term = p * F.log(p / F.lit(float(ref_probs[t])))
+        kl = term if kl is None else kl + term
+    return out.select(
+        F.col("win.start").alias("hour_start"),
+        F.col("n_total"),
+        kl.alias("kl_vs_reference"),
+    )
+
+
+def event_mix_reference(events: DataFrame) -> dict[str, float]:
+    """Batch helper: the smoothed event-type distribution of a
+    snapshot, as the reference for ``windowed_mix_drift``. Floored to
+    6dp so the reference literals are reproducible anywhere."""
+    import math
+
+    rows = events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    total = sum(r["n"] for r in rows)
+    v = len(rows)
+    return {
+        r["event_type"]: math.floor(
+            (r["n"] + 1.0) / (total + float(v)) * 1000000 + 0.5
+        )
+        / 1000000.0
+        for r in rows
+    }

@@ -471,3 +471,40 @@ def test_checkpoint_resume_processes_each_file_exactly_once(spark):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_streaming_mix_drift_matches_batch_and_is_nonnegative(spark):
+    """Per-window KL drift drained availableNow == the same plan over
+    the batch table; smoothed KL against the snapshot reference is
+    always >= 0 (Gibbs), near 0 for windows matching the mix."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.stream_ops import (
+        event_mix_reference,
+        windowed_mix_drift,
+    )
+
+    batch_events = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ref = event_mix_reference(batch_events)
+    assert len(ref) >= 3 and abs(sum(ref.values()) - 1.0) < 1e-3
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_drift_")
+    try:
+        stream = windowed_mix_drift(events_stream(spark, SF_DIR), ref)
+        run_available_now(stream, ckpt, "drift_out")
+        got = {
+            r["hour_start"]: (r["n_total"], r["kl_vs_reference"])
+            for r in spark.sql("SELECT * FROM drift_out").collect()
+        }
+        want = {
+            r["hour_start"]: (r["n_total"], r["kl_vs_reference"])
+            for r in windowed_mix_drift(batch_events, ref).collect()
+        }
+        assert got == want
+        assert len(got) > 50
+        assert all(kl >= 0.0 for _, kl in got.values())
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
