@@ -7687,6 +7687,169 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(emb, emb.where("vec_id < 5"), books, k=10)
 
 
+def _q178_oracle() -> str:
+    """DuckDB twin of IVFPQ: the q67 IVF blocks (cosine Lloyd, probes
+    with highest-cell tiebreaks) composed with the q177 PQ blocks (L2
+    Lloyd per subspace, lowest-cell tiebreaks, floored ADC lookups) —
+    candidates are the probed cells' inverted lists, ranked by
+    adc = d0 + d1."""
+    cos_c = (
+        "list_sum(list_transform(list_zip(v.embedding, {c}.cvec),"
+        " z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        " / (v.nrm * sqrt(list_sum(list_transform({c}.cvec, x -> x * x))))"
+    )
+    l2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])))"
+    )
+
+    def cos_assign(name: str, cents: str) -> str:
+        scored = floor_round6_sql(cos_c.format(c=cents))
+        return f"""{name} AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, {cents}.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {scored} DESC, {cents}.cell DESC) AS rn
+        FROM v, {cents}
+      ) WHERE rn = 1
+    )"""
+
+    def cos_lloyd(a: str, prev: str, new: str) -> str:
+        return f"""{new}_m AS (
+      SELECT {a}.cell, generate_subscripts(v.embedding, 1) AS pos,
+             unnest(v.embedding) AS x
+      FROM {a} JOIN v USING (vec_id)
+    ),
+    {new}_c AS (
+      SELECT cell, list(mn ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos, {floor_round6_sql("avg(CAST(x AS DOUBLE))")} AS mn
+        FROM {new}_m GROUP BY cell, pos
+      ) GROUP BY cell
+    ),
+    {new} AS (
+      SELECT {prev}.cell, COALESCE({new}_c.cvec, {prev}.cvec) AS cvec
+      FROM {prev} LEFT JOIN {new}_c USING (cell)
+    )"""
+
+    def pq_sub(s: int) -> str:
+        lo = s * 32 + 1
+        return f"""v{s} AS (
+      SELECT vec_id, list_slice(embedding, {lo}, {lo + 31}) AS sv FROM embeddings
+    ),
+    p{s}_0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(sv, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT vec_id, list_slice(embedding, {lo}, {lo + 31}) AS sv
+            FROM embeddings ORDER BY vec_id LIMIT 4) seeds
+    )"""
+
+    def pq_assign(s: int, name: str, cents: str) -> str:
+        d = floor_round6_sql(l2.format(a="v.sv", b=f"{cents}.cvec"))
+        return f"""{name} AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, {cents}.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d} ASC, {cents}.cell ASC) AS rn
+        FROM v{s} v, {cents}
+      ) WHERE rn = 1
+    )"""
+
+    def pq_lloyd(s: int, a: str, prev: str, new: str) -> str:
+        return f"""{new}_m AS (
+      SELECT {a}.cell, generate_subscripts(v.sv, 1) AS pos, unnest(v.sv) AS x
+      FROM {a} JOIN v{s} v USING (vec_id)
+    ),
+    {new}_c AS (
+      SELECT cell, list(mn ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos, {floor_round6_sql("avg(CAST(x AS DOUBLE))")} AS mn
+        FROM {new}_m GROUP BY cell, pos
+      ) GROUP BY cell
+    ),
+    {new} AS (
+      SELECT {prev}.cell, COALESCE({new}_c.cvec, {prev}.cvec) AS cvec
+      FROM {prev} LEFT JOIN {new}_c USING (cell)
+    )"""
+
+    probe_score = floor_round6_sql(cos_c.format(c="c2"))
+    blocks = [
+        """v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    )""",
+        cos_assign("a1", "c0"),
+        cos_lloyd("a1", "c0", "c1"),
+        cos_assign("a2", "c1"),
+        cos_lloyd("a2", "c1", "c2"),
+        cos_assign("af", "c2"),
+        f"""probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT v.vec_id, c2.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {probe_score} DESC, c2.cell DESC) AS rn
+        FROM v, c2 WHERE v.vec_id < 5
+      ) WHERE rn <= 3
+    )""",
+    ]
+    for s in (0, 1):
+        dq = floor_round6_sql(l2.format(a="q.sv", b="c.cvec"))
+        blocks += [
+            pq_sub(s),
+            pq_assign(s, f"pa{s}_1", f"p{s}_0"),
+            pq_lloyd(s, f"pa{s}_1", f"p{s}_0", f"p{s}_1"),
+            pq_assign(s, f"pa{s}_2", f"p{s}_1"),
+            pq_lloyd(s, f"pa{s}_2", f"p{s}_1", f"p{s}_2"),
+            pq_assign(s, f"codes{s}", f"p{s}_2"),
+            f"""dist{s} AS (
+      SELECT q.vec_id AS query_id, c.cell, {dq} AS d
+      FROM v{s} q, p{s}_2 c WHERE q.vec_id < 5
+    )""",
+        ]
+    body = ",\n    ".join(blocks)
+    return f"""
+    WITH {body},
+    scored AS (
+      SELECT p.query_id, af.vec_id AS neighbor_id, d0.d + d1.d AS adc_dist
+      FROM probes p
+      JOIN af ON af.cell = p.cell
+      JOIN codes0 k0 ON k0.vec_id = af.vec_id
+      JOIN codes1 k1 ON k1.vec_id = af.vec_id
+      JOIN dist0 d0 ON d0.cell = k0.cell AND d0.query_id = p.query_id
+      JOIN dist1 d1 ON d1.cell = k1.cell AND d1.query_id = p.query_id
+      WHERE af.vec_id <> p.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register(
+    "q178_ivfpq",
+    _q178_oracle(),
+    "IVF + PQ - the canonical billion-vector ANN stack (FAISS IVFPQ): "
+    "the cosine coarse quantizer prunes each query to 3 of 8 inverted "
+    "lists, and candidates inside them are ranked by asymmetric PQ "
+    "distance over their 2 codes - query-time work is n_probe/n_cells "
+    "of the corpus in CODES, with original vectors touched by neither "
+    "stage. Both quantizer trains, the encode, the probes, and the ADC "
+    "ranking are unrolled into one DuckDB oracle, composing the "
+    "already-verified q67 and q177 devices",
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(emb, emb.where("vec_id < 5"), k=10)
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),

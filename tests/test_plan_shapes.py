@@ -661,3 +661,11 @@ def test_pq_adc_corpus_never_shuffles(q):
     plan = plan_text(q("q177_pq_adc"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_candidates_equi_join_on_cell(q):
+    # probed queries broadcast and join the code table equi on cell —
+    # no full-corpus nested loop at query time
+    plan = plan_text(q("q178_ivfpq"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
