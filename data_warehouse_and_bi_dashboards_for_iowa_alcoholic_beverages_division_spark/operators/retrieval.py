@@ -121,3 +121,90 @@ def bm25_ranked(docs: DataFrame, query_terms: list[str], *, k: int = 50, **kw) -
     id_col = kw.get("id_col", "doc_id")
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return per_doc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def mmr_select(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    *,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    greedily pick ``k`` results maximizing
+    ``lam * relevance - (1 - lam) * max-similarity-to-already-picked``
+    — the diversification step between retrieval and a context window,
+    so near-duplicate hits don't crowd out coverage.
+
+    The selection is inherently k-sequential, so the loop unrolls into
+    k plan steps — but every step operates on the CANDIDATE table (the
+    retriever's top-N, tens of rows broadcast everywhere), never the
+    corpus; at scale the candidate list stays the same size and the
+    unrolled plan is constant work. Scores are 6dp-floored before every
+    argmax with id tiebreaks, so the greedy trajectory is deterministic
+    and reproducible cross-engine (q179 oracle unrolls the same steps).
+    """
+    from ..operators.similarity import cosine_expr
+
+    # the candidate table and its pairwise sims are tiny (top-N rows /
+    # N^2 pairs) but feed every unrolled step — eagerly checkpoint them
+    # (and each 1-row pick below) or the k-step plan re-derives the
+    # retriever + sims per nesting level (the pagerank lesson:
+    # truncation turns O(k^2) re-derivations into O(k))
+    cand = (
+        candidates.join(
+            embeddings.select(F.col(emb_id_col).alias(id_col), F.col(vec_col).alias("v")),
+            id_col,
+        )
+        .select(F.col(id_col).alias("d"), F.col(rel_col).alias("rel"), "v")
+        .localCheckpoint(eager=True)
+    )
+    sims = (
+        F.broadcast(cand.select(F.col("d").alias("a"), F.col("v").alias("va")))
+        .crossJoin(cand.select(F.col("d").alias("b"), F.col("v").alias("vb")))
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", floor_round6(cosine_expr(F.col("va"), F.col("vb"))).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+
+    first = (
+        cand.select(
+            F.col("d"),
+            floor_round6(F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.lit(0.0)).alias(
+                "mmr"
+            ),
+        )
+        .orderBy(F.col("mmr").desc(), "d")
+        .limit(1)
+        .select("d", F.lit(1).alias("pick_order"), "mmr")
+        .localCheckpoint(eager=True)
+    )
+    selected = first
+    for step in range(2, k + 1):
+        sel_ids = selected.select(F.col("d").alias("b"))
+        maxsim = (
+            sims.join(F.broadcast(sel_ids), "b")
+            .groupBy("a")
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            cand.join(selected.select(F.col("d").alias("taken")), cand["d"] == F.col("taken"), "left_anti")
+            .join(maxsim, cand["d"] == maxsim["a"])
+            .select(
+                "d",
+                floor_round6(
+                    F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("ms")
+                ).alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), "d")
+            .limit(1)
+            .select("d", F.lit(step).alias("pick_order"), "mmr")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        F.col("d").alias(id_col), "pick_order", F.col("mmr").alias("mmr_score")
+    )

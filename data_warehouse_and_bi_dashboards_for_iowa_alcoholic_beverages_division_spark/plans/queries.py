@@ -7850,6 +7850,89 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(emb, emb.where("vec_id < 5"), k=10)
 
 
+def _q179_oracle(k: int = 5) -> str:
+    """DuckDB twin of MMR: the shared BM25 CTE supplies relevance, the
+    q38 cosine expression supplies pairwise candidate sims, and the
+    greedy selection unrolls into k argmax CTEs — constants written as
+    the same IEEE folds (``(1.0 - 0.7)``, matching Python's
+    ``1.0 - lam``), scores floored before every tiebroken argmax."""
+    cos = (
+        "(list_sum(list_transform(list_zip(a.v, b.v),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    )
+    mmr1 = floor_round6_sql("0.7 * rel - (1.0 - 0.7) * 0.0")
+    steps = []
+    prev = "sel1"
+    for step in range(2, k + 1):
+        mmrk = floor_round6_sql("0.7 * c.rel - (1.0 - 0.7) * m.ms")
+        steps.append(f"""ms{step} AS (
+      SELECT s.a, MAX(s.sim) AS ms FROM sims s
+      WHERE s.b IN (SELECT d FROM {prev}) GROUP BY s.a
+    ),
+    pick{step} AS (
+      SELECT d, {step} AS pick_order, mmr FROM (
+        SELECT c.d, {mmrk} AS mmr
+        FROM cand c JOIN ms{step} m ON m.a = c.d
+        WHERE c.d NOT IN (SELECT d FROM {prev})
+      ) ranked ORDER BY mmr DESC, d LIMIT 1
+    ),
+    sel{step} AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{step}
+    )""")
+        prev = f"sel{step}"
+    body = ",\n    ".join(steps)
+    return f"""{_bm25_perdoc_cte()},
+    lex AS (
+      SELECT doc_id, score AS rel FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM perdoc
+      ) rr WHERE r <= 20
+    ),
+    cand AS MATERIALIZED (
+      SELECT l.doc_id AS d, l.rel, e.embedding AS v
+      FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.d AS a, b.d AS b, {floor_round6_sql(cos)} AS sim
+      FROM cand a, cand b WHERE a.d <> b.d
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT d, 1 AS pick_order, mmr FROM (
+        SELECT d, {mmr1} AS mmr FROM cand
+      ) f ORDER BY mmr DESC, d LIMIT 1
+    ),
+    {body}
+    SELECT d AS doc_id, CAST(pick_order AS INT) AS pick_order, mmr AS mmr_score
+    FROM {prev}
+    """
+
+
+@register(
+    "q179_mmr_diversified",
+    _q179_oracle(),
+    "Maximal Marginal Relevance (Carbonell & Goldstein SIGIR'98): "
+    "greedy 5-pick over the BM25 top-20 balancing relevance against "
+    "max cosine similarity to already-picked docs (lambda=0.7) - the "
+    "diversification step between retrieval and a context window so "
+    "near-duplicates don't crowd out coverage. Inherently sequential, "
+    "so the greedy loop unrolls into 5 plan steps - but every step "
+    "touches only the broadcast candidate table, never the corpus; "
+    "floored scores + id tiebreaks make the trajectory deterministic "
+    "and the whole path is unrolled in the oracle",
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = retrieval.bm25_ranked(docs, list(_Q160_TERMS), k=20).select(
+        "doc_id", F.col("score").alias("rel")
+    )
+    out = retrieval.mmr_select(cands, emb, k=5, lam=0.7)
+    return out.select("doc_id", F.col("pick_order").cast("int").alias("pick_order"), "mmr_score")
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
