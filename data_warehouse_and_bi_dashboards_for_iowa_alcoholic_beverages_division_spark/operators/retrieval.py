@@ -49,18 +49,21 @@ def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def bm25_scores(
     docs: DataFrame,
-    query_terms: list[str],
+    query_terms: list[str] | None,
     *,
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
     lengths: DataFrame | None = None,
+    terms_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score) for every document matching at least one query
     term; score floored to 6dp. The shared scoring core of
     ``bm25_topk`` (headline retrieval) and ``bm25_ranked`` (rank lists
-    for fusion)."""
+    for fusion). Query terms come either as a literal list or as a
+    one-column ``terms_df`` (`term`) — the data-dependent form that
+    pseudo-relevance-feedback expansion (q180) needs."""
     tok = tokenize(docs, id_col, text_col)
     dl = lengths if lengths is not None else tok.groupBy(id_col).agg(F.count("*").alias("dl"))
 
@@ -68,7 +71,10 @@ def bm25_scores(
         dl.agg(F.sum("dl").alias("sum_dl"))
     )
 
-    qtok = tok.where(F.col("term").isin(query_terms))
+    if terms_df is not None:
+        qtok = tok.join(F.broadcast(terms_df.select("term").distinct()), "term")
+    else:
+        qtok = tok.where(F.col("term").isin(query_terms))
     tf = qtok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
 

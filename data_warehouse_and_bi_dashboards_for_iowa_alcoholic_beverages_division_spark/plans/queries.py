@@ -7933,6 +7933,118 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("pick_order").cast("int").alias("pick_order"), "mmr_score")
 
 
+def _q180_oracle() -> str:
+    """DuckDB twin of pseudo-relevance-feedback expansion: round-1 BM25
+    with the literal seeds, deterministic expansion-term mining from
+    the top-3 docs, round-2 BM25 with the term TABLE join (the
+    data-dependent form) — identical score trees both rounds."""
+    seeds = ", ".join(f"'{t}'" for t in _Q160_TERMS)
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    score = (
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        " * (CAST(tf AS DOUBLE) * (1.2 + 1.0))"
+        " / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *"
+        f" (CAST(dl AS DOUBLE) / {avgdl})))"
+    )
+    fold = floor_round6_sql("list_sum(list(s ORDER BY term))")
+    return f"""
+    WITH tok0 AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                    ' ')) AS term
+      FROM documents
+    ),
+    tok AS MATERIALIZED (SELECT * FROM tok0 WHERE term <> ''),
+    dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT SUM(dl) FROM dl) AS sum_dl
+    ),
+    tf1 AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok WHERE term IN ({seeds}) GROUP BY doc_id, term
+    ),
+    dft1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY term),
+    scored1 AS (
+      SELECT tf1.doc_id, tf1.term, {score.replace("tf", "tf1.tf").replace("CAST(dl", "CAST(dl.dl")} AS s
+      FROM tf1 JOIN dft1 USING (term) JOIN dl USING (doc_id), corpus
+    ),
+    perdoc1 AS (SELECT doc_id, {fold} AS score FROM scored1 GROUP BY doc_id),
+    top3 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM perdoc1
+      ) rr WHERE r <= 3
+    ),
+    exp AS MATERIALIZED (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS c FROM tok
+        WHERE doc_id IN (SELECT doc_id FROM top3) AND term NOT IN ({seeds})
+        GROUP BY term
+      ) cc ORDER BY c DESC, term LIMIT 3
+    ),
+    qterms AS (
+      SELECT unnest([{seeds}]) AS term UNION SELECT term FROM exp
+    ),
+    tf2 AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok JOIN qterms USING (term) GROUP BY doc_id, term
+    ),
+    dft2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term),
+    scored2 AS (
+      SELECT tf2.doc_id, tf2.term, {score.replace("tf", "tf2.tf").replace("CAST(dl", "CAST(dl.dl")} AS s
+      FROM tf2 JOIN dft2 USING (term) JOIN dl USING (doc_id), corpus
+    ),
+    perdoc2 AS (SELECT doc_id, {fold} AS score FROM scored2 GROUP BY doc_id),
+    expansion AS (
+      SELECT array_to_string(list(term ORDER BY term), ',') AS expansion_terms FROM exp
+    )
+    SELECT doc_id, score, expansion_terms
+    FROM (SELECT doc_id, score FROM perdoc2 ORDER BY score DESC, doc_id LIMIT 10) topd,
+         expansion
+    """
+
+
+@register(
+    "q180_query_expansion",
+    _q180_oracle(),
+    "Pseudo-relevance-feedback query expansion (RM3 family): round-1 "
+    "BM25 with the seed terms, the 3 most frequent non-seed terms of "
+    "the top-3 docs mined as expansion terms (count/term tiebreaks - "
+    "fully deterministic), then round-2 BM25 with the expanded term "
+    "TABLE joined instead of literals - the data-dependent query shape "
+    "a feedback loop needs. Both rounds use the identical score tree; "
+    "the expansion list rides along as a column. The corpus token "
+    "stream and lengths are computed once and shared across rounds",
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    seeds = list(_Q160_TERMS)
+    tok = retrieval.tokenize(docs)
+    r1 = retrieval.bm25_scores(docs, seeds)
+    top3 = r1.orderBy(F.col("score").desc(), "doc_id").limit(3).select("doc_id")
+    exp = (
+        tok.join(F.broadcast(top3), "doc_id")
+        .where(~F.col("term").isin(seeds))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(3)
+        .select("term")
+    )
+    seeds_df = spark.createDataFrame([(t,) for t in seeds], "term string")
+    qterms = seeds_df.unionByName(exp).distinct()
+    r2 = retrieval.bm25_scores(docs, None, terms_df=qterms)
+    expansion = exp.agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("term"))).alias("expansion_terms")
+    )
+    return (
+        r2.orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .crossJoin(F.broadcast(expansion))
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
