@@ -56,6 +56,8 @@ HEADLINE = [
     ("q166_hybrid_rrf", "hybrid RRF: two bounded rank lists full-outer-joined; top-k is TakeOrderedAndProject"),
     ("q167_hard_negatives", "hard negatives: broadcast-queries band scoring, corpus never shuffles"),
     ("q169_incremental_agg_merge", "incremental agg maintenance: partial aggs + one full outer join on the group key"),
+    ("q177_pq_adc", "product quantization: ADC over broadcast queries x code table, corpus vectors untouched at query time"),
+    ("q178_ivfpq", "IVFPQ: probed queries equi-join the code table on cell; candidates ranked by ADC lookups"),
 ]
 
 
