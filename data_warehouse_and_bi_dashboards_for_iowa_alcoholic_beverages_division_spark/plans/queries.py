@@ -8045,6 +8045,89 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q181_oracle() -> str:
+    """DuckDB twin of decayed trending: per-(brand, day) exact integer
+    counts, decay weight an EXACT power of two (halving every 28 days,
+    clamped) — ``pow(0.5, x)`` is not guaranteed ulp-identical across
+    engines, ``1 / 2^k`` is — folded per brand in day order."""
+    w = "CAST(cnt AS DOUBLE) / CAST((CAST(1 AS BIGINT) << CAST(LEAST(age // 28, 40) AS INT)) AS DOUBLE)"
+    return f"""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, o.o_orderdate AS day, COUNT(*) AS cnt
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, o.o_orderdate
+    ),
+    anchored AS (
+      SELECT brand, day, cnt,
+             date_diff('day', day, (SELECT MAX(day) FROM daily)) AS age
+      FROM daily
+    ),
+    folded AS (
+      SELECT brand,
+             list_sum(list({w} ORDER BY day)) AS trend,
+             SUM(cnt) AS n_total
+      FROM anchored GROUP BY brand
+    )
+    SELECT brand, {floor_round6_sql("trend")} AS trend_score,
+           CAST(n_total AS BIGINT) AS n_orders_total
+    FROM folded ORDER BY trend_score DESC, brand LIMIT 10
+    """
+
+
+@register(
+    "q181_trending_brands",
+    _q181_oracle(),
+    "Exponentially-decayed trending scores: per-(brand, day) exact "
+    "integer counts weighted by a half-life decay (halving every 28 "
+    "days) - recency-weighted popularity, the freshness signal feeds/"
+    "dashboards/sampling schedules use. The decay weight is an EXACT "
+    "power of two (1/2^k, clamped), sidestepping cross-engine pow() "
+    "ulp differences entirely; weighted sums fold per brand in day "
+    "order. Heavy lifting is one integer aggregation; the decay fold "
+    "touches (brand, day) rows only",
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    daily = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.col("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    anchor = daily.agg(F.max("day").alias("mx"))
+    anchored = daily.crossJoin(F.broadcast(anchor)).select(
+        "brand",
+        "day",
+        "cnt",
+        F.datediff(F.col("mx"), F.col("day")).alias("age"),
+    )
+    folded = anchored.groupBy("brand").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "cnt", "age"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["cnt"].cast("double")
+            / F.pow(F.lit(2.0), F.least(x["age"].cast("long") / F.lit(28), F.lit(40)).cast("int"))
+            .cast("long")
+            .cast("double"),
+        ).alias("trend"),
+        F.sum("cnt").alias("n_total"),
+    )
+    return (
+        folded.select(
+            "brand",
+            floor_round6(F.col("trend")).alias("trend_score"),
+            F.col("n_total").cast("bigint").alias("n_orders_total"),
+        )
+        .orderBy(F.col("trend_score").desc(), "brand")
+        .limit(10)
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
