@@ -8128,6 +8128,92 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q182_oracle() -> str:
+    """DuckDB twin of PSI: q164's exact binning, add-1 smoothing with
+    identical trees, (p-q)*ln(p/q) terms folded in bin order."""
+    pa = "((CAST(cnt_a AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + CAST(v AS DOUBLE)))"
+    qb = "((CAST(cnt_b AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + CAST(v AS DOUBLE)))"
+    term = f"({pa} - {qb}) * ln({pa} / {qb})"
+    return f"""
+    WITH binned AS (
+      SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 4096.0) AS BIGINT) AS bin,
+             SUM(CASE WHEN o_orderdate < DATE '1997-01-01' THEN 1 ELSE 0 END) AS cnt_a,
+             SUM(CASE WHEN o_orderdate >= DATE '1997-01-01' THEN 1 ELSE 0 END) AS cnt_b
+      FROM orders GROUP BY 1
+    ),
+    tots AS (
+      SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b, COUNT(*) AS v FROM binned
+    ),
+    terms AS (SELECT bin, {term} AS t FROM binned, tots)
+    SELECT {floor_round6_sql("list_sum(list(t ORDER BY bin))")} AS psi,
+           (SELECT CAST(v AS BIGINT) FROM tots) AS n_bins,
+           (SELECT CAST(tot_a AS BIGINT) FROM tots) AS n_before,
+           (SELECT CAST(tot_b AS BIGINT) FROM tots) AS n_after
+    FROM terms
+    """
+
+
+@register(
+    "q182_psi_stability",
+    _q182_oracle(),
+    "Population Stability Index - the industry-standard distribution-"
+    "shift monitor (PSI < 0.1 stable, > 0.25 action): symmetrized "
+    "(p-q)*ln(p/q) over the q164 price histogram's exact power-of-two "
+    "bins, before-vs-after an epoch split, with add-1 smoothing. One "
+    "integer aggregation over the data; the PSI fold touches only the "
+    "~120-row bin vector, terms folded in bin order for bit-identical "
+    "cross-engine floats. Complements q172 (KL is asymmetric and "
+    "unbounded; PSI is the thresholded operational form)",
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    binned = (
+        o.select(
+            F.floor(F.col("o_totalprice").cast("double") / F.lit(4096.0))
+            .cast("long")
+            .alias("bin"),
+            F.when(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"), 1)
+            .otherwise(0)
+            .alias("in_a"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("in_a").alias("cnt_a"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("cnt_b"),
+        )
+    )
+    tots = binned.agg(
+        F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b"), F.count("*").alias("v")
+    )
+    pa = (F.col("cnt_a").cast("double") + F.lit(1.0)) / (
+        F.col("tot_a").cast("double") + F.col("v").cast("double")
+    )
+    qb = (F.col("cnt_b").cast("double") + F.lit(1.0)) / (
+        F.col("tot_b").cast("double") + F.col("v").cast("double")
+    )
+    terms = binned.crossJoin(F.broadcast(tots)).select(
+        "bin", ((pa - qb) * F.log(pa / qb)).alias("t")
+    )
+    psi = terms.agg(
+        floor_round6(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bin", "t"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            )
+        ).alias("psi")
+    )
+    return psi.crossJoin(
+        F.broadcast(
+            tots.select(
+                F.col("v").cast("bigint").alias("n_bins"),
+                F.col("tot_a").cast("bigint").alias("n_before"),
+                F.col("tot_b").cast("bigint").alias("n_after"),
+            )
+        )
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
