@@ -669,3 +669,23 @@ def test_ivfpq_candidates_equi_join_on_cell(q):
     plan = plan_text(q("q178_ivfpq"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_query_expansion_shares_token_stream(q):
+    # both BM25 rounds and the expansion mining must not cartesian;
+    # expansion terms join broadcast
+    plan = plan_text(q("q180_query_expansion"))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_trending_brands_broadcast_dims_take_ordered(q):
+    plan = plan_text(q("q181_trending_brands"))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan, "part dim must broadcast"
+
+
+def test_psi_single_integer_aggregation(q):
+    plan = plan_text(q("q182_psi_stability"))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
