@@ -8214,6 +8214,487 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Market-basket association rules — brand co-occurrence within orders
+# =====================================================================
+
+def _q183_oracle() -> str:
+    """DuckDB twin of basket lift: identical integer counts; the three
+    ratios divide the SAME double-cast operands in the SAME association
+    ((a*b)/(c*d)) so every float is bit-identical before rounding."""
+    lift = (
+        "(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))"
+        " / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE))"
+    )
+    return f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    pair_counts AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+      FROM baskets a
+      JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    ),
+    brand_counts AS (
+      SELECT p_brand, COUNT(*) AS n FROM baskets GROUP BY p_brand
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets)
+    SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+           {floor_round6_sql("CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE)")} AS support,
+           {floor_round6_sql("CAST(n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE)")} AS confidence,
+           {floor_round6_sql(lift)} AS lift
+    FROM pair_counts
+    JOIN brand_counts ca ON ca.p_brand = brand_a
+    JOIN brand_counts cb ON cb.p_brand = brand_b
+    CROSS JOIN tot
+    WHERE n_ab >= 3
+    ORDER BY lift DESC, brand_a, brand_b LIMIT 20
+    """
+
+
+@register(
+    "q183_basket_lift",
+    _q183_oracle(),
+    "Market-basket association rules at brand granularity: support / "
+    "confidence / lift for brand pairs co-purchased in one order - the "
+    "cross-sell signal behind recommendation widgets and co-occurrence "
+    "embeddings. Baskets are collapsed to per-order sorted brand sets "
+    "in ONE shuffle and pairs generated inline from each array (the "
+    "LSH-bucket device) - never a corpus-level self-join; per-order "
+    "pair count is bounded by (items/order choose 2), so total pairs "
+    "grow linearly in orders. Brand marginals broadcast onto the pair "
+    "counts; ratios divide identical double operands on both engines",
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    arrs = baskets.groupBy("l_orderkey").agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+    pairs = arrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) ->"
+                " transform(slice(bs, i + 2, size(bs)), y ->"
+                " struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.brand_a", "pr.brand_b")
+    pair_counts = pairs.groupBy("brand_a", "brand_b").agg(F.count("*").alias("n_ab"))
+    brand_counts = baskets.groupBy("p_brand").agg(F.count("*").alias("n"))
+    tot = baskets.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    ca = brand_counts.select(F.col("p_brand").alias("ba"), F.col("n").alias("n_a"))
+    cb = brand_counts.select(F.col("p_brand").alias("bb"), F.col("n").alias("n_b"))
+    joined = (
+        pair_counts.join(F.broadcast(ca), F.col("brand_a") == F.col("ba"))
+        .join(F.broadcast(cb), F.col("brand_b") == F.col("bb"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n_ab") >= 3)
+    )
+    lift = (F.col("n_ab").cast("double") * F.col("n_orders").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        joined.select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            floor_round6(F.col("n_ab").cast("double") / F.col("n_orders").cast("double")).alias(
+                "support"
+            ),
+            floor_round6(F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence"
+            ),
+            floor_round6(lift).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+# =====================================================================
+# RFM customer segmentation — classic BI scoring, quintile bands
+# =====================================================================
+
+def _q184_oracle() -> str:
+    """DuckDB twin of RFM: each ntile ORDER BY carries a c_custkey
+    tiebreak (total order -> identical quintile assignment on both
+    engines); monetary stays exact decimal end to end."""
+    return """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY date_diff('day', last_order, mx), o_custkey) AS r_q,
+             ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q,
+             n_orders, monetary
+      FROM per_cust CROSS JOIN anchor
+    )
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           SUM(monetary) AS total_monetary
+    FROM scored GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """
+
+
+@register(
+    "q184_rfm_segments",
+    _q184_oracle(),
+    "RFM segmentation - recency / frequency / monetary quintiles, the "
+    "classic CRM scoring grid: per-customer last-order age, order "
+    "count, and exact-decimal spend, each ntile(5)-banded with a "
+    "custkey tiebreak (total order = identical bands on both engines), "
+    "then rolled up to segment cells. Global ntile is a total order, "
+    "so Spark honestly plans a single-partition window over the "
+    "customer-grain aggregate (per-customer rows, not raw orders - the "
+    "heavy reduction happens in the distributed groupBy first); at "
+    "100 TB swap ntile for percentile-threshold banding (q94 note)",
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy(F.datediff(F.col("mx"), F.col("last_order")), F.col("o_custkey")))
+        .alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey")))
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_q"),
+        "n_orders",
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").cast("bigint").alias("total_orders"),
+            F.sum("monetary").alias("total_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+# =====================================================================
+# Market concentration — HHI per year over brand revenue shares
+# =====================================================================
+
+def _q185_oracle() -> str:
+    """DuckDB twin of HHI: revenue exact decimal; shares divide the
+    same decimal->double casts; share^2 terms folded in brand order."""
+    return f"""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year, p_brand,
+             SUM({REVENUE_SQL}) AS r
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT o_year, SUM(r) AS t FROM rev GROUP BY o_year),
+    shares AS (
+      SELECT rev.o_year, p_brand,
+             CAST(r AS DOUBLE) / CAST(t AS DOUBLE) AS share
+      FROM rev JOIN tot ON rev.o_year = tot.o_year
+    )
+    SELECT o_year,
+           {floor_round6_sql("list_sum(list(share * share ORDER BY p_brand))")} AS hhi,
+           COUNT(*) AS n_brands,
+           {floor_round6_sql("MAX(share)")} AS top_share
+    FROM shares GROUP BY o_year ORDER BY o_year
+    """
+
+
+@register(
+    "q185_hhi_concentration",
+    _q185_oracle(),
+    "Herfindahl-Hirschman Index of brand revenue concentration per "
+    "year - the regulator's market-concentration metric (10000 x HHI "
+    "> 2500 = highly concentrated) and a mixture-skew monitor for "
+    "training-data domain balance. Exact-decimal revenue per (year, "
+    "brand), shares divide identical decimal->double casts, share^2 "
+    "terms folded in brand order for bit-identical floats (q182 "
+    "device). Heavy lifting is one distributed aggregation at (year, "
+    "brand) grain; the fold touches only ~25 brand rows per year",
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "p_brand",
+        )
+        .agg(F.sum(F.expr(REVENUE_SQL)).alias("r"))
+    )
+    tot = rev.groupBy(F.col("o_year").alias("ty")).agg(F.sum("r").alias("t"))
+    shares = rev.join(F.broadcast(tot), F.col("o_year") == F.col("ty")).select(
+        "o_year",
+        "p_brand",
+        (F.col("r").cast("double") / F.col("t").cast("double")).alias("share"),
+    )
+    return (
+        shares.groupBy("o_year")
+        .agg(
+            floor_round6(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("p_brand", "share"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["share"] * x["share"],
+                )
+            ).alias("hhi"),
+            F.count("*").alias("n_brands"),
+            floor_round6(F.max("share")).alias("top_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# =====================================================================
+# Exponential smoothing — exact alpha=1/2 recursion as a weighted fold
+# =====================================================================
+
+def _q186_oracle() -> str:
+    """DuckDB twin of SES: the alpha=1/2 recursion S_t=(x_t+S_{t-1})/2
+    unrolls to weights that are EXACT powers of two (1/2^(T-t+1) for
+    t>=2; the first month shares 1/2^(T-1) with the second), so the
+    smoothed level is a bit-exact weighted sum on both engines, folded
+    in month order. Window restricted to >= 1997-01-01 so no exponent
+    exceeds 2^40 (no clamp needed)."""
+    w = (
+        "CAST(x AS DOUBLE) / CAST((CAST(1 AS BIGINT) <<"
+        " CAST(tt - GREATEST(t, 2) + 1 AS INT)) AS DOUBLE)"
+    )
+    return f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS x
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT mon, x,
+             ROW_NUMBER() OVER (ORDER BY mon) AS t,
+             COUNT(*) OVER () AS tt
+      FROM monthly
+    )
+    SELECT CAST(MAX(tt) AS BIGINT) AS n_months,
+           MAX(CASE WHEN t = tt THEN mon END) AS last_month,
+           {floor_round6_sql("MAX(CASE WHEN t = tt THEN x END)")} AS last_month_rev,
+           {floor_round6_sql(f"list_sum(list({w} ORDER BY mon))")} AS smoothed_level
+    FROM ranked
+    """
+
+
+@register(
+    "q186_exp_smoothing",
+    _q186_oracle(),
+    "Simple exponential smoothing of monthly revenue with alpha = 1/2: "
+    "the recursion S_t = (x_t + S_(t-1))/2 unrolled into a weighted "
+    "sum whose weights are EXACT powers of two - the one alpha where "
+    "the classic forecasting recursion is bit-reproducible across "
+    "engines (q181's decay device applied to a recurrence). The "
+    "smoothed level IS the flat SES forecast for the next month. One "
+    "distributed month aggregation; the fold touches ~20 month rows",
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("x"))
+    )
+    w_rank = Window.orderBy("mon")
+    ranked = monthly.select(
+        "mon",
+        "x",
+        F.row_number().over(w_rank).alias("t"),
+        F.count("*").over(Window.partitionBy()).alias("tt"),
+    )
+    weighted = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("mon", "x", "t", "tt"))),
+        F.lit(0.0),
+        lambda acc, r: acc
+        + r["x"]
+        / F.pow(
+            F.lit(2.0), (r["tt"] - F.greatest(r["t"], F.lit(2)) + F.lit(1)).cast("int")
+        ).cast("long").cast("double"),
+    )
+    return ranked.agg(
+        F.max("tt").cast("bigint").alias("n_months"),
+        F.max(F.when(F.col("t") == F.col("tt"), F.col("mon"))).alias("last_month"),
+        floor_round6(F.max(F.when(F.col("t") == F.col("tt"), F.col("x")))).alias(
+            "last_month_rev"
+        ),
+        floor_round6(weighted).alias("smoothed_level"),
+    )
+
+
+# =====================================================================
+# Canonical-representative selection — keep the BEST doc per cluster
+# =====================================================================
+
+def _q187_oracle() -> str:
+    """DuckDB twin: the same planted-duplicate corpus, q84's recursive
+    transitive closure for the component labels, then the same
+    (n_chars DESC, doc_id) argmax."""
+    return r"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, upper(text), CAST(length(text) AS BIGINT)
+      FROM documents WHERE doc_id % 37 = 0
+      UNION ALL
+      SELECT doc_id + 20000000, text || '          ', CAST(length(text) + 10 AS BIGINT)
+      FROM documents WHERE doc_id % 41 = 0
+    ),
+    n AS (
+      SELECT doc_id, text,
+             substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS blk
+      FROM corpus
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+      FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+      SELECT id_a, id_b,
+        list_distinct([substring(lower(ta), CAST(i AS INT), 9)
+                       for i in range(1, greatest(length(ta) - 8, 1) + 1)]) AS sa,
+        list_distinct([substring(lower(tb), CAST(i AS INT), 9)
+                       for i in range(1, greatest(length(tb) - 8, 1) + 1)]) AS sb
+      FROM cand
+    ),
+    matched AS (
+      SELECT id_a, id_b FROM sh
+      WHERE len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(list_concat(sa, sb)))::DOUBLE
+            >= 0.5::DOUBLE
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM matched
+      UNION ALL
+      SELECT id_b, id_a FROM matched
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    labeled AS (
+      SELECT node AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY node
+    ),
+    sized AS (
+      SELECT l.cluster_id, l.doc_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id) AS rk
+      FROM labeled l JOIN corpus d ON d.doc_id = l.doc_id
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id,
+           CAST(n_chars AS BIGINT) AS rep_n_chars,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dupes_removed
+    FROM sized WHERE rk = 1 AND n_members >= 2
+    ORDER BY cluster_id
+    """
+
+
+@register(
+    "q187_cluster_canonical",
+    _q187_oracle(),
+    "Canonical-representative selection - the step AFTER near-dup "
+    "clustering in a curation pipeline: within each connected "
+    "component keep the HIGHEST-QUALITY member (longest doc, doc_id "
+    "tiebreak), not merely the lowest id, and report how many dupes "
+    "each survivor displaces. Because the regenerated testdata has no "
+    "organic near-dups at small SF, both engines PLANT deterministic "
+    "perturbed copies (case-folded and whitespace-padded - invariant "
+    "under the block normalizer, shingle-visible) so recall through "
+    "block -> shingle -> jaccard -> components -> argmax is exercised "
+    "for real, planted-duplicates-benchmark style. Spark reuses the "
+    "iterative min-label-propagation components (operators/graph.py) "
+    "and ranks members with one window partitioned BY CLUSTER "
+    "(distributed - no global window); the DuckDB twin recomputes "
+    "components via recursive closure, value-checking end to end",
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.graph import dedup_clusters
+
+    base = _t(spark, sf_dir, "documents")
+    case_dupes = base.where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + F.lit(10000000)).alias("doc_id"),
+        F.upper("text").alias("text"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    pad_dupes = base.where(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + F.lit(20000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " * 10)).alias("text"),
+        (F.length("text") + 10).cast("bigint").alias("n_chars"),
+    )
+    docs = (
+        base.select("doc_id", "text", "n_chars")
+        .unionByName(case_dupes)
+        .unionByName(pad_dupes)
+    )
+    n = docs.select(
+        "doc_id", F.substring(F.md5(text.normalized_text_expr("text")), 1, 2).alias("blk")
+    )
+    a = n.select(F.col("doc_id").alias("id_a"), "blk")
+    b = n.select(F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"))
+    cand = a.join(
+        b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    matched = ngram_jaccard_pairs(docs, cand, "doc_id").where(F.col("jaccard") >= 0.5)
+    labeled = dedup_clusters(docs, matched.select("id_a", "id_b")).select("doc_id", "cluster_id")
+    sized = labeled.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w_cl = Window.partitionBy("cluster_id")
+    ranked = sized.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.count("*").over(w_cl).alias("n_members"),
+        F.row_number()
+        .over(w_cl.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("rk"),
+    )
+    return (
+        ranked.where((F.col("rk") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("bigint").alias("rep_n_chars"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_dupes_removed"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),

@@ -689,3 +689,44 @@ def test_psi_single_integer_aggregation(q):
     plan = plan_text(q("q182_psi_stability"))
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_basket_lift_inline_pairs_no_self_join(q):
+    # pairs come from per-order arrays (explode), never a baskets
+    # self-join; marginals and the order total broadcast
+    plan = plan_text(q("q183_basket_lift"))
+    assert "explode(flatten(transform" in plan
+    assert "SortMergeJoin" not in plan, "brand marginals must broadcast"
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_windows_over_customer_grain(q):
+    # the three ntile windows run over the per-customer aggregate (the
+    # distributed groupBy reduces orders first); anchor broadcasts
+    plan = plan_text(q("q184_rfm_segments"))
+    assert "Window" in plan
+    assert "partial_count" in plan, "customer grain must partial-aggregate"
+    assert "SortMergeJoin" not in plan
+
+
+def test_hhi_broadcasts_part_and_totals(q):
+    plan = plan_text(q("q185_hhi_concentration"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exp_smoothing_partial_month_aggregate(q):
+    plan = plan_text(q("q186_exp_smoothing"))
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_canonical_partitioned_window(q):
+    # the rank window is partitioned by cluster (distributed), and the
+    # candidate join is an equi hash join on the block key
+    plan = plan_text(q("q187_cluster_canonical"))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(cluster_id" in plan, (
+        "rank window must be partitioned by cluster, not global"
+    )
