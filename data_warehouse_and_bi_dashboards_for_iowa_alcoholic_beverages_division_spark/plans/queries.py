@@ -8695,6 +8695,178 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Asymmetric containment — excerpt/quote detection (doc-in-doc dup)
+# =====================================================================
+
+def _q188_oracle() -> str:
+    """DuckDB twin: same planted excerpts, same prefix blocking, same
+    directional containment |S(short) ∩ S(long)| / |S(short)|."""
+    return r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 30000000, substring(text, 1, 200)
+      FROM documents WHERE doc_id % 43 = 0 AND length(text) >= 220
+    ),
+    n AS (
+      SELECT doc_id, text,
+             substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS pfx
+      FROM corpus
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_short, b.doc_id AS id_long, a.text AS ts, b.text AS tl
+      FROM n a JOIN n b
+        ON a.pfx = b.pfx AND a.doc_id <> b.doc_id
+       AND (length(a.text) < length(b.text)
+            OR (length(a.text) = length(b.text) AND a.doc_id < b.doc_id))
+    ),
+    sh AS (
+      SELECT id_short, id_long,
+        list_distinct([substring(lower(ts), CAST(i AS INT), 9)
+                       for i in range(1, greatest(length(ts) - 8, 1) + 1)]) AS ss,
+        list_distinct([substring(lower(tl), CAST(i AS INT), 9)
+                       for i in range(1, greatest(length(tl) - 8, 1) + 1)]) AS sl
+      FROM cand
+    )
+    SELECT id_short, id_long,
+           FLOOR((len(list_intersect(ss, sl))::DOUBLE / len(ss)::DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS containment
+    FROM sh
+    WHERE len(list_intersect(ss, sl))::DOUBLE / len(ss)::DOUBLE >= 0.8::DOUBLE
+    ORDER BY id_short, id_long
+    """
+
+
+@register(
+    "q188_shingle_containment",
+    _q188_oracle(),
+    "Asymmetric shingle containment |S(short) ∩ S(long)| / |S(short)| "
+    "- the excerpt/quote detector resemblance-Jaccard misses (a 200-"
+    "char excerpt of a 1000-char doc has Jaccard ~0.2 but containment "
+    "1.0; Broder's distinction). Candidates block on a 16-char "
+    "normalized-prefix key (excerpts share their source's prefix), "
+    "direction fixed shorter-into-longer with a doc_id tiebreak. Both "
+    "engines plant deterministic 200-char excerpts so recall is "
+    "non-vacuous (q187 device). Blocking keys are equi-join hash "
+    "buckets - never all-pairs; at 100 TB swap the prefix key for "
+    "q35's MinHash bands over the shorter side's shingles",
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "documents")
+    excerpts = base.where((F.col("doc_id") % 43 == 0) & (F.length("text") >= 220)).select(
+        (F.col("doc_id") + F.lit(30000000)).alias("doc_id"),
+        F.substring(F.col("text"), 1, 200).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(excerpts)
+    n = corpus.select(
+        "doc_id",
+        "text",
+        F.substring(text.normalized_text_expr("text"), 1, 16).alias("pfx"),
+    )
+    a = n.select(
+        F.col("doc_id").alias("id_short"), F.col("text").alias("ts"), F.col("pfx").alias("pa")
+    )
+    b = n.select(
+        F.col("doc_id").alias("id_long"), F.col("text").alias("tl"), F.col("pfx").alias("pb")
+    )
+    cand = a.join(
+        b,
+        (F.col("pa") == F.col("pb"))
+        & (F.col("id_short") != F.col("id_long"))
+        & (
+            (F.length("ts") < F.length("tl"))
+            | ((F.length("ts") == F.length("tl")) & (F.col("id_short") < F.col("id_long")))
+        ),
+    )
+    shingle = lambda c: F.array_distinct(  # noqa: E731
+        F.expr(
+            f"transform(sequence(1, greatest(length({c}) - 8, 1)),"
+            f" i -> substring(lower({c}), i, 9))"
+        )
+    )
+    sh = cand.select("id_short", "id_long", shingle("ts").alias("ss"), shingle("tl").alias("sl"))
+    contain = F.size(F.array_intersect("ss", "sl")).cast("double") / F.size("ss").cast("double")
+    return (
+        sh.where(contain >= 0.8)
+        .select("id_short", "id_long", floor_round6(contain).alias("containment"))
+        .orderBy("id_short", "id_long")
+    )
+
+
+# =====================================================================
+# Vocabulary coverage — OOV rate against the corpus top-k vocabulary
+# =====================================================================
+
+def _q189_oracle() -> str:
+    """DuckDB twin: same top-100 vocabulary (count DESC, token ASC
+    total order), same integer token/OOV sums, same final division."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 100
+      )
+    ),
+    flagged AS (
+      SELECT lang,
+             CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END AS oov
+      FROM toks
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           {floor_round6_sql("CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS oov_rate
+    FROM flagged GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "q189_vocab_coverage",
+    _q189_oracle(),
+    "Out-of-vocabulary rate per language against the corpus top-100 "
+    "token vocabulary - the tokenizer-coverage diagnostic run before "
+    "committing a vocab (high OOV = wasted UNK mass / byte fallback). "
+    "Vocabulary selection is a total order (count DESC, token ASC) so "
+    "rank-100 ties resolve identically on both engines; coverage "
+    "flags come from a BROADCAST hash semi-join of the token stream "
+    "against the 100-row vocab (never a shuffle of the stream); OOV "
+    "rates divide exact integer sums. One explode + two aggregations",
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(text.normalized_text_expr("text"), " ")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(100)
+        .select(F.col("tok").alias("vtok"))
+    )
+    flagged = toks.join(
+        F.broadcast(vocab), toks["tok"] == F.col("vtok"), "left"
+    ).select("lang", F.when(F.col("vtok").isNull(), 1).otherwise(0).alias("oov"))
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            floor_round6(
+                F.sum("oov").cast("double") / F.count("*").cast("double")
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),

@@ -722,6 +722,23 @@ def test_exp_smoothing_partial_month_aggregate(q):
     assert "CartesianProduct" not in plan
 
 
+def test_containment_equi_blocked_candidates(q):
+    # candidate pairs come from an equi hash join on the prefix block
+    # key — never a length-only theta join (that would nested-loop)
+    plan = plan_text(q("q188_shingle_containment"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(q):
+    # the 100-row vocabulary broadcasts onto the token stream; the
+    # stream itself is never shuffled for the coverage flags
+    plan = plan_text(q("q189_vocab_coverage"))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 vocab selection
+    assert "CartesianProduct" not in plan
+
+
 def test_cluster_canonical_partitioned_window(q):
     # the rank window is partitioned by cluster (distributed), and the
     # candidate join is an equi hash join on the block key
