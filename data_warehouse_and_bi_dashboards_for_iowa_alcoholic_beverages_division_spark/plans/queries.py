@@ -8867,6 +8867,80 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Semantic dedup — embedding near-dup pairs → components → keep-one
+# =====================================================================
+
+def _q190_oracle() -> str:
+    """DuckDB twin: q40's hyperplane-blocked cosine pairs (same planes,
+    threshold), recursive closure for components, min-id canonical."""
+    cosine = (
+        "list_sum(list_transform(list_zip(a.embedding, c.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * c.nrm)"
+    )
+    return f"""WITH RECURSIVE {_bucketed_embeddings_cte().split("WITH", 1)[1]},
+    matched AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               {floor_round6_sql(cosine)} AS score
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      ) WHERE score >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM matched
+      UNION ALL
+      SELECT id_b, id_a FROM matched
+    ),
+    walk(node, comp) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    labeled AS (
+      SELECT node AS vec_id, MIN(comp) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT cluster_id, CAST(MIN(vec_id) AS BIGINT) AS rep_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_pruned
+    FROM labeled GROUP BY cluster_id
+    HAVING COUNT(*) >= 2
+    ORDER BY cluster_id
+    """
+
+
+@register(
+    "q190_semantic_dedup",
+    _q190_oracle(),
+    "SemDeDup-style semantic deduplication (Abbas et al. 2023): "
+    "embedding-cosine near-dup pairs (q40's hyperplane sign-bucket "
+    "blocking - candidates only within a bucket, never all-pairs) "
+    "grouped into connected components by iterative min-label "
+    "propagation, one representative kept per cluster, pruned count "
+    "reported. This is the full semantic-dedup decision pipeline "
+    "pairs->clusters->keep-list as one composition; the DuckDB twin "
+    "recomputes the identical planes/threshold and a recursive "
+    "transitive closure, value-checking components end to end",
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.35, n_planes=4).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(emb.select(F.col("vec_id").alias("node")), pairs)
+    return (
+        comp.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.min("node").cast("bigint").alias("rep_vec_id"),
+            F.count("*").cast("bigint").alias("n_members"),
+            (F.count("*") - 1).cast("bigint").alias("n_pruned"),
+        )
+        .where(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
