@@ -8324,7 +8324,9 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q184_oracle() -> str:
     """DuckDB twin of RFM: each ntile ORDER BY carries a c_custkey
     tiebreak (total order -> identical quintile assignment on both
-    engines); monetary stays exact decimal end to end."""
+    engines); monetary stays exact decimal through every sum and is
+    canonicalized to a floor-rounded double only at the terminal column
+    (the decimal-stringification tripwire's required shape)."""
     return """
     WITH per_cust AS (
       SELECT o_custkey,
@@ -8344,10 +8346,10 @@ def _q184_oracle() -> str:
     )
     SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
            CAST(SUM(n_orders) AS BIGINT) AS total_orders,
-           SUM(monetary) AS total_monetary
+           {total_monetary} AS total_monetary
     FROM scored GROUP BY r_q, f_q, m_q
     ORDER BY r_q, f_q, m_q
-    """
+    """.format(total_monetary=floor_round6_sql("CAST(SUM(monetary) AS DOUBLE)"))
 
 
 @register(
@@ -8390,7 +8392,7 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_customers"),
             F.sum("n_orders").cast("bigint").alias("total_orders"),
-            F.sum("monetary").alias("total_monetary"),
+            floor_round6(F.sum("monetary").cast("double")).alias("total_monetary"),
         )
         .orderBy("r_q", "f_q", "m_q")
     )
@@ -8938,6 +8940,271 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_members") >= 2)
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# PII scrubbing — regex family shared by the Spark body and the oracle.
+# Conservative ASCII classes + \b anchors only, so the Java (Spark) and
+# RE2 (oracle) engines agree match-for-match.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+_PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _q191_oracle() -> str:
+    return rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                     ELSE '' END AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PII_IP_RE}', '<IP>', 'g'),
+               '{_PII_PHONE_RE}', '<PHONE>', 'g') AS r
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP_RE}')) AS INT) AS n_ips,
+           CAST(length(t) - length(r) AS INT) AS redaction_delta,
+           md5(r) AS redacted_md5
+    FROM red
+    """
+
+
+@register(
+    "q191_pii_redaction",
+    _q191_oracle(),
+    "PII detection + redaction audit, the scrub step every "
+    "web-scraped training corpus runs before anything else: emails, "
+    "phone numbers, and IPv4 addresses are counted per document and "
+    "replaced with typed placeholders, value-checked via the md5 of "
+    "the redacted text. The documents are deterministically salted "
+    "with synthetic PII (a pure function of doc_id, identical on both "
+    "engines) so detection is exercised on known-positive rows. All "
+    "regex work is JVM-side inside whole-stage codegen over a narrow "
+    "scan projection - zero shuffles, embarrassingly parallel, the "
+    "shape that holds unchanged at 100 TB. Real deployments swap in "
+    "larger pattern banks (SSNs, IBANs, secrets) behind the same "
+    "count-then-replace structure",
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" tel 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    # materialize the replace chain as its own projection so the two
+    # consumers (length delta, md5) share one evaluation — a single
+    # Project would inline the regex chain twice
+    red = t.select(
+        "doc_id",
+        "t",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), _PII_EMAIL_RE, "<EMAIL>"),
+                _PII_IP_RE,
+                "<IP>",
+            ),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("r"),
+    )
+    return red.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count("t", F.lit(_PII_IP_RE)).cast("int").alias("n_ips"),
+        (F.length("t") - F.length("r")).cast("int").alias("redaction_delta"),
+        F.md5("r").alias("redacted_md5"),
+    )
+
+
+def _q192_oracle() -> str:
+    return r"""
+    WITH norm AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 5 THEN
+               [array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + 4), ' ')
+                for i in range(1, len(w) - 4 + 1)]
+             ELSE []::VARCHAR[] END) AS g
+      FROM norm
+    ),
+    by_h AS (SELECT substring(md5(g), 1, 16) AS h, doc_id, g FROM grams),
+    stats AS (
+      SELECT h, MIN(g) AS span, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+      FROM by_h GROUP BY h
+    )
+    SELECT span, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(n_docs AS BIGINT) AS n_docs, CAST(first_doc AS BIGINT) AS first_doc
+    FROM stats WHERE n_occurrences >= 2
+    ORDER BY n_occurrences DESC, span ASC LIMIT 100
+    """
+
+
+@register(
+    "q192_repeated_spans",
+    _q192_oracle(),
+    "Corpus-level repeated-span extraction - the counting core of "
+    "exact-substring deduplication (Lee et al. 2022): every word "
+    "5-gram occurring >= 2 times anywhere in the corpus is surfaced "
+    "with its occurrence count, distinct-document count, and first "
+    "document, top-100 by frequency. These spans are exactly the "
+    "memorization-prone duplicated text that substring dedup cuts. "
+    "Grams keep multiplicity (intra-document repeats count); the "
+    "group-by key is a 16-hex md5 prefix so the one shuffle carries "
+    "16 bytes per gram rather than the span text, and the top-100 "
+    "plans as TakeOrderedAndProject (per-partition partial top-k, "
+    "no global sort) - both are the shapes that hold at 100 TB, "
+    "where the full suffix-array pass this approximates cannot run "
+    "as a single in-memory build",
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(text.word_ngrams_all_expr("text", 5)).alias("g")
+    )
+    stats = (
+        grams.select(F.substring(F.md5("g"), 1, 16).alias("h"), "doc_id", "g")
+        .groupBy("h")
+        .agg(
+            F.min("g").alias("span"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
+    return (
+        stats.where(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("span"))
+        .limit(100)
+        .select("span", "n_occurrences", "n_docs", "first_doc")
+    )
+
+
+def _q193_oracle() -> str:
+    return """
+    WITH touched AS (
+      SELECT event_type, value, ts, user_id, event_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+      FROM events
+    ),
+    purchases AS (SELECT * FROM touched WHERE event_type = 'purchase'),
+    both_models AS (
+      SELECT 'last_touch' AS model, COALESCE(last_touch, '(direct)') AS touch_type, value
+      FROM purchases
+      UNION ALL
+      SELECT 'first_touch', COALESCE(first_touch, '(direct)'), value FROM purchases
+    )
+    SELECT model, touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {rev} AS attributed_revenue
+    FROM both_models
+    GROUP BY model, touch_type
+    ORDER BY model, touch_type
+    """.format(rev=floor_round6_sql("SUM(value)"))
+
+
+@register(
+    "q193_touch_attribution",
+    _q193_oracle(),
+    "Marketing-style first-touch / last-touch revenue attribution over "
+    "the event stream: each purchase credits its revenue to the first "
+    "and to the most recent preceding non-purchase event of the same "
+    "user (direct purchases with no prior touch fall into a "
+    "'(direct)' bucket), then both attribution models aggregate "
+    "revenue and purchase counts per touch channel. One window over "
+    "(user_id, ts) computes both touches in a single pass - the same "
+    "single-shuffle shape as sessionization (q43) - and the final "
+    "aggregate is a partial/final hash-agg over a handful of "
+    "(model, channel) groups. Window ordering carries an event_id "
+    "tiebreak so equal-timestamp events attribute deterministically "
+    "on any engine or cluster shape",
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    purchases = touched.where(F.col("event_type") == "purchase")
+    # one exploded 2-struct array instead of a self-union: a union of
+    # two projections gets its column pruning pushed into each branch,
+    # splitting the plan into two scans + two window shuffles; the
+    # explode keeps both attribution models on ONE scan / ONE
+    # (user_id) exchange / ONE Window pass
+    both = purchases.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.coalesce("last_touch", F.lit("(direct)")).alias("touch_type"),
+                ),
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.coalesce("first_touch", F.lit("(direct)")).alias("touch_type"),
+                ),
+            )
+        ).alias("mt"),
+        "value",
+    ).select("mt.model", "mt.touch_type", "value")
+    return (
+        both.groupBy("model", "touch_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            floor_round6(F.sum("value")).alias("attributed_revenue"),
+        )
+        .orderBy("model", "touch_type")
     )
 
 

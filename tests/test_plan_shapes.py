@@ -13,6 +13,7 @@ refactor could silently lose:
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -737,6 +738,41 @@ def test_vocab_coverage_broadcasts_vocab(q):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-100 vocab selection
     assert "CartesianProduct" not in plan
+
+
+def test_pii_redaction_zero_shuffle_single_eval(q):
+    # the scrub is one codegen pass over a 2-column pruned scan: no
+    # exchange anywhere, and the 3-deep regexp_replace chain is
+    # materialized once (its two consumers — length delta and md5 —
+    # read the shared projection, not private copies)
+    plan = plan_text(q("q191_pii_redaction"))
+    assert "Exchange" not in plan
+    assert "doc_id:bigint,text:string" in plan, "scan must prune to 2 columns"
+    assert plan.count("regexp_replace(regexp_replace(regexp_replace") == 1
+
+
+def test_repeated_spans_md5_prefix_keys_take_ordered(q):
+    # the gram stream shuffles on the 16-hex md5 prefix (16 bytes per
+    # gram, not the span text) and the top-100 is a partial top-k
+    plan = plan_text(q("q192_repeated_spans"))
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(h#" in plan, "group key must be the md5 prefix"
+    assert "CartesianProduct" not in plan
+
+
+def test_touch_attribution_single_window_pass(q):
+    # both attribution models ride one scan / one (user_id) exchange /
+    # one Window computing last+first together; the union-of-two-
+    # projections alternative splits into two full scans
+    plan = plan_text(q("q193_touch_attribution"))
+    assert plan.count("Scan parquet") == 2, (  # tree + detail line = 1 scan
+        "events must be scanned once"
+    )
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, (
+        "last+first touch must share one Window node"
+    )
+    assert "partial_sum" in plan, "revenue aggregate must be partial"
+    assert "windowspecdefinition(user_id#" in plan
 
 
 def test_cluster_canonical_partitioned_window(q):
