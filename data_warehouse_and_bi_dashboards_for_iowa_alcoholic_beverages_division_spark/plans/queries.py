@@ -8576,7 +8576,7 @@ def _q187_oracle() -> str:
     ),
     n AS (
       SELECT doc_id, text,
-             substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS blk
+             substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS blk
       FROM corpus
     ),
     cand AS (
@@ -8663,8 +8663,17 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(case_dupes)
         .unionByName(pad_dupes)
     )
+    # 8-hex block prefix: the block key is the md5 of the FULL
+    # normalized text, so true (normalizer-invariant) duplicates share
+    # the entire hash and a wider prefix loses none of them - it only
+    # removes accidental-collision false pairs. A 2-hex prefix fixes
+    # the block count at 256, which turns in-block candidate pairs
+    # quadratic as the corpus grows (caught by the sf1.0 scaling
+    # study); 8 hex = 2^32 blocks keeps pair volume linear at any SF.
+    # Near-dups that differ under the normalizer are q35's MinHash-band
+    # territory, not this block's.
     n = docs.select(
-        "doc_id", F.substring(F.md5(text.normalized_text_expr("text")), 1, 2).alias("blk")
+        "doc_id", F.substring(F.md5(text.normalized_text_expr("text")), 1, 8).alias("blk")
     )
     a = n.select(F.col("doc_id").alias("id_a"), "blk")
     b = n.select(F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"))
@@ -8761,36 +8770,50 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("text"), 1, 200).alias("text"),
     )
     corpus = base.select("doc_id", "text").unionByName(excerpts)
+    # Shingle sets are computed PER DOC, before the join: the exchange
+    # feeding the self-join materializes each doc's array exactly once,
+    # where the original per-pair formulation rebuilt both ~700-element
+    # arrays for every candidate (pair-count x doc-length work), and —
+    # worse — left the join inputs so thin that AQE coalesced the
+    # pair stage onto 1-2 cores (measured 41x wall at 10x data in the
+    # sf1.0 scaling study; this shape restored ~linear). Fat map
+    # output = honest AQE sizing + skew-split on hot prefix blocks.
+    shingle = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 8, 1)),"
+            " i -> substring(lower(text), i, 9))"
+        )
+    )
     n = corpus.select(
         "doc_id",
-        "text",
+        F.length("text").alias("L"),
         F.substring(text.normalized_text_expr("text"), 1, 16).alias("pfx"),
+        shingle.alias("sh"),
     )
     a = n.select(
-        F.col("doc_id").alias("id_short"), F.col("text").alias("ts"), F.col("pfx").alias("pa")
+        F.col("doc_id").alias("id_short"),
+        F.col("L").alias("la"),
+        F.col("pfx").alias("pa"),
+        F.col("sh").alias("ss"),
     )
     b = n.select(
-        F.col("doc_id").alias("id_long"), F.col("text").alias("tl"), F.col("pfx").alias("pb")
+        F.col("doc_id").alias("id_long"),
+        F.col("L").alias("lb"),
+        F.col("pfx").alias("pb"),
+        F.col("sh").alias("sl"),
     )
     cand = a.join(
         b,
         (F.col("pa") == F.col("pb"))
         & (F.col("id_short") != F.col("id_long"))
         & (
-            (F.length("ts") < F.length("tl"))
-            | ((F.length("ts") == F.length("tl")) & (F.col("id_short") < F.col("id_long")))
+            (F.col("la") < F.col("lb"))
+            | ((F.col("la") == F.col("lb")) & (F.col("id_short") < F.col("id_long")))
         ),
     )
-    shingle = lambda c: F.array_distinct(  # noqa: E731
-        F.expr(
-            f"transform(sequence(1, greatest(length({c}) - 8, 1)),"
-            f" i -> substring(lower({c}), i, 9))"
-        )
-    )
-    sh = cand.select("id_short", "id_long", shingle("ts").alias("ss"), shingle("tl").alias("sl"))
     contain = F.size(F.array_intersect("ss", "sl")).cast("double") / F.size("ss").cast("double")
     return (
-        sh.where(contain >= 0.8)
+        cand.where(contain >= 0.8)
         .select("id_short", "id_long", floor_round6(contain).alias("containment"))
         .orderBy("id_short", "id_long")
     )
@@ -8921,7 +8944,12 @@ def _q190_oracle() -> str:
     "reported. This is the full semantic-dedup decision pipeline "
     "pairs->clusters->keep-list as one composition; the DuckDB twin "
     "recomputes the identical planes/threshold and a recursive "
-    "transitive closure, value-checking components end to end",
+    "transitive closure, value-checking components end to end. "
+    "n_planes is the occupancy knob and MUST scale as log2(corpus/"
+    "target_bucket_size): in-bucket candidate pairs grow as "
+    "(n/2^planes)^2, so a fixed plane count is quadratic in corpus "
+    "size (measured: p=4 at 10x data ran >20 min; p=7 - same "
+    "~130-vector occupancy as p=4 at 1x - held 8.6x, see BASELINE.md)",
 )
 def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
@@ -9205,6 +9233,210 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor_round6(F.sum("value")).alias("attributed_revenue"),
         )
         .orderBy("model", "touch_type")
+    )
+
+
+def _q194_oracle() -> str:
+    """DuckDB twin of FIM: identical md5-derived cut points (pure
+    integer arithmetic — no float in sight), identical sentinel
+    assembly, md5 of the transformed text value-checks the rewrite."""
+    return """
+    WITH cuts AS (
+      SELECT doc_id, text, length(text) AS L,
+             greatest(length(text) // 3, 1) AS third,
+             CAST(('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h2
+      FROM documents
+    ),
+    pts AS (
+      SELECT doc_id, text, L,
+             1 + (h1 % third) AS c1,
+             greatest(1 + (h1 % third), L - CAST(h2 % third AS BIGINT)) AS c2
+      FROM cuts
+    ),
+    parts AS (
+      SELECT doc_id, L, c1, c2,
+             substr(text, 1, CAST(c1 AS INT)) AS pre,
+             substr(text, CAST(c1 AS INT) + 1, CAST(c2 - c1 AS INT)) AS mid,
+             substr(text, CAST(c2 AS INT) + 1) AS suf,
+             doc_id % 2 = 0 AS is_fim,
+             text
+      FROM pts
+    )
+    SELECT doc_id,
+           CASE WHEN is_fim THEN 'fim' ELSE 'ar' END AS mode,
+           CAST(CASE WHEN is_fim THEN length(pre) ELSE 0 END AS INT) AS n_prefix,
+           CAST(CASE WHEN is_fim THEN length(mid) ELSE L END AS INT) AS n_middle,
+           CAST(CASE WHEN is_fim THEN length(suf) ELSE 0 END AS INT) AS n_suffix,
+           md5(CASE WHEN is_fim
+                    THEN '<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid
+                    ELSE text END) AS sample_md5
+    FROM parts
+    """
+
+
+@register(
+    "q194_fim_transform",
+    _q194_oracle(),
+    "Fill-in-the-middle transformation (Bavarian et al. 2022), the "
+    "document rewrite behind infilling-capable code/text models: half "
+    "the corpus (deterministic doc_id parity, the FIM rate knob) is "
+    "split at two md5-derived cut points into prefix/middle/suffix "
+    "and reassembled in PSM order with sentinels "
+    "(<PRE>p<SUF>s<MID>m); the rest passes through autoregressive. "
+    "Cut points are PURE INTEGER arithmetic on md5-derived uniforms "
+    "(no float anywhere), so the transform is bit-reproducible on any "
+    "engine or cluster shape and append-stable - rerunning over a "
+    "grown corpus never rewrites old samples differently. Zero "
+    "shuffles: one codegen pass over the scan, same shape at 100 TB",
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cuts = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("L"),
+        F.greatest(F.expr("length(text) DIV 3"), F.lit(1)).alias("third"),
+        F.conv(F.substring(F.md5(F.concat(F.lit("fim:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5(F.concat(F.lit("fim2:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
+    pts = cuts.select(
+        "doc_id",
+        "text",
+        "L",
+        (F.lit(1) + F.col("h1") % F.col("third")).alias("c1"),
+        # clamp: degenerate docs (L < 3) must keep c1 <= c2 so the
+        # middle substring length can never go negative
+        F.greatest(
+            F.lit(1) + F.col("h1") % F.col("third"),
+            F.col("L") - F.col("h2") % F.col("third"),
+        ).alias("c2"),
+    )
+    parts = pts.select(
+        "doc_id",
+        "L",
+        "c1",
+        "c2",
+        F.expr("substring(text, 1, CAST(c1 AS INT))").alias("pre"),
+        F.expr("substring(text, CAST(c1 AS INT) + 1, CAST(c2 - c1 AS INT))").alias("mid"),
+        F.expr("substring(text, CAST(c2 AS INT) + 1)").alias("suf"),
+        (F.col("doc_id") % 2 == 0).alias("is_fim"),
+        "text",
+    )
+    fim_text = F.concat(F.lit("<PRE>"), F.col("pre"), F.lit("<SUF>"), F.col("suf"), F.lit("<MID>"), F.col("mid"))
+    return parts.select(
+        "doc_id",
+        F.when(F.col("is_fim"), F.lit("fim")).otherwise(F.lit("ar")).alias("mode"),
+        F.when(F.col("is_fim"), F.length("pre")).otherwise(F.lit(0)).cast("int").alias("n_prefix"),
+        F.when(F.col("is_fim"), F.length("mid")).otherwise(F.col("L")).cast("int").alias("n_middle"),
+        F.when(F.col("is_fim"), F.length("suf")).otherwise(F.lit(0)).cast("int").alias("n_suffix"),
+        F.md5(F.when(F.col("is_fim"), fim_text).otherwise(F.col("text"))).alias("sample_md5"),
+    )
+
+
+def _q195_oracle() -> str:
+    """DuckDB twin of quantile normalization: the percentile bucket is
+    round(100*(rank-1)/(n-1)) computed in PURE INTEGER arithmetic
+    ((rank-1)*200 + (n-1)) // (2*(n-1)) — no float division to drift —
+    and the reference value per bucket is a nearest-rank (no
+    interpolation) order statistic of the global distribution."""
+    return """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN n = 1 THEN 50
+                  ELSE ((rk - 1) * 200 + (n - 1)) // (2 * (n - 1)) END AS bucket
+      FROM ranked
+    ),
+    granked AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS grk
+      FROM documents
+    ),
+    gnt AS (SELECT COUNT(*) AS gn FROM documents),
+    targets AS (
+      SELECT t.b AS bucket, greatest(1, (t.b * gn + 50) // 100) AS trk
+      FROM range(0, 101) AS t(b) CROSS JOIN gnt
+    ),
+    ref AS (
+      SELECT bucket, MIN(g.n_chars) AS ref_value
+      FROM granked g JOIN targets ON g.grk = targets.trk
+      GROUP BY bucket
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw_value,
+           CAST(bucket AS INT) AS pct_bucket,
+           CAST(ref_value AS BIGINT) AS normalized_value
+    FROM bucketed JOIN ref USING (bucket)
+    """
+
+
+@register(
+    "q195_quantile_norm",
+    _q195_oracle(),
+    "Cross-source quantile normalization of a quality signal: each "
+    "document's score is replaced by the GLOBAL distribution's value "
+    "at the document's within-source percentile - the rank-based "
+    "harmonization that makes per-source quality thresholds "
+    "comparable before corpus mixing (one source's '90th percentile' "
+    "maps to the same normalized scale as another's, whatever their "
+    "raw score distributions). Percentile buckets use pure integer "
+    "arithmetic (no float division to drift cross-engine) and the "
+    "101-value reference table is nearest-rank order statistics, "
+    "broadcast onto the per-source ranked stream. Two window "
+    "shuffles (per-source rank, global rank) + one broadcast join; "
+    "at 100 TB the global rank swaps for q164's mergeable histogram "
+    "quantiles and the per-source window stays as-is",
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    bucketed = ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("n") == 1, F.lit(50))
+        .otherwise(F.expr("((rk - 1) * 200 + (n - 1)) DIV (2 * (n - 1))"))
+        .alias("bucket"),
+    )
+    granked = docs.select(
+        "n_chars",
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("grk"),
+    )
+    gnt = docs.agg(F.count("*").alias("gn"))
+    targets = (
+        docs.sparkSession.range(101)
+        .select(F.col("id").alias("bucket"))
+        .crossJoin(F.broadcast(gnt))
+        .select("bucket", F.greatest(F.lit(1), F.expr("(bucket * gn + 50) DIV 100")).alias("trk"))
+    )
+    ref = (
+        granked.join(F.broadcast(targets), F.col("grk") == F.col("trk"))
+        .groupBy("bucket")
+        .agg(F.min("n_chars").alias("ref_value"))
+    )
+    return bucketed.join(F.broadcast(ref), "bucket").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("raw_value"),
+        F.col("bucket").cast("int").alias("pct_bucket"),
+        F.col("ref_value").cast("bigint").alias("normalized_value"),
     )
 
 

@@ -58,6 +58,9 @@ HEADLINE = [
     ("q169_incremental_agg_merge", "incremental agg maintenance: partial aggs + one full outer join on the group key"),
     ("q177_pq_adc", "product quantization: ADC over broadcast queries x code table, corpus vectors untouched at query time"),
     ("q178_ivfpq", "IVFPQ: probed queries equi-join the code table on cell; candidates ranked by ADC lookups"),
+    ("q191_pii_redaction", "PII scrub: zero exchanges, 2-column pruned scan, replace chain materialized once in its own projection"),
+    ("q192_repeated_spans", "repeated spans: one shuffle on 16-hex md5-prefix keys (never span text); top-100 is TakeOrderedAndProject"),
+    ("q193_touch_attribution", "attribution: one events scan, one (user_id) exchange, one Window computing first+last touch together"),
 ]
 
 

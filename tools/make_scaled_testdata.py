@@ -16,7 +16,11 @@ Construction notes (what keeps the scale-up honest):
   not 100x as verbatim copies would — verbatim duplication would turn
   the dedup benchmarks into an every-doc-has-9-exact-dups stress test
   instead of a scale-up of the sf0.1 distribution.
-- ``embeddings`` vectors copy verbatim (timing is scan/score-bound);
+- ``embeddings`` get a per-shard SIGNED PERMUTATION of dimensions
+  (orthogonal ⇒ within-shard cosines preserved exactly, cross-shard
+  cosines ~random): near-dup PAIR counts scale 10x like the
+  documents', not 100x as verbatim copies would (verbatim gives every
+  vector 9 exact twins — a pair-density stress test, not a scale-up).
   ``vec_id < 5`` keeps the q38 query batch fixed while the corpus
   grows 10x — the scaling a production ANN serves.
 
@@ -108,9 +112,24 @@ def main() -> None:
             " END AS n_chars"
             " FROM documents"
         ),
+        # Shard i > 0 applies a SIGNED PERMUTATION (rotate by 17*i, then
+        # md5-derived per-dimension sign flips) — an orthogonal
+        # transform, so every within-shard pairwise cosine is preserved
+        # EXACTLY while cross-shard vectors decorrelate to ~random
+        # cosine (~N(0, 1/sqrt(64)), far below near-dup thresholds).
+        # Verbatim copies would give every vector 9 exact twins and
+        # turn embedding near-dup/semantic-dedup timings into a 100x
+        # pair-density stress test instead of a 10x scale-up of the
+        # sf0.1 distribution — the same reasoning as the documents'
+        # shingle-disjoint word suffix above.
         "embeddings": shard_union(
-            f"SELECT vec_id + {{i}} * {stride['vec']} AS vec_id, embedding, label"
-            " FROM embeddings"
+            f"SELECT vec_id + {{i}} * {stride['vec']} AS vec_id,"
+            " CASE WHEN {i} = 0 THEN embedding ELSE CAST("
+            "   [embedding[((j - 1 + {i} * 17) % 64) + 1]"
+            "    * (CASE WHEN CAST(('0x' || substr(md5('emb{i}:' || CAST(j AS VARCHAR)), 1, 2)) AS INT) % 2 = 0"
+            "       THEN 1.0 ELSE -1.0 END)"
+            "    for j in range(1, 65)] AS FLOAT[]) END AS embedding,"
+            " label FROM embeddings"
         ),
     }
 
