@@ -1930,7 +1930,11 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalized text, 256 buckets): unlike the MinHash candidate path "
     "(q35, rows-only) this blocking is SQL-expressible, so the shingle "
     "set arithmetic — array_intersect/array_union — is value-checked "
-    "end-to-end; identical-content docs share a block by construction",
+    "end-to-end; identical-content docs share a block by construction. "
+    "The 2-hex prefix (256 blocks) is sized for the GATE corpora; the "
+    "prefix length is the scale knob and must grow ~log16(n) to keep "
+    "in-block pairs linear (q187 measured the fixed-width quadratic; "
+    "at 100 TB the candidate step is q35's MinHash bands, not this)",
 )
 def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs
@@ -2408,7 +2412,10 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min-label propagation (operators/graph.py) — cluster id = min doc "
     "id reachable, keep = canonical member. The DuckDB oracle computes "
     "the same components via a recursive transitive closure, so the "
-    "iterative distributed algorithm is value-checked end to end",
+    "iterative distributed algorithm is value-checked end to end. "
+    "Inherits q75's gate-sized 256-block candidate step; at scale the "
+    "edge set comes from q35's MinHash bands (see q187's block-width "
+    "lesson in BASELINE.md)",
 )
 def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs
@@ -3012,7 +3019,10 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vs existing corpus, blocked on the md5-prefix of normalized text "
     "— the SQL-expressible twin of q99's LSH path. Bipartite blocking "
     "means no corpus x corpus pairs ever form; the shingle set "
-    "arithmetic is value-checked end-to-end",
+    "arithmetic is value-checked end-to-end. The 2-hex block width is "
+    "gate-sized: in-block batch x corpus pairs grow with corpus/256, "
+    "so at scale the width grows ~log16(n) (q187's measured lesson) "
+    "or the candidate step is q99's banded LSH",
 )
 def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs

@@ -775,6 +775,40 @@ def test_touch_attribution_single_window_pass(q):
     assert "windowspecdefinition(user_id#" in plan
 
 
+def test_fim_transform_zero_shuffle(q):
+    # the FIM rewrite is a pure per-row map: no exchange, no join —
+    # the shape that scales embarrassingly at any corpus size
+    plan = plan_text(q("q194_fim_transform"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_quantile_norm_broadcast_reference(q):
+    # the 101-row nearest-rank reference broadcasts onto the bucketed
+    # stream; per-source windows are partitioned (distributed); no
+    # cartesian anywhere (the scalar gn crossJoin is a 1-row build)
+    plan = plan_text(q("q195_quantile_norm"))
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(source#" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_shingles_computed_below_join(q):
+    # the per-doc shingle arrays must be materialized by the exchange
+    # BELOW the self-join (computed once per doc); the per-pair
+    # formulation rebuilt both arrays per candidate and was measured
+    # 41x at 10x data (BASELINE.md) before this shape was pinned
+    plan = plan_text(q("q188_shingle_containment"))
+    m = re.search(r"\(\d+\) (BroadcastHashJoin|SortMergeJoin)", plan)
+    assert m, "containment candidates must come from a hash/merge join"
+    assert "transform(sequence" in plan[: m.start()], (
+        "shingle arrays must be computed below the join (once per doc)"
+    )
+    assert "transform(sequence" not in plan[m.start() :], (
+        "no shingle computation above the join (per-pair rebuild)"
+    )
+
+
 def test_cluster_canonical_partitioned_window(q):
     # the rank window is partitioned by cluster (distributed), and the
     # candidate join is an equi hash join on the block key
