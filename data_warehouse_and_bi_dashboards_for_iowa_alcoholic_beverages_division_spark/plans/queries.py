@@ -9450,6 +9450,169 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q196_oracle() -> str:
+    """DuckDB twin of the leakage-safe split: identical planted
+    duplicates, identical fingerprint equivalence classes, identical
+    md5-derived fold arithmetic — so the cluster-level assignment (and
+    the naive-split leak flags) are value-checked row for row."""
+    return r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, upper(text) FROM documents WHERE doc_id % 37 = 0
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+      FROM corpus
+    ),
+    clustered AS (
+      SELECT doc_id, f,
+             MIN(doc_id) OVER (PARTITION BY f) AS cluster_id,
+             COUNT(*) OVER (PARTITION BY f) AS n_members
+      FROM fp
+    )
+    SELECT doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(CAST(('0x' || substr(md5('fold:' || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS INT) AS fold,
+           CAST(CAST(('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS INT) AS naive_fold,
+           (n_members > 1 AND
+            CAST(('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10
+            <> CAST(('0x' || substr(md5('fold:' || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10)
+           AS naive_would_leak
+    FROM clustered
+    """
+
+
+@register(
+    "q196_leakage_safe_split",
+    _q196_oracle(),
+    "Leakage-safe train/eval splitting: fold assignment is a pure "
+    "md5 function of the DUPLICATE CLUSTER (normalized-text "
+    "fingerprint equivalence class), never of the document - so a "
+    "doc and its near-copies can never straddle the train/test "
+    "boundary, the contamination that inflates eval scores. Planted "
+    "case-folded copies (q187 device) make the property non-vacuous, "
+    "and every row also carries the naive per-doc fold plus a "
+    "naive_would_leak flag showing exactly which documents the naive "
+    "split would have leaked. One window over the fingerprint - no "
+    "pairs, no graph - so the split is linear at any corpus size and "
+    "append-stable (new members of an existing cluster inherit its "
+    "fold; for non-identical near-dups, feed q84's components in as "
+    "the cluster ids instead)",
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "documents")
+    corpus = base.select("doc_id", "text").unionByName(
+        base.where(F.col("doc_id") % 37 == 0).select(
+            (F.col("doc_id") + F.lit(10000000)).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    )
+    fp = corpus.select("doc_id", F.md5(text.normalized_text_expr("text")).alias("f"))
+    w = Window.partitionBy("f")
+    clustered = fp.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("cluster_id"),
+        F.count("*").over(w).alias("n_members"),
+    )
+
+    def fold_of(col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit("fold:"), col.cast("string"))), 1, 8), 16, 10)
+            .cast("long")
+            % 10
+        )
+
+    return clustered.select(
+        "doc_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        fold_of(F.col("cluster_id")).cast("int").alias("fold"),
+        fold_of(F.col("doc_id")).cast("int").alias("naive_fold"),
+        (
+            (F.col("n_members") > 1)
+            & (fold_of(F.col("doc_id")) != fold_of(F.col("cluster_id")))
+        ).alias("naive_would_leak"),
+    )
+
+
+def _q197_oracle() -> str:
+    """DuckDB twin of span corruption: the same fixed-block masking
+    schedule (token i masked iff i % 20 < 3), the same sentinel
+    numbering, md5 of both rewritten streams value-checked."""
+    return r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id, len(w) AS n,
+             array_to_string(list_filter(
+               [CASE WHEN (i - 1) % 20 = 0 THEN '<extra_id_' || CAST((i - 1) // 20 AS VARCHAR) || '>'
+                          || CASE WHEN (i - 1) % 20 < 3 THEN '' ELSE ' ' || w[i] END
+                     WHEN (i - 1) % 20 < 3 THEN ''
+                     ELSE w[i] END
+                for i in range(1, len(w) + 1)], x -> x <> ''), ' ') AS input_text,
+             array_to_string(list_filter(
+               [CASE WHEN (i - 1) % 20 = 0 THEN '<extra_id_' || CAST((i - 1) // 20 AS VARCHAR) || '>'
+                          || ' ' || w[i]
+                     WHEN (i - 1) % 20 < 3 THEN w[i]
+                     ELSE '' END
+                for i in range(1, len(w) + 1)], x -> x <> ''), ' ') AS target_text,
+             len([i for i in range(1, len(w) + 1) if (i - 1) % 20 < 3]) AS n_masked
+      FROM toks
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(n_masked AS INT) AS n_masked,
+           md5(input_text) AS input_md5, md5(target_text) AS target_md5
+    FROM built
+    """
+
+
+@register(
+    "q197_span_corruption",
+    _q197_oracle(),
+    "T5-style span corruption (Raffel et al. 2020), the denoising "
+    "objective's data rewrite: every 20-token block masks its first "
+    "3 tokens (a deterministic 15% rate in 3-token spans - no "
+    "sequential random state, so the schedule is a pure function of "
+    "the token index and reproducible on any engine or cluster "
+    "shape), the input stream replaces each span with a numbered "
+    "<extra_id_K> sentinel, and the target stream emits the "
+    "sentinels with the masked tokens. Both rewrites are built in "
+    "one higher-order-function pass per document (transform + filter "
+    "+ array_join inside codegen, the q194 FIM sibling) - zero "
+    "shuffles, value-checked via md5 of both streams",
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+    toks = docs.select("doc_id", F.expr(f"split({norm}, ' ')").alias("w"))
+    input_text = F.expr(
+        "array_join(filter(transform(sequence(1, size(w)), i -> "
+        "CASE WHEN (i - 1) % 20 = 0 THEN concat('<extra_id_', CAST((i - 1) DIV 20 AS STRING), '>',"
+        "          CASE WHEN (i - 1) % 20 < 3 THEN '' ELSE concat(' ', w[i - 1]) END)"
+        "     WHEN (i - 1) % 20 < 3 THEN ''"
+        "     ELSE w[i - 1] END), x -> x <> ''), ' ')"
+    )
+    target_text = F.expr(
+        "array_join(filter(transform(sequence(1, size(w)), i -> "
+        "CASE WHEN (i - 1) % 20 = 0 THEN concat('<extra_id_', CAST((i - 1) DIV 20 AS STRING), '>', ' ', w[i - 1])"
+        "     WHEN (i - 1) % 20 < 3 THEN w[i - 1]"
+        "     ELSE '' END), x -> x <> ''), ' ')"
+    )
+    n_masked = F.expr("size(filter(sequence(1, size(w)), i -> (i - 1) % 20 < 3))")
+    return toks.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_tokens"),
+        n_masked.cast("int").alias("n_masked"),
+        F.md5(input_text).alias("input_md5"),
+        F.md5(target_text).alias("target_md5"),
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),

@@ -809,6 +809,24 @@ def test_containment_shingles_computed_below_join(q):
     )
 
 
+def test_leakage_safe_split_one_fingerprint_window(q):
+    # the cluster is the fingerprint equivalence class: one window
+    # partitioned by the md5 fingerprint, no pair join, no graph —
+    # the linear-at-any-scale split shape
+    plan = plan_text(q("q196_leakage_safe_split"))
+    assert "windowspecdefinition(f#" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_corruption_zero_shuffle(q):
+    # both rewritten streams come from higher-order functions in one
+    # codegen pass — no exchange, no join (the q194 FIM sibling)
+    plan = plan_text(q("q197_span_corruption"))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_cluster_canonical_partitioned_window(q):
     # the rank window is partitioned by cluster (distributed), and the
     # candidate join is an equi hash join on the block key
