@@ -47,3 +47,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Stateful touch attribution — the streaming twin of the batch q193
+# window (plans/queries.py): per-user first/last non-purchase touch
+# carried as keyed state, each purchase emitted with the touches that
+# were current at its position in (ts, event_id) order. State is two
+# strings per user — bounded, checkpointed, horizontally partitioned
+# by user exactly like the batch window's hash partitioning.
+
+ATTR_OUTPUT_SCHEMA = (
+    "user_id BIGINT, event_id BIGINT, value DOUBLE,"
+    " first_touch STRING, last_touch STRING"
+)
+# '' encodes "no touch yet" (state columns are nullable but a sentinel
+# keeps the update function total); emitted rows translate '' -> NULL
+ATTR_STATE_SCHEMA = "first_touch STRING, last_touch STRING"
+
+
+def _update_touches(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    first, last = state.get if state.exists else ("", "")
+    out_event, out_value, out_first, out_last = [], [], [], []
+    for pdf in pdfs:
+        # micro-batch rows for one user, replayed in event-time order;
+        # cross-batch order is the source's responsibility (staged
+        # chronological files / kafka per-key ordering), same as any
+        # event-time state machine
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for et, eid, val in zip(pdf["event_type"], pdf["event_id"], pdf["value"]):
+            if et == "purchase":
+                out_event.append(int(eid))
+                out_value.append(float(val))
+                out_first.append(first or None)
+                out_last.append(last or None)
+            else:
+                last = et
+                first = first or et
+    state.update((first, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out_event),
+            "event_id": out_event,
+            "value": out_value,
+            "first_touch": out_first,
+            "last_touch": out_last,
+        }
+    )
+
+
+def touch_attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming first/last-touch attribution: every purchase row is
+    emitted exactly once, tagged with the first and the most recent
+    preceding non-purchase event of the same user — the incremental
+    form of q193's one-pass window, for when attribution must be
+    current within a micro-batch rather than recomputed per day."""
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_touches,
+            outputStructType=ATTR_OUTPUT_SCHEMA,
+            stateStructType=ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

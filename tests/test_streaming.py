@@ -508,3 +508,93 @@ def test_streaming_mix_drift_matches_batch_and_is_nonnegative(spark):
         assert all(kl >= 0.0 for _, kl in got.values())
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_touch_attribution_matches_batch_q193(spark):
+    """Chronologically staged two-batch drain of the stateful
+    attribution operator == the batch q193 window, aggregated to the
+    same (model, touch_type) grid — state (first/last touch per user)
+    must survive the micro-batch boundary, which the chronological
+    split forces for every user active in both halves."""
+    import os
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        registry,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming import (
+        touch_attribution_stream,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_attr_")
+    staging = tempfile.mkdtemp(prefix="staging_attr_")
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        cutoff = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+        ev.where(F.col("ts") < F.lit(cutoff)).write.parquet(os.path.join(staging, "b1"))
+
+        def staged_stream():
+            schema = spark.read.parquet(os.path.join(staging, "b1")).schema
+            raw = (
+                spark.readStream.schema(schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(staging)
+            )
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+        # parquet sink, not memory: append-mode memory sinks cannot
+        # recover a checkpoint across query restarts, while the
+        # fault-tolerant file sink accumulates both drains exactly-once
+        out_dir = os.path.join(staging, "attr_out")
+
+        def drain():
+            q = (
+                touch_attribution_stream(staged_stream())
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+        ev.where(F.col("ts") >= F.lit(cutoff)).write.parquet(os.path.join(staging, "b2"))
+        drain()
+
+        streamed = spark.read.parquet(out_dir)
+        got_df = (
+            streamed.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("last_touch").alias("model"),
+                            F.coalesce("last_touch", F.lit("(direct)")).alias("touch_type"),
+                        ),
+                        F.struct(
+                            F.lit("first_touch").alias("model"),
+                            F.coalesce("first_touch", F.lit("(direct)")).alias("touch_type"),
+                        ),
+                    )
+                ).alias("mt"),
+                "value",
+            )
+            .select("mt.model", "mt.touch_type", "value")
+            .groupBy("model", "touch_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("rev"))
+        )
+        got = {(r["model"], r["touch_type"]): (r["n"], r["rev"]) for r in got_df.collect()}
+        want = {
+            (r["model"], r["touch_type"]): (r["n_purchases"], round(r["attributed_revenue"], 4))
+            for r in registry()["q193_touch_attribution"].fn(spark, SF_DIR).collect()
+        }
+        # exactly-once purchase emission, identical attribution grid
+        assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+        for k in want:
+            assert abs(got[k][1] - want[k][1]) < 1e-3, (k, got[k], want[k])
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
