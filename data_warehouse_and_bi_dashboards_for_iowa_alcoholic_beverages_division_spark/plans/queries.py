@@ -9613,6 +9613,103 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q198_oracle() -> str:
+    """DuckDB twin of the recall evaluation: brute-force and LSH top-10
+    both recomputed from the shared bucketed CTE (identical hyperplane
+    literals, rounded-score ranking with neighbor-id tiebreaks), then
+    intersected per query."""
+    cosine = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * c.nrm)"
+    )
+    return f"""{_bucketed_embeddings_cte()},
+    exact AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {floor_round6_sql(cosine)} DESC, c.vec_id ASC) AS rank
+        FROM b q, b c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),
+    lsh AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {floor_round6_sql(cosine)} DESC, c.vec_id ASC) AS rank
+        FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT query_id, COUNT(*) AS n_hits
+      FROM lsh JOIN exact USING (query_id, neighbor_id)
+      GROUP BY query_id
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, COUNT(*) - 1 AS n_candidates
+      FROM b q JOIN b c ON c.bucket = q.bucket
+      WHERE q.vec_id < 5 GROUP BY q.vec_id
+    )
+    SELECT cand.query_id,
+           CAST(COALESCE(n_hits, 0) AS INT) AS n_hits,
+           {floor_round6_sql("CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10.0")} AS recall_at_10,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM cand LEFT JOIN hits ON hits.query_id = cand.query_id
+    ORDER BY cand.query_id
+    """
+
+
+@register(
+    "q198_ann_recall",
+    _q198_oracle(),
+    "ANN recall@10 evaluation as a first-class query - the accept "
+    "gate every approximate index must pass before replacing brute "
+    "force: the LSH top-10 (q39's path) is intersected with the exact "
+    "top-10 (q38's path) per query, with the candidate-set size "
+    "(bucket occupancy - 1) reported alongside so a recall drop is "
+    "immediately attributable to an under-full bucket. Both rankings "
+    "use the same rounded-score + neighbor-id tiebreak total order, "
+    "so the hit SET is deterministic cross-engine. The corpus is "
+    "scored once per path and never shuffled (broadcast queries); at "
+    "scale the same harness evaluates IVF/PQ variants by swapping the "
+    "approximate side (their pytest recall pins reuse this exact "
+    "intersection)",
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 5")
+    exact = similarity.cosine_topk(emb, queries_df, k=10).select("query_id", "neighbor_id")
+    approx = similarity.cosine_topk_lsh(emb, queries_df, k=10, n_planes=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    planes = similarity._hyperplanes(64, 4, 7)
+    tagged = emb.select("vec_id", similarity._bucket_expr("embedding", planes).alias("bucket"))
+    sizes = tagged.groupBy("bucket").agg(F.count("*").alias("bs"))
+    cand = (
+        tagged.where("vec_id < 5")
+        .select(F.col("vec_id").alias("query_id"), "bucket")
+        .join(F.broadcast(sizes), "bucket")
+        .select("query_id", (F.col("bs") - 1).cast("bigint").alias("n_candidates"))
+    )
+    return (
+        cand.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            floor_round6(F.coalesce("n_hits", F.lit(0)).cast("double") / 10.0).alias(
+                "recall_at_10"
+            ),
+            "n_candidates",
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),

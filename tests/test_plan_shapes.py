@@ -827,6 +827,18 @@ def test_span_corruption_zero_shuffle(q):
     assert "Join" not in plan
 
 
+def test_ann_recall_corpus_never_shuffles(q):
+    # both paths broadcast the 5-query batch onto the corpus (cross
+    # for brute force, bucket-equi for LSH); WindowGroupLimit keeps
+    # the per-query top-k partial, so only top-10 lists and aggregates
+    # ever reach an exchange — the corpus itself is never shuffled
+    plan = plan_text(q("q198_ann_recall"))
+    assert "BroadcastNestedLoopJoin Cross BuildLeft" in plan  # brute side
+    assert "BroadcastHashJoin" in plan  # LSH bucket side
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_cluster_canonical_partitioned_window(q):
     # the rank window is partitioned by cluster (distributed), and the
     # candidate join is an equi hash join on the block key
