@@ -293,6 +293,29 @@ def build_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign a batch of NEW vectors to
+    the EXISTING coarse quantizer (sidecar centroids, never retrained)
+    and append their inverted-list rows. Existing cells' files are
+    untouched — ``partitionBy("cell")`` + append mode writes only the
+    new rows into their cells' directories, so the marginal cost is
+    O(|batch|) regardless of index size. This is how a 100 TB IVF
+    index absorbs daily arrivals; periodic retraining (when the data
+    distribution drifts enough that cell occupancy skews — see the
+    audit in q125's family) is a separate, rarer full rebuild."""
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    new_vectors.select(
+        F.col(id_col), F.col(vec_col), _argmax_cell_expr(vec_col, centroids).alias("cell")
+    ).write.mode("append").partitionBy("cell").parquet(path)
+
+
 def query_ivf_index(
     queries: DataFrame,
     path: str,

@@ -5489,7 +5489,7 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q67_oracle() -> str:
+def _q67_oracle(train_pred: str = "TRUE") -> str:
     """DuckDB twin of similarity.cosine_topk_ivf(k=10, n_cells=8,
     n_probe=3, iters=2): the deterministic k-means-lite train is fully
     unrolled in SQL — seeds are the 8 lowest-id vectors, each Lloyd
@@ -5498,29 +5498,34 @@ def _q67_oracle() -> str:
     inverted-listed under the final centroids and each query probes its
     3 best cells. Ties break exactly as the Spark side: assignment picks
     the highest cell id, probe ranking is (score DESC, cell DESC),
-    neighbor ranking is (score DESC, neighbor ASC)."""
+    neighbor ranking is (score DESC, neighbor ASC).
+
+    ``train_pred`` restricts SEEDS and Lloyd means to a training
+    subset while the final inverted lists still cover every vector —
+    the q199 incremental-append contract (build on the subset, append
+    the rest under the frozen quantizer). Default TRUE = q67."""
     cos_c = (
         "list_sum(list_transform(list_zip(v.embedding, {c}.cvec),"
         " z -> CAST(z[1] AS DOUBLE) * z[2]))"
         " / (v.nrm * sqrt(list_sum(list_transform({c}.cvec, x -> x * x))))"
     )
 
-    def assign(name: str, cents: str) -> str:
-        scored = floor_round6_sql(cos_c.format(c=cents))
+    def assign(name: str, cents: str, src: str = "v") -> str:
+        scored = floor_round6_sql(cos_c.format(c=cents).replace("v.", f"{src}."))
         return f"""{name} AS (
       SELECT vec_id, cell FROM (
-        SELECT v.vec_id, {cents}.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        SELECT {src}.vec_id, {cents}.cell,
+               ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
                                   ORDER BY {scored} DESC, {cents}.cell DESC) AS rn
-        FROM v, {cents}
+        FROM {src}, {cents}
       ) WHERE rn = 1
     )"""
 
     def lloyd(a: str, prev: str, new: str) -> str:
         return f"""{new}_m AS (
-      SELECT {a}.cell, generate_subscripts(v.embedding, 1) AS pos,
-             unnest(v.embedding) AS x
-      FROM {a} JOIN v USING (vec_id)
+      SELECT {a}.cell, generate_subscripts(vt.embedding, 1) AS pos,
+             unnest(vt.embedding) AS x
+      FROM {a} JOIN vt USING (vec_id)
     ),
     {new}_c AS (
       SELECT cell, list(m ORDER BY pos) AS cvec FROM (
@@ -5545,14 +5550,15 @@ def _q67_oracle() -> str:
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
     ),
+    vt AS (SELECT * FROM v WHERE {train_pred}),
     c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-      FROM embeddings ORDER BY vec_id LIMIT 8
+      FROM embeddings WHERE {train_pred} ORDER BY vec_id LIMIT 8
     ),
-    {assign("a1", "c0")},
+    {assign("a1", "c0", "vt")},
     {lloyd("a1", "c0", "c1")},
-    {assign("a2", "c1")},
+    {assign("a2", "c1", "vt")},
     {lloyd("a2", "c1", "c2")},
     {assign("af", "c2")},
     probes AS (
@@ -9708,6 +9714,33 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "q199_ivf_incremental",
+    _q67_oracle(train_pred="vec_id % 10 <> 0"),
+    "Incremental IVF index maintenance: the quantizer trains once on "
+    "the existing corpus (90% slice), the arriving batch (vec_id%10=0) "
+    "is assigned under the FROZEN centroids and appended as new "
+    "inverted-list files - existing cells' files untouched, marginal "
+    "cost O(|batch|) whatever the index size - then queries probe the "
+    "merged index. The oracle unrolls the subset-trained quantizer "
+    "(q67's device with a train predicate) and inverted-lists ALL "
+    "vectors under it, value-checking build -> append -> query across "
+    "the parquet round trip. The daily-arrivals pattern for a 100 TB "
+    "vector corpus; distribution drift triggering a full retrain is "
+    "the separate, rarer rebuild",
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.where("vec_id % 10 != 0")
+    arriving = emb.where("vec_id % 10 = 0")
+    path = tempfile.mkdtemp(prefix="ivf_inc_") + "/index"
+    similarity.build_ivf_index(train, path, n_cells=8, iters=2)
+    similarity.append_to_ivf_index(arriving, path)
+    return similarity.query_ivf_index(emb.where("vec_id < 5"), path, k=10, n_probe=3)
 
 
 @register(
