@@ -5489,7 +5489,7 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q67_oracle(train_pred: str = "TRUE") -> str:
+def _q67_oracle(train_pred: str = "TRUE", final_select: str | None = None) -> str:
     """DuckDB twin of similarity.cosine_topk_ivf(k=10, n_cells=8,
     n_probe=3, iters=2): the deterministic k-means-lite train is fully
     unrolled in SQL — seeds are the 8 lowest-id vectors, each Lloyd
@@ -5503,7 +5503,10 @@ def _q67_oracle(train_pred: str = "TRUE") -> str:
     ``train_pred`` restricts SEEDS and Lloyd means to a training
     subset while the final inverted lists still cover every vector —
     the q199 incremental-append contract (build on the subset, append
-    the rest under the frozen quantizer). Default TRUE = q67."""
+    the rest under the frozen quantizer). Default TRUE = q67.
+    ``final_select`` swaps the terminal top-k SELECT for a different
+    consumer of the unrolled CTEs (q200 reads ``af`` for the cell
+    occupancy audit)."""
     cos_c = (
         "list_sum(list_transform(list_zip(v.embedding, {c}.cvec),"
         " z -> CAST(z[1] AS DOUBLE) * z[2]))"
@@ -5577,12 +5580,12 @@ def _q67_oracle(train_pred: str = "TRUE") -> str:
       JOIN v ON v.vec_id = af.vec_id AND v.vec_id <> p.query_id
       JOIN v q ON q.vec_id = p.query_id
     )
-    SELECT * FROM (
+    {final_select if final_select is not None else '''SELECT * FROM (
       SELECT query_id, neighbor_id, score,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, neighbor_id ASC) AS rank
       FROM scored
-    ) WHERE rank <= 10
+    ) WHERE rank <= 10'''}
     """
 
 
@@ -9741,6 +9744,57 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.build_ivf_index(train, path, n_cells=8, iters=2)
     similarity.append_to_ivf_index(arriving, path)
     return similarity.query_ivf_index(emb.where("vec_id < 5"), path, k=10, n_probe=3)
+
+
+def _q200_oracle() -> str:
+    occupancy = f"""SELECT cell,
+           CAST(n AS BIGINT) AS n_vectors,
+           {floor_round6_sql("CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)")} AS share,
+           {floor_round6_sql(
+               "CAST(MAX(n) OVER () AS DOUBLE) * CAST(COUNT(*) OVER () AS DOUBLE)"
+               " / CAST(SUM(n) OVER () AS DOUBLE)"
+           )} AS skew_factor,
+           (CAST(MAX(n) OVER () AS DOUBLE) * CAST(COUNT(*) OVER () AS DOUBLE)
+            > 2.0 * CAST(SUM(n) OVER () AS DOUBLE)) AS needs_rebalance
+    FROM (SELECT cell, COUNT(*) AS n FROM af GROUP BY cell)
+    ORDER BY cell"""
+    return _q67_oracle(final_select=occupancy)
+
+
+@register(
+    "q200_ivf_occupancy",
+    _q200_oracle(),
+    "IVF inverted-list occupancy audit - the retrain trigger that "
+    "pairs with q199's frozen-quantizer appends: per-cell vector "
+    "counts and shares under the trained quantizer, the max/mean "
+    "skew factor, and a needs_rebalance flag (skew > 2x). At scale "
+    "this is the health check run after every append window: a hot "
+    "cell means probe latencies degrade toward brute force for the "
+    "queries that land there, and the fix is the rarer full retrain "
+    "(or cell splitting) - the same max/mean shuffle diagnostic as "
+    "q125, applied to the index layout. Reuses q67's unrolled-train "
+    "oracle with an occupancy terminal SELECT, so the audit is "
+    "value-checked against the identical quantizer",
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    counts = (
+        emb.select(similarity._argmax_cell_expr("embedding", centroids).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("n").over(w).cast("double")
+    mx = F.max("n").over(w).cast("double")
+    ncells = F.count("*").over(w).cast("double")
+    return counts.select(
+        "cell",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        floor_round6(F.col("n").cast("double") / total).alias("share"),
+        floor_round6(mx * ncells / total).alias("skew_factor"),
+        (mx * ncells > F.lit(2.0) * total).alias("needs_rebalance"),
+    ).orderBy("cell")
 
 
 @register(

@@ -61,6 +61,10 @@ HEADLINE = [
     ("q191_pii_redaction", "PII scrub: zero exchanges, 2-column pruned scan, replace chain materialized once in its own projection"),
     ("q192_repeated_spans", "repeated spans: one shuffle on 16-hex md5-prefix keys (never span text); top-100 is TakeOrderedAndProject"),
     ("q193_touch_attribution", "attribution: one events scan, one (user_id) exchange, one Window computing first+last touch together"),
+    ("q188_shingle_containment", "containment: per-doc shingle arrays computed BELOW the self-join (once per doc, honest AQE sizing) — the 41x-at-10x per-pair rebuild is pinned out"),
+    ("q196_leakage_safe_split", "leakage-safe split: one window over the fingerprint equivalence class — no pairs, no graph, linear at any scale"),
+    ("q197_span_corruption", "T5 span corruption: both rewritten streams from higher-order functions in one zero-shuffle codegen pass"),
+    ("q198_ann_recall", "ANN recall@10: broadcast query batch on both paths, WindowGroupLimit partial top-k — the corpus never shuffles"),
 ]
 
 
