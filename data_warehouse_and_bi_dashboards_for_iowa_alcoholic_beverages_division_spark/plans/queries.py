@@ -9797,6 +9797,91 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+def _q201_oracle(n_iter: int = 3) -> str:
+    """DuckDB twin of personalized PageRank: q163's unrolled
+    iterations with the teleport vector concentrated on the seed set
+    (graph srcs divisible by 7), identical arithmetic trees and
+    source-order contribution folds."""
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+    c{i} AS (
+      SELECT e.dst, e.src, 0.85 * ({prev}.r / CAST(o.deg AS DOUBLE)) AS c
+      FROM edges e
+      JOIN {prev} ON {prev}.node = e.src
+      JOIN outdeg o ON o.src = e.src
+    ),
+    a{i} AS (
+      SELECT dst, list_sum(list(c ORDER BY src)) AS s FROM c{i} GROUP BY dst
+    ),
+    r{i} AS (
+      SELECT t.node, t.tele + COALESCE(a{i}.s, 0.0) AS r
+      FROM tagged t LEFT JOIN a{i} ON a{i}.dst = t.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT -l_suppkey AS src, o_custkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 7 = 0),
+    sstat AS (SELECT COUNT(*) AS ns FROM seeds),
+    tagged AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN (1.0 - 0.85) / CAST(ns AS DOUBLE) ELSE 0.0 END AS tele,
+             CASE WHEN s.node IS NOT NULL
+                  THEN 1.0 / CAST(ns AS DOUBLE) ELSE 0.0 END AS r0v
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node, sstat
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, r0v AS r FROM tagged),
+    {",".join(iters)}
+    SELECT node, {floor_round6_sql("r")} AS ppr
+    FROM {prev}
+    WHERE r > 0.0
+    ORDER BY ppr DESC, node LIMIT 20
+    """
+
+
+@register(
+    "q201_personalized_pagerank",
+    _q201_oracle(),
+    "Personalized PageRank (TrustRank family): teleport mass returns "
+    "to a trusted SEED set (suppliers with suppkey % 7 = 0) instead "
+    "of uniformly, so scores measure importance RELATIVE TO the "
+    "seeds - the propagation device that spreads a small "
+    "trusted-label set over a link graph for corpus quality "
+    "weighting. Same scale shape as q163 (one edge join + one "
+    "aggregation per iteration, (edge, double) payloads, constant "
+    "iteration count); the teleport vector is a broadcast-joined "
+    "per-node column, and the oracle unrolls the identical seeded "
+    "iterations, bit-matching before the 6dp floor. Zero-mass nodes "
+    "(unreached from the seeds in 3 hops) are filtered - their "
+    "exclusion is itself signal",
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select((-F.col("l_suppkey")).alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+    )
+    seeds = edges.where(F.col("src") % 7 == 0).select(F.col("src").alias("node"))
+    r = personalized_pagerank(edges, seeds, n_iter=3, damping=0.85)
+    return (
+        r.where(F.col("r") > 0.0)
+        .select("node", floor_round6(F.col("r")).alias("ppr"))
+        .orderBy(F.col("ppr").desc(), "node")
+        .limit(20)
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
