@@ -9882,6 +9882,103 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q202_oracle() -> str:
+    """DuckDB twin of the cross-source duplication matrix: the
+    portable MinHash band candidates (q146's CTE chain — the
+    scale-correct candidate step, not a fixed-block join), exact
+    Jaccard over the shared shingle sets, labeled with both documents'
+    sources, aggregated per unordered source pair with an
+    (id_a, id_b)-ordered sum fold for the mean."""
+    return f"""{_portable_minhash_bands_cte()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    ),
+    j AS (
+      SELECT cand.id_a, cand.id_b,
+             len(list_intersect(s1.shs, s2.shs))
+               / len(list_distinct(list_concat(s1.shs, s2.shs))) AS jaccard
+      FROM cand
+      JOIN sh s1 ON s1.doc_id = cand.id_a
+      JOIN sh s2 ON s2.doc_id = cand.id_b
+    ),
+    lab AS (
+      SELECT j.id_a, j.id_b, j.jaccard,
+             least(da.source, db.source) AS source_x,
+             greatest(da.source, db.source) AS source_y
+      FROM j
+      JOIN documents da ON da.doc_id = j.id_a
+      JOIN documents db ON db.doc_id = j.id_b
+    )
+    SELECT source_x, source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {floor_round6_sql(
+               "list_sum(list(jaccard ORDER BY id_a, id_b)) / CAST(COUNT(*) AS DOUBLE)"
+           )} AS mean_jaccard,
+           {floor_round6_sql("MAX(jaccard)")} AS max_jaccard
+    FROM lab GROUP BY source_x, source_y
+    ORDER BY source_x, source_y
+    """
+
+
+@register(
+    "q202_source_overlap",
+    _q202_oracle(),
+    "Cross-source duplication matrix - the provenance analysis dedup "
+    "teams publish: MinHash-band candidate pairs (q146's portable "
+    "family - the scale-correct candidate step, pair volume tracks "
+    "real near-dup density, never a fixed-block quadratic) are "
+    "exact-Jaccard verified, labeled with both documents' sources, "
+    "and aggregated per UNORDERED source pair (least/greatest "
+    "normalization) into pair counts, mean, and max similarity - "
+    "which corpora copy from each other, and how hard. The mean "
+    "folds in (id_a, id_b) order on both engines so the float sum is "
+    "bit-stable; dimension labels join onto the (small) "
+    "verified-pair set, never the shingle stream",
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs,
+        "doc_id",
+        base_hash=dedup.portable_base_hash,
+        family=dedup.portable_family(dedup._mh_family_constants(32, 11)),
+        band_bucket=dedup.portable_band_bucket,
+    )
+    j = ngram_jaccard_pairs(docs, pairs, "doc_id")
+    src = docs.select("doc_id", "source")
+    lab = (
+        j.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+    )
+    return (
+        lab.groupBy("source_x", "source_y")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            floor_round6(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("id_a", "id_b", "jaccard"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["jaccard"],
+                )
+                / F.count("*").cast("double")
+            ).alias("mean_jaccard"),
+            floor_round6(F.max("jaccard")).alias("max_jaccard"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
 @register(
     "q39_knn_lsh",
     _q39_oracle(),
