@@ -200,6 +200,14 @@ def personalized_pagerank(
         .distinct()
     )
     s = seeds.select("node").distinct().join(nodes, "node")
+    # degenerate seed set (seeds ∩ nodes = ∅) would divide by ns=0 and
+    # silently turn every rank NULL — fail loudly instead; the probe is
+    # a driver-side count on the (tiny) seed intersection only
+    if s.limit(1).count() == 0:
+        raise ValueError(
+            "personalized_pagerank: no seed appears in the graph "
+            "(seeds ∩ nodes is empty) — ranks would be undefined"
+        )
     sstat = s.agg(F.count("*").alias("ns"))
     # per-node teleport column: (1-d)/|S| on seeds, 0 elsewhere —
     # checkpointed once, reused every round

@@ -298,6 +298,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    skip_existing_ids: bool = True,
 ) -> None:
     """Incremental index maintenance: assign a batch of NEW vectors to
     the EXISTING coarse quantizer (sidecar centroids, never retrained)
@@ -307,11 +308,24 @@ def append_to_ivf_index(
     O(|batch|) regardless of index size. This is how a 100 TB IVF
     index absorbs daily arrivals; periodic retraining (when the data
     distribution drifts enough that cell occupancy skews — see the
-    audit in q125's family) is a separate, rarer full rebuild."""
+    audit in q125's family) is a separate, rarer full rebuild.
+
+    Idempotency: retried jobs re-submit the same batch, and a blind
+    append would silently double every inverted-list row (duplicate
+    neighbors, skewed occupancy audits). ``skip_existing_ids`` (default)
+    anti-joins the batch against the index's id column before writing —
+    a column-pruned scan of ONLY ids, no vectors, so the guard costs a
+    fraction of the batch assignment itself. Pass ``False`` only when
+    the caller already guarantees disjoint ids (e.g. writes routed
+    through deterministic per-batch staging directories)."""
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
-    new_vectors.select(
+    batch = new_vectors
+    if skip_existing_ids:
+        existing = spark.read.parquet(path).select(F.col(id_col))
+        batch = batch.join(existing, on=id_col, how="left_anti")
+    batch.select(
         F.col(id_col), F.col(vec_col), _argmax_cell_expr(vec_col, centroids).alias("cell")
     ).write.mode("append").partitionBy("cell").parquet(path)
 

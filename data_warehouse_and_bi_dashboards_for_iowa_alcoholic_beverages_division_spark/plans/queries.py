@@ -5507,14 +5507,17 @@ def _q67_oracle(train_pred: str = "TRUE", final_select: str | None = None) -> st
     ``final_select`` swaps the terminal top-k SELECT for a different
     consumer of the unrolled CTEs (q200 reads ``af`` for the cell
     occupancy audit)."""
+    # parameterized on BOTH aliases ({v} vector side, {c} centroid
+    # side) — a post-hoc .replace("v.", ...) over the formatted SQL
+    # would silently rewrite any future fragment containing "v."
     cos_c = (
-        "list_sum(list_transform(list_zip(v.embedding, {c}.cvec),"
+        "list_sum(list_transform(list_zip({v}.embedding, {c}.cvec),"
         " z -> CAST(z[1] AS DOUBLE) * z[2]))"
-        " / (v.nrm * sqrt(list_sum(list_transform({c}.cvec, x -> x * x))))"
+        " / ({v}.nrm * sqrt(list_sum(list_transform({c}.cvec, x -> x * x))))"
     )
 
     def assign(name: str, cents: str, src: str = "v") -> str:
-        scored = floor_round6_sql(cos_c.format(c=cents).replace("v.", f"{src}."))
+        scored = floor_round6_sql(cos_c.format(v=src, c=cents))
         return f"""{name} AS (
       SELECT vec_id, cell FROM (
         SELECT {src}.vec_id, {cents}.cell,
@@ -5541,7 +5544,7 @@ def _q67_oracle(train_pred: str = "TRUE", final_select: str | None = None) -> st
       FROM {prev} LEFT JOIN {new}_c USING (cell)
     )"""
 
-    probe_score = floor_round6_sql(cos_c.format(c="c2"))
+    probe_score = floor_round6_sql(cos_c.format(v="v", c="c2"))
     pair_cos = (
         "list_sum(list_transform(list_zip(q.embedding, v.embedding),"
         " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm)"

@@ -70,13 +70,17 @@ def _update_touches(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     (user_id,) = key
     first, last = state.get if state.exists else ("", "")
     out_event, out_value, out_first, out_last = [], [], [], []
-    for pdf in pdfs:
-        # micro-batch rows for one user, replayed in event-time order;
-        # cross-batch order is the source's responsibility (staged
-        # chronological files / kafka per-key ordering), same as any
-        # event-time state machine
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for et, eid, val in zip(pdf["event_type"], pdf["event_id"], pdf["value"]):
+    # a group's micro-batch rows arrive as MULTIPLE Arrow chunks in
+    # arbitrary order (spark.sql.execution.arrow.maxRecordsPerBatch
+    # bounds each chunk) — materialize and sort the whole micro-batch
+    # once, or the order-sensitive state machine misattributes any
+    # user whose rows straddle a chunk boundary; cross-batch order
+    # stays the source's responsibility (staged chronological files /
+    # kafka per-key ordering), same as any event-time state machine
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for et, eid, val in zip(whole["event_type"], whole["event_id"], whole["value"]):
             if et == "purchase":
                 out_event.append(int(eid))
                 out_value.append(float(val))

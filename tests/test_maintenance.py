@@ -29,3 +29,35 @@ def test_compact_table(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before_rows
     assert after.agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)"))).collect()[0][0] == before_sum
+
+
+def test_ivf_append_retry_is_idempotent(spark, tmp_path):
+    """A retried append job re-submits the same batch; the id guard
+    must keep the inverted lists (and therefore query results and
+    occupancy audits) identical to a single successful append."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    train = emb.where("vec_id % 10 != 0")
+    batch = emb.where("vec_id % 10 = 0")
+    path = str(tmp_path / "ivf_idem")
+    similarity.build_ivf_index(train, path, n_cells=4, iters=1)
+    similarity.append_to_ivf_index(batch, path)
+    once = spark.read.parquet(path).count()
+    before = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.query_ivf_index(
+            emb.where("vec_id < 3"), path, k=5, n_probe=2
+        ).collect()
+    }
+    similarity.append_to_ivf_index(batch, path)  # the retry
+    assert spark.read.parquet(path).count() == once
+    after = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.query_ivf_index(
+            emb.where("vec_id < 3"), path, k=5, n_probe=2
+        ).collect()
+    }
+    assert after == before

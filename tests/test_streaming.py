@@ -598,3 +598,61 @@ def test_stateful_touch_attribution_matches_batch_q193(spark):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_stateful_attribution_survives_arrow_chunk_splits(spark):
+    """applyInPandasWithState hands a group's micro-batch rows to the
+    update function as MULTIPLE Arrow chunks (bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch) in arbitrary order.
+    With the limit forced to 1 every row is its own chunk, so any
+    per-chunk-only ordering in the state machine degenerates to
+    processing rows in raw arrival order — the rows below are staged
+    in REVERSE event time, so a regression to per-chunk sorting
+    attributes the purchase to no touch at all."""
+    import os
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming import (
+        touch_attribution_stream,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_chunk_")
+    staging = tempfile.mkdtemp(prefix="staging_chunk_")
+    old_limit = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+        base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+        rows = [  # reverse event-time order on purpose
+            Row(user_id=1, event_id=3, ts=base + datetime.timedelta(hours=3),
+                event_type="purchase", value=10.0),
+            Row(user_id=1, event_id=2, ts=base + datetime.timedelta(hours=2),
+                event_type="email", value=0.0),
+            Row(user_id=1, event_id=1, ts=base + datetime.timedelta(hours=1),
+                event_type="click", value=0.0),
+        ]
+        # coalesce(1) keeps all three rows in ONE task = one state call
+        spark.createDataFrame(rows).coalesce(1).write.parquet(os.path.join(staging, "b1"))
+        schema = spark.read.parquet(os.path.join(staging, "b1")).schema
+        out_dir = os.path.join(staging, "out")
+        q = (
+            touch_attribution_stream(
+                spark.readStream.schema(schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(staging)
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(out_dir).collect()
+        assert len(got) == 1
+        assert got[0]["event_id"] == 3
+        assert got[0]["first_touch"] == "click"
+        assert got[0]["last_touch"] == "email"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_limit)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
