@@ -93,6 +93,29 @@ def portable_band_bucket(elements: list[Column]) -> Column:
     return acc
 
 
+_PORTABLE_BUCKET_MOD = 1 << 52
+
+
+def portable_band_bucket_mod(modulus: int = _PORTABLE_BUCKET_MOD):
+    """Mod-folding variant of :func:`portable_band_bucket` for WIDE
+    bands: beyond 4 rows the plain base-31 fold exceeds 64 bits, so
+    each step reduces mod ``modulus`` (default 2^52 — one fold step
+    peaks below 31 * 2^52 + 2^31 < 2^57, exact in 64-bit integer math
+    in any engine). Wide bands (e.g. 4 bands x 8 rows) demand much
+    higher per-band agreement (J^8 vs J^4), the right trade for
+    near-identical-content detection like q188's excerpt windows where
+    true matches have J ~= 1 and template-similar noise sits at
+    J ~= 0.5."""
+
+    def bb(elements: list[Column]) -> Column:
+        acc = elements[0]
+        for e in elements[1:]:
+            acc = (acc * F.lit(31) + e) % F.lit(modulus)
+        return acc
+
+    return bb
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -267,6 +290,39 @@ def oversized_lsh_buckets(
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("size"))
         .where(F.col("size") > max_bucket_size)
+    )
+
+
+def lsh_bucket_size_histogram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 9,
+    max_bucket_size: int = 1000,
+    base_hash=None,
+    family=None,
+    band_bucket=None,
+) -> DataFrame:
+    """Bucket-size histogram for a banded run: (size, n_buckets,
+    over_cap) per distinct bucket size. The non-vacuous form of the
+    :func:`oversized_lsh_buckets` audit — healthy corpora report a
+    real distribution every run (so the audit query itself is
+    value-checkable), and any ``over_cap`` row is recall the capped
+    candidate run silently skipped. Pass the SAME hash-family
+    parameters as the capped run — both go through
+    :func:`_banded_docs`, so the histogram describes exactly the
+    buckets that were capped."""
+    banded = _banded_docs(
+        df, id_col, text_col, n_hashes, bands, shingle_k, base_hash, family, band_bucket
+    )
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select("size", "n_buckets", (F.col("size") > max_bucket_size).alias("over_cap"))
     )
 
 

@@ -5221,7 +5221,12 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _portable_minhash_bands_cte() -> str:
+def _portable_minhash_bands_cte(
+    source: str = "documents",
+    prelude: str = "",
+    bands: int = 8,
+    bucket_mod: int | None = None,
+) -> str:
     """Shared DuckDB CTE chain reproducing the portable MinHash banding
     (md5-prefix base mod 2^30, 32 linear families mod 2^31-1, base-31
     polynomial band buckets — all exact 64-bit integer math in any
@@ -5230,21 +5235,40 @@ def _portable_minhash_bands_cte() -> str:
     definition, used by both the batch (q146) and incremental (q147)
     oracles, mirroring dedup._banded_docs on the Spark side. Formulated
     as unnest + 32 vectorized MIN aggregates — nested list_transform
-    lambdas were measured ~9x slower."""
+    lambdas were measured ~9x slower.
+
+    ``source`` names the relation holding (doc_id, text) to band —
+    default the raw documents table; ``prelude`` injects extra CTEs
+    between WITH and the banding chain (q188 bands an augmented,
+    windowed corpus built in its own CTEs). ``bands`` splits the 32
+    signature rows into that many bands; widths past 4 rows need
+    ``bucket_mod`` (mirror of dedup.portable_band_bucket_mod — each
+    fold step reduces mod it so the integer math stays exact 64-bit
+    in both engines)."""
     from ..operators.dedup import _MH_BASE_MOD, _MH_PRIME, _mh_family_constants
 
     consts = _mh_family_constants(32, 11)
+    rows_per_band = 32 // bands
     mins = ",\n             ".join(
         f"MIN(({a} * x + {b}) % {_MH_PRIME}) AS s{i}" for i, (a, b) in enumerate(consts)
     )
+
+    def fold(idxs: list[int]) -> str:
+        expr = f"s{idxs[0]}"
+        for j in idxs[1:]:
+            expr = f"({expr} * 31 + s{j})"
+            if bucket_mod is not None:
+                expr = f"({expr} % {bucket_mod})"
+        return expr
+
     buckets = ",\n             ".join(
-        f"((s{4*b} * 31 + s{4*b+1}) * 31 + s{4*b+2}) * 31 + s{4*b+3} AS k{b}"
-        for b in range(8)
+        f"{fold(list(range(b * rows_per_band, (b + 1) * rows_per_band)))} AS k{b}"
+        for b in range(bands)
     )
-    band_rows = ",\n      ".join(f"({b}, k{b})" for b in range(8))
+    band_rows = ",\n      ".join(f"({b}, k{b})" for b in range(bands))
     return f"""
-    WITH sh AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS shs FROM documents
+    WITH {prelude}sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shs FROM {source}
     ),
     hm AS (
       SELECT doc_id,
@@ -8732,41 +8756,56 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Asymmetric containment — excerpt/quote detection (doc-in-doc dup)
 # =====================================================================
 
+_Q188_MAX_BUCKET = 64
+
+
 def _q188_oracle() -> str:
-    """DuckDB twin: same planted excerpts, same prefix blocking, same
-    directional containment |S(short) ∩ S(long)| / |S(short)|."""
-    return r"""
-    WITH corpus AS (
+    """DuckDB twin: same planted excerpts, same portable-MinHash band
+    candidates over each document's first-200-char window (buckets
+    capped to the lowest _Q188_MAX_BUCKET doc_ids), same directional
+    containment |S(short) ∩ S(long)| / |S(short)| over FULL shingle
+    sets."""
+    prelude = """corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 30000000, substring(text, 1, 200)
       FROM documents WHERE doc_id % 43 = 0 AND length(text) >= 220
     ),
-    n AS (
-      SELECT doc_id, text,
-             substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS pfx
-      FROM corpus
+    win AS (
+      SELECT doc_id, substring(text, 1, 200) AS text FROM corpus
+    ),
+    """
+    return f"""{_portable_minhash_bands_cte(source="win", prelude=prelude, bands=4, bucket_mod=dedup._PORTABLE_BUCKET_MOD)},
+    capped AS (
+      SELECT doc_id, b, bucket FROM (
+        SELECT doc_id, b, bucket,
+               ROW_NUMBER() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= {_Q188_MAX_BUCKET}
     ),
     cand AS (
-      SELECT a.doc_id AS id_short, b.doc_id AS id_long, a.text AS ts, b.text AS tl
-      FROM n a JOIN n b
-        ON a.pfx = b.pfx AND a.doc_id <> b.doc_id
-       AND (length(a.text) < length(b.text)
-            OR (length(a.text) = length(b.text) AND a.doc_id < b.doc_id))
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM capped a JOIN capped c
+        ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
     ),
-    sh AS (
-      SELECT id_short, id_long,
-        list_distinct([substring(lower(ts), CAST(i AS INT), 9)
-                       for i in range(1, greatest(length(ts) - 8, 1) + 1)]) AS ss,
-        list_distinct([substring(lower(tl), CAST(i AS INT), 9)
-                       for i in range(1, greatest(length(tl) - 8, 1) + 1)]) AS sl
-      FROM cand
+    fsh AS (
+      SELECT doc_id, length(text) AS L, {_SHINGLES_SQL} AS shs FROM corpus
+    ),
+    joined AS (
+      SELECT cand.id_a, cand.id_b, fa.L AS la, fb.L AS lb,
+             fa.shs AS sa, fb.shs AS sb
+      FROM cand JOIN fsh fa ON fa.doc_id = cand.id_a
+                JOIN fsh fb ON fb.doc_id = cand.id_b
+    ),
+    scored AS (
+      SELECT CASE WHEN la <= lb THEN id_a ELSE id_b END AS id_short,
+             CASE WHEN la <= lb THEN id_b ELSE id_a END AS id_long,
+             CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+               / CAST(len(CASE WHEN la <= lb THEN sa ELSE sb END) AS DOUBLE) AS c
+      FROM joined
     )
-    SELECT id_short, id_long,
-           FLOOR((len(list_intersect(ss, sl))::DOUBLE / len(ss)::DOUBLE)
-                 * 1000000 + 0.5) / 1000000.0 AS containment
-    FROM sh
-    WHERE len(list_intersect(ss, sl))::DOUBLE / len(ss)::DOUBLE >= 0.8::DOUBLE
+    SELECT id_short, id_long, {floor_round6_sql("c")} AS containment
+    FROM scored WHERE c >= 0.8
     ORDER BY id_short, id_long
     """
 
@@ -8777,13 +8816,18 @@ def _q188_oracle() -> str:
     "Asymmetric shingle containment |S(short) ∩ S(long)| / |S(short)| "
     "- the excerpt/quote detector resemblance-Jaccard misses (a 200-"
     "char excerpt of a 1000-char doc has Jaccard ~0.2 but containment "
-    "1.0; Broder's distinction). Candidates block on a 16-char "
-    "normalized-prefix key (excerpts share their source's prefix), "
-    "direction fixed shorter-into-longer with a doc_id tiebreak. Both "
-    "engines plant deterministic 200-char excerpts so recall is "
-    "non-vacuous (q187 device). Blocking keys are equi-join hash "
-    "buckets - never all-pairs; at 100 TB swap the prefix key for "
-    "q35's MinHash bands over the shorter side's shingles",
+    "1.0; Broder's distinction). Candidates come from the portable "
+    "MinHash+LSH bands (q146's hash family) over each doc's first-200-"
+    "char window: an excerpt and its source share a near-identical "
+    "leading window (Jaccard ~1 there even when full-text Jaccard is "
+    "~0.2), so the bands catch them, while documents that merely share "
+    "a short literal prefix - the boilerplate class that made the old "
+    "16-char-prefix equi-join blow up 69x in candidate pairs at 10x "
+    "data - almost never collide on a full band. Buckets are capped "
+    "(q35's max_bucket_size device, mirrored in the oracle) with the "
+    "q203 audit reporting anything the cap skipped; containment itself "
+    "is then exact over the full shingle sets of the candidate pairs "
+    "only, direction fixed shorter-into-longer with a doc_id tiebreak",
 )
 def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "documents")
@@ -8792,53 +8836,80 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("text"), 1, 200).alias("text"),
     )
     corpus = base.select("doc_id", "text").unionByName(excerpts)
-    # Shingle sets are computed PER DOC, before the join: the exchange
-    # feeding the self-join materializes each doc's array exactly once,
-    # where the original per-pair formulation rebuilt both ~700-element
-    # arrays for every candidate (pair-count x doc-length work), and —
-    # worse — left the join inputs so thin that AQE coalesced the
-    # pair stage onto 1-2 cores (measured 41x wall at 10x data in the
-    # sf1.0 scaling study; this shape restored ~linear). Fat map
-    # output = honest AQE sizing + skew-split on hot prefix blocks.
-    shingle = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, greatest(length(text) - 8, 1)),"
-            " i -> substring(lower(text), i, 9))"
+    # Candidate generation is q35's banded-bucket pipeline over the
+    # leading window — shuffle volume is (doc, band, bucket) triples,
+    # pair count tracks real leading-window near-duplicates instead of
+    # shared-prefix boilerplate (the old 16-char-prefix equi-join grew
+    # candidates 69x at 10x data from cross-shard prefix collisions,
+    # each paying a full-array intersect), and pathological buckets are
+    # capped and audited (q203) rather than silently exploding. The
+    # portable hash family keeps every candidate DuckDB-checkable.
+    windowed = corpus.select("doc_id", F.substring("text", 1, 200).alias("text"))
+    consts = dedup._mh_family_constants(32, 11)
+    # persisted AND eagerly materialized: the pair list feeds BOTH the
+    # member restriction and the verify join, and a lazy persist lets
+    # the two branches of one action race past the empty cache — each
+    # recomputing the expensive md5-per-shingle signature pipeline
+    # (measured 47 s vs 22 s at sf1.0). The count is tiny (pairs only).
+    cand = _persist(
+        dedup.minhash_lsh_candidates(
+            windowed,
+            "doc_id",
+            bands=4,
+            base_hash=dedup.portable_base_hash,
+            family=dedup.portable_family(consts),
+            band_bucket=dedup.portable_band_bucket_mod(),
+            max_bucket_size=_Q188_MAX_BUCKET,
         )
     )
-    n = corpus.select(
-        "doc_id",
-        F.length("text").alias("L"),
-        F.substring(text.normalized_text_expr("text"), 1, 16).alias("pfx"),
-        shingle.alias("sh"),
+    cand.count()
+    # exact containment over FULL shingle sets, candidates only — and
+    # only candidate MEMBERS are ever shingled (left-semi restriction
+    # first, the ngram_jaccard_pairs device): without it the fat
+    # shingle arrays of the whole corpus are materialized and shuffled
+    # into the pair join, which dominated the wall at 10x data. The
+    # lowered text is projected BEFORE the shingle lambda — inlining
+    # lower(text) in the transform re-evaluates it per element
+    # (measured 3x slower; same pitfall minhash_signatures documents)
+    shingle = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(lt) - 8, 1)),"
+            " i -> substring(lt, i, 9))"
+        )
     )
-    a = n.select(
-        F.col("doc_id").alias("id_short"),
-        F.col("L").alias("la"),
-        F.col("pfx").alias("pa"),
-        F.col("sh").alias("ss"),
+    member_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    b = n.select(
-        F.col("doc_id").alias("id_long"),
-        F.col("L").alias("lb"),
-        F.col("pfx").alias("pb"),
-        F.col("sh").alias("sl"),
+    fsh = (
+        corpus.join(member_ids, "doc_id", "left_semi")
+        .select("doc_id", F.length("text").alias("L"), F.lower("text").alias("lt"))
+        .select("doc_id", "L", shingle.alias("sh"))
     )
-    cand = a.join(
-        b,
-        (F.col("pa") == F.col("pb"))
-        & (F.col("id_short") != F.col("id_long"))
-        & (
-            (F.col("la") < F.col("lb"))
-            | ((F.col("la") == F.col("lb")) & (F.col("id_short") < F.col("id_long")))
-        ),
+    joined = cand.join(
+        fsh.select(F.col("doc_id").alias("id_a"), F.col("L").alias("la"), F.col("sh").alias("sa")),
+        "id_a",
+    ).join(
+        fsh.select(F.col("doc_id").alias("id_b"), F.col("L").alias("lb"), F.col("sh").alias("sb")),
+        "id_b",
     )
-    contain = F.size(F.array_intersect("ss", "sl")).cast("double") / F.size("ss").cast("double")
+    short_first = F.col("la") <= F.col("lb")
+    contain = F.size(F.array_intersect("sa", "sb")).cast("double") / F.when(
+        short_first, F.size("sa")
+    ).otherwise(F.size("sb")).cast("double")
     return (
-        cand.where(contain >= 0.8)
-        .select("id_short", "id_long", floor_round6(contain).alias("containment"))
+        joined.select(
+            F.when(short_first, F.col("id_a")).otherwise(F.col("id_b")).alias("id_short"),
+            F.when(short_first, F.col("id_b")).otherwise(F.col("id_a")).alias("id_long"),
+            contain.alias("c"),
+        )
+        .where(F.col("c") >= 0.8)
+        .select("id_short", "id_long", floor_round6(F.col("c")).alias("containment"))
         .orderBy("id_short", "id_long")
     )
+
+
 
 
 # =====================================================================
@@ -10070,3 +10141,63 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q203_oracle() -> str:
+    """DuckDB twin of q188's bucket audit: identical augmented corpus,
+    window, and portable banding; per-size bucket counts + cap flag."""
+    prelude = """corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 30000000, substring(text, 1, 200)
+      FROM documents WHERE doc_id % 43 = 0 AND length(text) >= 220
+    ),
+    win AS (
+      SELECT doc_id, substring(text, 1, 200) AS text FROM corpus
+    ),
+    """
+    return f"""{_portable_minhash_bands_cte(source="win", prelude=prelude, bands=4, bucket_mod=dedup._PORTABLE_BUCKET_MOD)}
+    SELECT size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           size > {_Q188_MAX_BUCKET} AS over_cap
+    FROM (
+      SELECT b, bucket, CAST(COUNT(*) AS BIGINT) AS size
+      FROM bands GROUP BY b, bucket
+    )
+    GROUP BY size ORDER BY size
+    """
+
+
+@register(
+    "q203_containment_bucket_audit",
+    _q203_oracle(),
+    "Audit companion to q188's capped candidate buckets - the "
+    "no-silent-truncation contract: the full bucket-size histogram of "
+    "the SAME banded layout q188 generates candidates from (identical "
+    "augmented corpus, leading window, portable hash family), with an "
+    "over_cap flag on any size past the cap. A healthy corpus reports "
+    "a real distribution every run (the audit itself is value-checked, "
+    "not vacuously empty), and any over_cap row quantifies exactly the "
+    "recall q188's cap skipped - the operational signal to raise the "
+    "cap or widen the banding, same discipline as q35's "
+    "oversized_lsh_buckets and q200's occupancy audit",
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "documents")
+    excerpts = base.where((F.col("doc_id") % 43 == 0) & (F.length("text") >= 220)).select(
+        (F.col("doc_id") + F.lit(30000000)).alias("doc_id"),
+        F.substring(F.col("text"), 1, 200).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(excerpts)
+    windowed = corpus.select("doc_id", F.substring("text", 1, 200).alias("text"))
+    consts = dedup._mh_family_constants(32, 11)
+    return (
+        dedup.lsh_bucket_size_histogram(
+            windowed,
+            "doc_id",
+            bands=4,
+            max_bucket_size=_Q188_MAX_BUCKET,
+            base_hash=dedup.portable_base_hash,
+            family=dedup.portable_family(consts),
+            band_bucket=dedup.portable_band_bucket_mod(),
+        )
+        .orderBy("size")
+    )
