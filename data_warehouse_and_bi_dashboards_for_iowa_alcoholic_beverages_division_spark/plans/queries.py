@@ -8989,14 +8989,71 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic dedup — embedding near-dup pairs → components → keep-one
 # =====================================================================
 
+_Q190_TARGET_OCCUPANCY = 130
+_Q190_MAX_PLANES = 16
+
+
+def _q190_n_planes(n: int) -> int:
+    """Occupancy-derived plane count: the smallest p with
+    2^p >= ceil(n / target_occupancy), floored at 4 and capped at
+    _Q190_MAX_PLANES — in-bucket pair work is (n / 2^p)^2 per bucket,
+    so deriving p from a cheap count keeps expected occupancy (and
+    therefore the candidate-join cost per row) CONSTANT as the corpus
+    grows, instead of relying on an operator memo to bump a knob.
+    Pure integer arithmetic so the SQL ladder in the oracle computes
+    the identical p for the identical count."""
+    d = (max(n, 1) + _Q190_TARGET_OCCUPANCY - 1) // _Q190_TARGET_OCCUPANCY
+    return min(_Q190_MAX_PLANES, max(4, (d - 1).bit_length()))
+
+
+def _bucketed_embeddings_dyn_cte() -> str:
+    """Occupancy-adaptive variant of :func:`_bucketed_embeddings_cte`:
+    a params CTE derives p from COUNT(*) via the same integer ladder as
+    :func:`_q190_n_planes` (d > 2^j comparisons — exact in any engine,
+    no float log2 near power-of-two boundaries), and the bucket uses
+    the first p of _Q190_MAX_PLANES deterministic hyperplanes (one
+    splitmix stream, so plane i is identical whatever p is)."""
+    planes = similarity._hyperplanes(64, _Q190_MAX_PLANES, 7)
+
+    def dot(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        return (
+            "list_sum(list_transform(list_zip(embedding, " + lit + "),"
+            " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+        )
+
+    ladder = " + ".join(
+        f"(CASE WHEN d > {1 << j} THEN 1 ELSE 0 END)" for j in range(_Q190_MAX_PLANES)
+    )
+    bucket = "\n           + ".join(
+        f"(CASE WHEN {i} < p AND {dot(pl)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(planes)
+    )
+    return f"""
+    WITH params AS (
+      SELECT LEAST({_Q190_MAX_PLANES}, GREATEST(4, {ladder})) AS p
+      FROM (SELECT (COUNT(*) + {_Q190_TARGET_OCCUPANCY - 1}) // {_Q190_TARGET_OCCUPANCY} AS d
+            FROM embeddings)
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             {bucket} AS bucket
+      FROM embeddings, params
+    )"""
+
+
 def _q190_oracle() -> str:
-    """DuckDB twin: q40's hyperplane-blocked cosine pairs (same planes,
-    threshold), recursive closure for components, min-id canonical."""
+    """DuckDB twin: occupancy-adaptive hyperplane-blocked cosine pairs
+    (p derived from COUNT(*) by the same integer ladder as the Spark
+    side, same plane stream, same threshold), recursive closure for
+    components, min-id canonical."""
     cosine = (
         "list_sum(list_transform(list_zip(a.embedding, c.embedding),"
         " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (a.nrm * c.nrm)"
     )
-    return f"""WITH RECURSIVE {_bucketed_embeddings_cte().split("WITH", 1)[1]},
+    return f"""WITH RECURSIVE {_bucketed_embeddings_dyn_cte().split("WITH", 1)[1]},
     matched AS (
       SELECT * FROM (
         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -9038,17 +9095,23 @@ def _q190_oracle() -> str:
     "pairs->clusters->keep-list as one composition; the DuckDB twin "
     "recomputes the identical planes/threshold and a recursive "
     "transitive closure, value-checking components end to end. "
-    "n_planes is the occupancy knob and MUST scale as log2(corpus/"
-    "target_bucket_size): in-bucket candidate pairs grow as "
-    "(n/2^planes)^2, so a fixed plane count is quadratic in corpus "
-    "size (measured: p=4 at 10x data ran >20 min; p=7 - same "
-    "~130-vector occupancy as p=4 at 1x - held 8.6x, see BASELINE.md)",
+    "n_planes is DERIVED from a cheap corpus count (smallest p with "
+    "2^p >= n/130, floor 4, cap 16; identical integer ladder in the "
+    "oracle's params CTE), so bucket occupancy - and the (n/2^p)^2 "
+    "in-bucket pair cost per bucket - stays constant by construction "
+    "as the corpus grows. The round-5 scaling study measured the "
+    "footgun this removes: p=4 left alone at 10x data ran >20 min, "
+    "while constant occupancy held ~8.6x (BASELINE.md)",
 )
 def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.35, n_planes=4).select(
+    # p from a cheap count — constant bucket occupancy by construction
+    # (the round-5 scaling study caught p=4 left alone at 10x data
+    # running >20 min; a knob a human must remember is a footgun)
+    p = _q190_n_planes(emb.count())
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.35, n_planes=p).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     comp = connected_components(emb.select(F.col("vec_id").alias("node")), pairs)

@@ -208,3 +208,37 @@ def test_corpus_free_of_bpe_boundary_markers():
             f"oracle reserves — switch the oracle's markers to characters "
             f"absent from the corpus before trusting its value check"
         )
+
+
+def test_q190_plane_count_derivation_matches_oracle_ladder():
+    """The Spark side derives n_planes in Python, the oracle in a SQL
+    integer ladder — both must compute the identical p for any count,
+    and p must actually track occupancy (2^p >= ceil(n/130) above the
+    floor, within the cap)."""
+    import duckdb
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        _Q190_MAX_PLANES,
+        _Q190_TARGET_OCCUPANCY,
+        _q190_n_planes,
+    )
+
+    assert _q190_n_planes(500) == 4
+    assert _q190_n_planes(2000) == 4
+    assert _q190_n_planes(20000) == 8
+    assert _q190_n_planes(10**9) == _Q190_MAX_PLANES
+    assert _q190_n_planes(0) == 4
+
+    ladder = " + ".join(
+        f"(CASE WHEN d > {1 << j} THEN 1 ELSE 0 END)" for j in range(_Q190_MAX_PLANES)
+    )
+    for n in (1, 129, 130, 131, 520, 2000, 16640, 16641, 20000, 10**7):
+        want = _q190_n_planes(n)
+        got = duckdb.sql(
+            f"SELECT LEAST({_Q190_MAX_PLANES}, GREATEST(4, {ladder})) FROM ("
+            f"SELECT ({n} + {_Q190_TARGET_OCCUPANCY - 1}) // {_Q190_TARGET_OCCUPANCY} AS d)"
+        ).fetchone()[0]
+        assert got == want, (n, got, want)
+        d = -(-n // _Q190_TARGET_OCCUPANCY)
+        if 4 <= want < _Q190_MAX_PLANES:
+            assert 2**want >= d and (want == 4 or 2 ** (want - 1) < d)
