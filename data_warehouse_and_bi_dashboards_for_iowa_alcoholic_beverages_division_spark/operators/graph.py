@@ -18,10 +18,12 @@ growing lineage so round N's plan does not replay rounds 1..N-1.
 
 At 100 TB scale the same loop holds: the shuffled payload is two longs
 per edge, and the iteration count is bounded by cluster diameter, not
-corpus size. For adversarially chained graphs (long paths) swap the
-propagation body for alternating large-star/small-star contraction
+corpus size. For adversarially chained graphs (long paths) pass
+``algorithm="star"``: alternating large-star/small-star contraction
 (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-same interface, O(log d) rounds.
+same interface and output, O(log d) rounds instead of O(d). The
+min-label default RAISES if it exits at ``max_iter`` unconverged
+rather than silently returning mislabeled components.
 """
 
 from __future__ import annotations
@@ -30,16 +32,118 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge list as canonical (a < b) pairs, self-loops
+    dropped."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its neighborhood (incl. itself)."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller-or-equal
+    neighborhood (incl. itself) to that neighborhood's minimum. On
+    canonical (a < b) pairs the ≤-neighborhood of b is exactly its a
+    side."""
+    m = e.groupBy("b").agg(F.min("a").alias("m"))
+    center = m.select(F.col("m").alias("a"), F.col("b"))
+    others = (
+        e.join(m, "b")
+        .where(F.col("a") != F.col("m"))
+        .select(F.col("m").alias("a"), F.col("a").alias("b"))
+    )
+    return center.unionByName(others).distinct()
+
+
+def _star_components(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction to star graphs —
+    O(log diameter) rounds, each a constant number of (edge, two longs)
+    shuffles, the Kiveris et al. shape that holds on adversarially
+    chained graphs where min-label propagation needs O(diameter)
+    rounds. Convergence = stable canonical edge set (count + order-
+    insensitive hash checksum, then a final star-shape assertion that
+    every non-center node has exactly one center — so a checksum
+    collision cannot return a mislabeled result silently)."""
+    e = _canonical_edges(edges).localCheckpoint(eager=True)
+
+    def checksum(df: DataFrame):
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        # (a SUM of 64-bit hashes overflows long)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sum = checksum(e)
+    converged = False
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e.unpersist()
+        e = new_e
+        cur = checksum(e)
+        if cur == prev_sum:
+            converged = True
+            break
+        prev_sum = cur
+    if not converged:
+        raise RuntimeError(
+            f"star connected-components did not converge in {max_iter} rounds"
+        )
+    # star graphs: comp(b) = a; centers and isolated vertices are their
+    # own component. Assert star shape — one center per node.
+    multi = e.groupBy("b").agg(F.count_distinct("a").alias("nc")).where("nc > 1")
+    if multi.limit(1).count() > 0:
+        raise RuntimeError(
+            "star contraction checksum converged on a non-star edge set "
+            "(hash collision or bug) — rerun with a larger max_iter"
+        )
+    comp = vertices.join(
+        e.select(F.col("b").alias("node"), F.col("a").alias("comp")), "node", "left"
+    ).select("node", F.coalesce("comp", "node").alias("comp"))
+    e.unpersist()
+    return comp
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_iter: int = 25,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """``vertices``: one column ``node``; ``edges``: columns
     ``src``/``dst`` (undirected, any orientation). Returns
     ``(node, comp)`` where ``comp`` is the minimum node id reachable
     from ``node`` — a deterministic cluster id on any cluster shape.
-    """
+
+    ``algorithm="min_label"`` (default) converges in O(diameter)
+    rounds — right for dedup graphs (dense little cliques); it RAISES
+    if still unconverged at ``max_iter`` instead of returning silently
+    wrong labels. ``algorithm="star"`` is the large-star/small-star
+    contraction — O(log diameter) rounds, the choice for long-path
+    graphs."""
+    if algorithm == "star":
+        return _star_components(vertices, edges, max_iter)
+    if algorithm != "min_label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -47,6 +151,7 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
 
     comp = vertices.select("node", F.col("node").alias("comp")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(comp, sym["dst"] == comp["node"])
@@ -69,7 +174,14 @@ def connected_components(
         )
         comp = new_comp
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"min-label connected-components did not converge in {max_iter} "
+            "rounds — the graph's diameter exceeds max_iter; use "
+            'algorithm="star" (O(log d) rounds) or raise max_iter'
+        )
     return comp
 
 

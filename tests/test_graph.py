@@ -42,3 +42,51 @@ def test_dedup_clusters_keep_list(spark):
     # singletons keep themselves
     assert rows[5]["keep"] and rows[8]["keep"]
     assert sum(r["keep"] for r in rows.values()) == 3
+
+
+def _components_algo(spark, nodes, edges, algorithm, max_iter=25):
+    v = spark.createDataFrame([(n,) for n in nodes], "node long")
+    e = spark.createDataFrame(edges or [(None, None)], "src long, dst long").where(
+        F.col("src").isNotNull()
+    )
+    rows = connected_components(v, e, max_iter=max_iter, algorithm=algorithm).collect()
+    return {r["node"]: r["comp"] for r in rows}
+
+
+def test_star_matches_min_label_on_path_graph(spark):
+    """50-node path: diameter 49 > default max_iter, the adversarial
+    chain min-label cannot finish in 25 rounds. The star contraction
+    converges in O(log d) rounds; min-label must RAISE rather than
+    return silently mislabeled components."""
+    import pytest
+
+    nodes = list(range(1, 51))
+    edges = [(i, i + 1) for i in range(1, 50)]
+    want = {n: 1 for n in nodes}
+    assert _components_algo(spark, nodes, edges, "star") == want
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _components_algo(spark, nodes, edges, "min_label", max_iter=25)
+    assert _components_algo(spark, nodes, edges, "min_label", max_iter=60) == want
+
+
+def test_star_matches_min_label_on_random_graphs(spark):
+    """Property check: both algorithms label random sparse graphs
+    identically (min node id per component)."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(3):
+        n = 40
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(10, 45))
+        ]
+        a = _components_algo(spark, nodes, edges, "star")
+        b = _components_algo(spark, nodes, edges, "min_label", max_iter=60)
+        assert a == b, (trial, a, b)
+
+
+def test_star_handles_cliques_singletons_and_orientation(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (11, 10), (10, 11)]
+    comp = _components_algo(spark, [1, 2, 3, 10, 11, 99], edges, "star")
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
