@@ -177,6 +177,35 @@ def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     return F.array_max(F.array(*entries))["c"]
 
 
+def _lloyd_dim_means(assigned: DataFrame) -> list:
+    """Per-(cell, dim) Lloyd-step mean with ORDER-PINNED summation:
+    contributions fold in vector-id order via
+    ``aggregate(array_sort(collect_list(struct(id, x))))`` — the q149/
+    q163 device — so a regenerated dataset or a different partitioning
+    can never flip an ulp in the sum before the 6dp rounding (a flip
+    here would cascade through assignments into every IVF/PQ oracle at
+    once). Expects columns (id, cell, v); returns collected rows
+    (cell, dims sorted by pos). The mirror SQL form is
+    ``list_sum(list(CAST(x AS DOUBLE) ORDER BY vec_id)) / COUNT(*)``."""
+    return (
+        assigned.select("id", "cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("id", "x"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["x"].cast("double"),
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims"))
+        .collect()
+    )
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -199,16 +228,11 @@ def ivf_train_centroids(
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(iters):
         assigned = corpus.select(
-            F.col(vec_col).alias("v"), _argmax_cell_expr(vec_col, centroids).alias("cell")
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _argmax_cell_expr(vec_col, centroids).alias("cell"),
         )
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("dims"))
-            .collect()
-        )
+        means = _lloyd_dim_means(assigned)
         # the canonical floor_round6 formula, NOT Python round(): round()
         # ties half-even while DuckDB round() ties half-away — a documented
         # divergent pair (functions/rounding.py); the floor form evaluates
@@ -549,19 +573,14 @@ def pq_train(
         cents = [[float(x) for x in r[0]] for r in seeds]
         for _ in range(iters):
             assigned = subdf.select(
-                F.col("sv").alias("v"), _argmin_cell_expr(F.col("sv"), cents).alias("cell")
+                F.col("id"),
+                F.col("sv").alias("v"),
+                _argmin_cell_expr(F.col("sv"), cents).alias("cell"),
             )
-            means = (
-                assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cell", "pos")
-                .agg(F.avg("x").alias("mn"))
-                .groupBy("cell")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("dims"))
-                .collect()
-            )
+            means = _lloyd_dim_means(assigned)
             new = {
                 r["cell"]: [
-                    math.floor(float(d["mn"]) * 1000000 + 0.5) / 1000000.0 for d in r["dims"]
+                    math.floor(float(d["m"]) * 1000000 + 0.5) / 1000000.0 for d in r["dims"]
                 ]
                 for r in means
             }

@@ -5553,13 +5553,13 @@ def _q67_oracle(train_pred: str = "TRUE", final_select: str | None = None) -> st
 
     def lloyd(a: str, prev: str, new: str) -> str:
         return f"""{new}_m AS (
-      SELECT {a}.cell, generate_subscripts(vt.embedding, 1) AS pos,
+      SELECT {a}.cell, vec_id, generate_subscripts(vt.embedding, 1) AS pos,
              unnest(vt.embedding) AS x
       FROM {a} JOIN vt USING (vec_id)
     ),
     {new}_c AS (
       SELECT cell, list(m ORDER BY pos) AS cvec FROM (
-        SELECT cell, pos, {floor_round6_sql("avg(CAST(x AS DOUBLE))")} AS m
+        SELECT cell, pos, {floor_round6_sql("list_sum(list(CAST(x AS DOUBLE) ORDER BY vec_id)) / COUNT(*)")} AS m
         FROM {new}_m GROUP BY cell, pos
       ) GROUP BY cell
     ),
@@ -7666,12 +7666,12 @@ def _q177_oracle() -> str:
 
     def lloyd(s: int, a: str, prev: str, new: str) -> str:
         return f"""{new}_m AS (
-      SELECT {a}.cell, generate_subscripts(v.sv, 1) AS pos, unnest(v.sv) AS x
+      SELECT {a}.cell, vec_id, generate_subscripts(v.sv, 1) AS pos, unnest(v.sv) AS x
       FROM {a} JOIN v{s} v USING (vec_id)
     ),
     {new}_c AS (
       SELECT cell, list(mn ORDER BY pos) AS cvec FROM (
-        SELECT cell, pos, {floor_round6_sql("avg(CAST(x AS DOUBLE))")} AS mn
+        SELECT cell, pos, {floor_round6_sql("list_sum(list(CAST(x AS DOUBLE) ORDER BY vec_id)) / COUNT(*)")} AS mn
         FROM {new}_m GROUP BY cell, pos
       ) GROUP BY cell
     ),
@@ -7762,13 +7762,13 @@ def _q178_oracle() -> str:
 
     def cos_lloyd(a: str, prev: str, new: str) -> str:
         return f"""{new}_m AS (
-      SELECT {a}.cell, generate_subscripts(v.embedding, 1) AS pos,
+      SELECT {a}.cell, vec_id, generate_subscripts(v.embedding, 1) AS pos,
              unnest(v.embedding) AS x
       FROM {a} JOIN v USING (vec_id)
     ),
     {new}_c AS (
       SELECT cell, list(mn ORDER BY pos) AS cvec FROM (
-        SELECT cell, pos, {floor_round6_sql("avg(CAST(x AS DOUBLE))")} AS mn
+        SELECT cell, pos, {floor_round6_sql("list_sum(list(CAST(x AS DOUBLE) ORDER BY vec_id)) / COUNT(*)")} AS mn
         FROM {new}_m GROUP BY cell, pos
       ) GROUP BY cell
     ),
@@ -7802,12 +7802,12 @@ def _q178_oracle() -> str:
 
     def pq_lloyd(s: int, a: str, prev: str, new: str) -> str:
         return f"""{new}_m AS (
-      SELECT {a}.cell, generate_subscripts(v.sv, 1) AS pos, unnest(v.sv) AS x
+      SELECT {a}.cell, vec_id, generate_subscripts(v.sv, 1) AS pos, unnest(v.sv) AS x
       FROM {a} JOIN v{s} v USING (vec_id)
     ),
     {new}_c AS (
       SELECT cell, list(mn ORDER BY pos) AS cvec FROM (
-        SELECT cell, pos, {floor_round6_sql("avg(CAST(x AS DOUBLE))")} AS mn
+        SELECT cell, pos, {floor_round6_sql("list_sum(list(CAST(x AS DOUBLE) ORDER BY vec_id)) / COUNT(*)")} AS mn
         FROM {new}_m GROUP BY cell, pos
       ) GROUP BY cell
     ),

@@ -1,14 +1,15 @@
 """Partition-order tripwire for the IVF Lloyd step.
 
-``ivf_train_centroids`` computes per-dimension means with ``F.avg`` —
-an IEEE-double sum whose accumulation order follows the partitioning.
-The 6dp floor-round makes a flip possible only when a mean lands
-within an ulp of a 0.5e-6 boundary, but on regenerated data that is a
-coin-flip class (the same one the decimal canonicalization work
-eliminated elsewhere), and a flipped centroid component cascades into
-a different q67/q156/q178 assignment. This tripwire re-trains under
-adversarial partitionings and demands bit-identical rounded
-centroids: if a testdata regen ever lands on a boundary, this fails
+``ivf_train_centroids``/``pq_train`` compute per-dimension means with
+an ORDER-PINNED fold (``_lloyd_dim_means``: sorted-by-id
+aggregate(...) / count, mirrored as
+``list_sum(list(x ORDER BY vec_id)) / COUNT(*)`` in the q67/q156/q177/
+q178/q199/q200 oracles), so the summation order can never follow the
+partitioning. This tripwire re-trains under adversarial partitionings
+and demands bit-identical rounded centroids: it guards the pinned-fold
+invariant itself — if anyone reintroduces an unordered aggregate (the
+old F.avg shape, where a mean within an ulp of a 0.5e-6 boundary was a
+regen coin-flip cascading into every IVF oracle at once), this fails
 loudly instead of the oracle gate failing mysteriously.
 
 Same policy as tests/test_ts_normalization.py: convert silent
