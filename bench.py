@@ -44,6 +44,19 @@ HEADLINE = [
     "q158_skew_join_aqe",
 ]
 
+# The expensive tail, benched separately so a regression in the
+# heaviest queries is visible in BENCH_r*.json (the headline list
+# tracks only fast queries; a 2x regression here used to be invisible).
+# Reported as "heavy_queries"/"heavy_total" alongside the headline
+# metric — the headline total stays comparable across rounds.
+HEAVY = [
+    "q187_cluster_canonical",
+    "q188_shingle_containment",
+    "q190_semantic_dedup",
+    "q199_ivf_incremental",
+    "q202_source_overlap",
+]
+
 
 def main() -> None:
     from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark import get_spark
@@ -60,23 +73,29 @@ def main() -> None:
     for warm in ("q01_pricing_summary", "q23_star_weekday"):
         reg[warm].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        reg[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        release_persisted()  # free tracked caches between queries
+    def run_list(names: list[str]) -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in names:
+            t0 = time.time()
+            reg[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            t[name] = round(time.time() - t0, 3)
+            release_persisted()  # free tracked caches between queries
+        return t
+
+    timings = run_list(HEADLINE)
+    heavy = run_list(HEAVY)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "heavy_total": round(sum(heavy.values()), 3),
+                "heavy_queries": heavy,
                 "sf": sf,
             }
         )
