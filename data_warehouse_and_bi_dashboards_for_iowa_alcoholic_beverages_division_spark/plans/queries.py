@@ -153,10 +153,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _PERSISTED: list[DataFrame] = []
 
 
-def _persist(df: DataFrame) -> DataFrame:
+def _persist(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Track a cache for release_persisted(). eager=True additionally
+    materializes the cache NOW (a bounded count action): queries whose
+    persisted intermediate feeds two branches of ONE downstream action
+    need this — a lazy persist lets the branches race past the empty
+    cache and recompute the expensive lineage twice (q188 measured
+    47 s vs 22 s at sf1.0). Eager persists make the registry builder
+    non-lazy for that query (plan-only callers pay the
+    materialization); that is the documented trade for the race.
+    Query functions must not call bare .count() themselves — the
+    action lives here so test_persist_hygiene can pin the rule."""
     df = df.persist()
     _PERSISTED.append(df)
+    if eager:
+        df.count()
     return df
+
+
+def _scalar_count(df: DataFrame) -> int:
+    """The one sanctioned plan-parameterizing action: a cheap count
+    (scan + partial count, no wide child) whose value shapes the plan
+    itself (q190 derives its hyperplane count from corpus size).
+    Keeping it behind a named helper lets the hygiene test assert no
+    other driver actions hide inside registered query functions."""
+    return df.count()
 
 
 def release_persisted() -> int:
@@ -8860,9 +8881,9 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
             family=dedup.portable_family(consts),
             band_bucket=dedup.portable_band_bucket_mod(),
             max_bucket_size=_Q188_MAX_BUCKET,
-        )
+        ),
+        eager=True,
     )
-    cand.count()
     # exact containment over FULL shingle sets, candidates only — and
     # only candidate MEMBERS are ever shingled (left-semi restriction
     # first, the ngram_jaccard_pairs device): without it the fat
@@ -9110,7 +9131,7 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
     # p from a cheap count — constant bucket occupancy by construction
     # (the round-5 scaling study caught p=4 left alone at 10x data
     # running >20 min; a knob a human must remember is a footgun)
-    p = _q190_n_planes(emb.count())
+    p = _q190_n_planes(_scalar_count(emb))
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.35, n_planes=p).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

@@ -793,19 +793,43 @@ def test_quantile_norm_broadcast_reference(q):
     assert "CartesianProduct" not in plan
 
 
-def test_containment_shingles_computed_below_join(q):
-    # the per-doc shingle arrays must be materialized by the exchange
-    # BELOW the self-join (computed once per doc); the per-pair
-    # formulation rebuilt both arrays per candidate and was measured
-    # 41x at 10x data (BASELINE.md) before this shape was pinned
+def test_containment_shingles_member_restricted(q):
+    # invariant (round-6 banded-candidate shape): shingle arrays are
+    # computed ONLY for candidate members — every Project that builds
+    # a shingle array sits directly above the left-semi member
+    # restriction, never in a per-pair projection above the verify
+    # join. The per-pair formulation rebuilt both arrays per candidate
+    # and measured 41x at 10x data (BASELINE.md) before this was
+    # pinned; the round-5 positional pin ("shingles before the first
+    # join") broke when candidate generation legitimately moved to
+    # MinHash bands, so the pin is now structural.
     plan = plan_text(q("q188_shingle_containment"))
-    m = re.search(r"\(\d+\) (BroadcastHashJoin|SortMergeJoin)", plan)
-    assert m, "containment candidates must come from a hash/merge join"
-    assert "transform(sequence" in plan[: m.start()], (
-        "shingle arrays must be computed below the join (once per doc)"
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    shingle_nodes = [
+        re.match(r"\((\d+)\) Project", b).group(1)
+        for b in blocks
+        if "transform(sequence" in b and re.match(r"\(\d+\) Project", b)
+    ]
+    n_shingle_exprs = sum(b.count("transform(sequence") for b in blocks)
+    assert shingle_nodes, "shingle arrays must come from Project nodes"
+    assert n_shingle_exprs == len(shingle_nodes), (
+        "every shingle expression must live in a member-restricted "
+        "Project (no per-pair rebuild elsewhere in the plan)"
     )
-    assert "transform(sequence" not in plan[m.start() :], (
-        "no shingle computation above the join (per-pair rebuild)"
+    tree = plan.split("\n\n")[0]
+    tree_lines = tree.splitlines()
+    for node in shingle_nodes:
+        idx = next(
+            i for i, ln in enumerate(tree_lines) if ln.endswith(f"Project ({node})")
+        )
+        window = "\n".join(tree_lines[idx : idx + 3])
+        assert "LeftSemi" in window, (
+            f"shingle Project ({node}) must feed directly off the "
+            "left-semi member restriction (shingle candidate members "
+            "only, once per member)"
+        )
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin) Inner", tree), (
+        "containment verify must be a hash/merge join over candidates"
     )
 
 
