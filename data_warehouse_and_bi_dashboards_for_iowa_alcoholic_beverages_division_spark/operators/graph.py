@@ -97,6 +97,15 @@ def _star_components(vertices: DataFrame, edges: DataFrame, max_iter: int) -> Da
     converged = False
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # NB: unpersist() does NOT free localCheckpoint blocks (they
+        # live in the checkpoint RDD, not the Dataset cache); it only
+        # clears any cache-manager entry. The checkpoint blocks are
+        # reclaimed by Spark's ContextCleaner once the round's
+        # DataFrame (and its JVM RDD) is dereferenced — here each
+        # round drops the previous reference, so at most two rounds'
+        # edge lists (two longs per edge) are live at once, bounded
+        # GC-based reclamation we accept and document rather than
+        # reach into the RDD internals per round.
         e.unpersist()
         e = new_e
         cur = checksum(e)
@@ -189,15 +198,31 @@ def dedup_clusters(
     docs: DataFrame,
     match_pairs: DataFrame,
     id_col: str = "doc_id",
+    algorithm: str = "auto",
+    max_iter: int = 25,
 ) -> DataFrame:
     """Near-dup keep-list: every document labelled with its cluster id
     (min doc id in its connected component; singletons are their own
     cluster) and ``keep`` = is-the-canonical-member. Downstream corpus
-    filtering is then ``WHERE keep``."""
-    comp = connected_components(
-        docs.select(F.col(id_col).alias("node")),
-        match_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-    )
+    filtering is then ``WHERE keep``.
+
+    ``algorithm``: ``"min_label"`` / ``"star"`` pass through to
+    :func:`connected_components`; ``"auto"`` (default) runs min-label
+    — O(diameter) rounds, right for the dense little cliques real
+    near-dup graphs are — and on its non-convergence raise falls back
+    to the large-star/small-star contraction (O(log d) rounds), which
+    handles the adversarial long-chain case without anyone having to
+    remember a knob. Both algorithms label a component with its
+    minimum node id, so the fallback is output-identical."""
+    vertices = docs.select(F.col(id_col).alias("node"))
+    edges = match_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    if algorithm == "auto":
+        try:
+            comp = connected_components(vertices, edges, max_iter, "min_label")
+        except RuntimeError:
+            comp = connected_components(vertices, edges, max_iter, "star")
+    else:
+        comp = connected_components(vertices, edges, max_iter, algorithm)
     return comp.select(
         F.col("node").alias(id_col),
         F.col("comp").alias("cluster_id"),
@@ -278,8 +303,10 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
         # the new round is eagerly materialized from its own blocks, so
-        # the previous round's checkpoint is dead weight — release it
-        # (long sweep sessions would otherwise hold n_iter copies)
+        # the previous round's checkpoint is dead weight — drop the
+        # reference so the ContextCleaner reclaims its blocks (see the
+        # _star_components note: unpersist() itself cannot free
+        # localCheckpoint storage; dereferencing is what releases it)
         if prev is not None:
             prev.unpersist()
         prev = r

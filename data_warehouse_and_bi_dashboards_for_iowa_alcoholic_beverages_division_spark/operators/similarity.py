@@ -323,26 +323,49 @@ def append_to_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     skip_existing_ids: bool = True,
+    batch_token: str | None = None,
 ) -> None:
     """Incremental index maintenance: assign a batch of NEW vectors to
     the EXISTING coarse quantizer (sidecar centroids, never retrained)
     and append their inverted-list rows. Existing cells' files are
     untouched — ``partitionBy("cell")`` + append mode writes only the
-    new rows into their cells' directories, so the marginal cost is
-    O(|batch|) regardless of index size. This is how a 100 TB IVF
+    new rows into their cells' directories. This is how a 100 TB IVF
     index absorbs daily arrivals; periodic retraining (when the data
     distribution drifts enough that cell occupancy skews — see the
     audit in q125's family) is a separate, rarer full rebuild.
 
-    Idempotency: retried jobs re-submit the same batch, and a blind
-    append would silently double every inverted-list row (duplicate
-    neighbors, skewed occupancy audits). ``skip_existing_ids`` (default)
-    anti-joins the batch against the index's id column before writing —
-    a column-pruned scan of ONLY ids, no vectors, so the guard costs a
-    fraction of the batch assignment itself. Pass ``False`` only when
-    the caller already guarantees disjoint ids (e.g. writes routed
-    through deterministic per-batch staging directories)."""
+    Idempotency — two guards with different cost contracts:
+
+    - ``batch_token`` (the 100 TB path): the caller names the batch
+      (ingest date, staging dir, upstream job id). Appends record the
+      token in a tiny ``_batches`` sidecar; a retry that presents an
+      already-recorded token is a NO-OP after one scan of the sidecar
+      — O(|batch| + #batches), independent of index size. This is the
+      guard that keeps the "marginal cost O(|batch|)" promise.
+    - ``skip_existing_ids`` (default, token-free): anti-joins the
+      batch against the index's id column. The scan is column-pruned
+      (ids only, no vectors), but it IS a pass over every index id —
+      O(index ids) per append, NOT O(|batch|). Fine while the index
+      is small or appends are rare; at 100 TB pass ``batch_token``
+      (or route writes through deterministic per-batch staging dirs
+      and set ``skip_existing_ids=False``).
+
+    Both guards protect against the same failure: a blind re-append
+    silently doubles inverted-list rows (duplicate neighbors, skewed
+    occupancy audits)."""
     spark = new_vectors.sparkSession
+    if batch_token is not None:
+        try:
+            seen = (
+                spark.read.parquet(path + "_batches")
+                .where(F.col("token") == F.lit(batch_token))
+                .limit(1)
+                .count()
+            )
+        except Exception:  # first tokened append: no sidecar yet
+            seen = 0
+        if seen:
+            return
     cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
     batch = new_vectors
@@ -352,6 +375,10 @@ def append_to_ivf_index(
     batch.select(
         F.col(id_col), F.col(vec_col), _argmax_cell_expr(vec_col, centroids).alias("cell")
     ).write.mode("append").partitionBy("cell").parquet(path)
+    if batch_token is not None:
+        spark.createDataFrame([(batch_token,)], "token STRING").write.mode("append").parquet(
+            path + "_batches"
+        )
 
 
 def query_ivf_index(

@@ -90,3 +90,30 @@ def test_star_handles_cliques_singletons_and_orientation(spark):
     edges = [(1, 2), (2, 3), (1, 3), (11, 10), (10, 11)]
     comp = _components_algo(spark, [1, 2, 3, 10, 11, 99], edges, "star")
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_auto_falls_back_to_star_on_long_chain(spark):
+    """The auto path: a 60-node chained near-dup graph (diameter past
+    min-label's max_iter) must NOT raise from dedup_clusters — the
+    fallback runs the star contraction and returns the identical
+    min-id labeling. The explicit algorithms stay available and a
+    bogus name still fails loudly."""
+    import pytest
+
+    n = 60
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, n + 1)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs, max_iter=10).collect()}
+    assert all(rows[i]["cluster_id"] == 1 for i in range(1, n + 1))
+    assert rows[1]["keep"] and sum(r["keep"] for r in rows.values()) == 1
+
+    # explicit min_label on the same graph raises (no silent fallback)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs, algorithm="min_label", max_iter=10).collect()
+    # explicit star works
+    star = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs, algorithm="star", max_iter=10).collect()}
+    assert star == {i: 1 for i in range(1, n + 1)}
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        dedup_clusters(docs, pairs, algorithm="bogus").collect()

@@ -61,3 +61,38 @@ def test_ivf_append_retry_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert after == before
+
+
+def test_ivf_append_batch_token_skips_retry_in_constant_work(spark, tmp_path):
+    """The 100 TB idempotency path: a retry presenting an
+    already-recorded batch token is a no-op after one scan of the tiny
+    _batches sidecar — it must not rewrite rows even with the
+    id-anti-join guard disabled (proving the token alone suffices)."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    train = emb.where("vec_id % 10 != 0")
+    batch = emb.where("vec_id % 10 = 0")
+    path = str(tmp_path / "ivf_tok")
+    similarity.build_ivf_index(train, path, n_cells=4, iters=1)
+
+    similarity.append_to_ivf_index(
+        batch, path, skip_existing_ids=False, batch_token="drop-2026-08-14"
+    )
+    once = spark.read.parquet(path).count()
+    # the retry: same token, guard disabled — token must block it
+    similarity.append_to_ivf_index(
+        batch, path, skip_existing_ids=False, batch_token="drop-2026-08-14"
+    )
+    assert spark.read.parquet(path).count() == once
+
+    # a DIFFERENT token with disjoint ids appends normally
+    batch2 = emb.where("vec_id % 10 = 1")
+    similarity.append_to_ivf_index(
+        batch2, path, skip_existing_ids=False, batch_token="drop-2026-08-15"
+    )
+    assert spark.read.parquet(path).count() == once + batch2.count()
+    tokens = {r["token"] for r in spark.read.parquet(path + "_batches").collect()}
+    assert tokens == {"drop-2026-08-14", "drop-2026-08-15"}

@@ -871,3 +871,26 @@ def test_cluster_canonical_partitioned_window(q):
     assert "windowspecdefinition(cluster_id" in plan, (
         "rank window must be partitioned by cluster, not global"
     )
+
+
+def test_decile_thresholds_no_window(q):
+    # q204 is the 100 TB twin of the q94/q184 global-ntile family:
+    # the entire point is that exact percentile banding runs with NO
+    # window function — a refactor that sneaks a Window (or a
+    # cartesian) back in silently reintroduces the single-partition
+    # funnel the query exists to eliminate
+    plan = plan_text(q("q204_decile_thresholds"))
+    assert "Window" not in plan, "q204 must stay window-free (that's its contract)"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, (
+        "q204's self-joins are domain-bounded and must broadcast"
+    )
+
+
+def test_rfm_distributed_no_window(q):
+    # q206: the COMPLETE RFM grid on the quantiles operator — three
+    # banded measures and still zero window functions / cartesians in
+    # the plan (q204's contract, composed)
+    plan = plan_text(q("q206_rfm_distributed"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

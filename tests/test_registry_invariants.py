@@ -188,6 +188,33 @@ def test_driver_checked_prefix_is_fully_oracled():
     )
 
 
+def test_driver_window_rotation_applied():
+    # round-7 rotation: the first-50 window must differ from the raw
+    # registration (file) order by exactly the declared swaps, so
+    # driver-hash coverage accumulates across rounds instead of
+    # re-verifying the same 50 queries forever. Each swapped-out
+    # query's SURVEY §2 row stays covered by another window slot
+    # (documented at _WINDOW_SWAPS); each swapped-in query must be
+    # oracled (enforced by the prefix test above).
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        _REGISTRY,
+        _WINDOW_SWAPS,
+    )
+
+    assert len(_WINDOW_SWAPS) >= 5
+    raw = list(_REGISTRY)
+    rotated = list(registry())
+    assert sorted(raw) == sorted(rotated), "rotation must permute, not add/drop"
+    raw_window, new_window = set(raw[:50]), set(rotated[:50])
+    swapped_in = new_window - raw_window
+    swapped_out = raw_window - new_window
+    assert swapped_in == {inn for _, inn in _WINDOW_SWAPS}
+    assert swapped_out == {out for out, _ in _WINDOW_SWAPS}
+    # every swapped-out query is still registered and locally gated
+    for out, _ in _WINDOW_SWAPS:
+        assert out in rotated and registry()[out].oracle is not None
+
+
 def test_corpus_free_of_bpe_boundary_markers():
     # q126's oracle carries token arrays as boundary-marked strings
     # ("⟨t1⟩⟨t2⟩…"); a corpus word containing U+27E8/U+27E9 would forge

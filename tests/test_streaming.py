@@ -656,3 +656,150 @@ def test_stateful_attribution_survives_arrow_chunk_splits(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_limit)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_chained_incremental_pipeline_with_restart(spark, tmp_path):
+    """The reference's core lifecycle (SURVEY §3 entry point 2) as ONE
+    composed assertion: watermark-gated staging append
+    (load_or_update) → SCD2 stream merge over the staging dir
+    (scd_stream_upsert, checkpoint-gated) → point-in-time fact
+    enrichment → dashboard aggregate, across TWO batches with a
+    session restart between them (spark.newSession(): temp views,
+    session conf and cached plans are gone — every bit of pipeline
+    state must live in the lakehouse + streaming checkpoint, none in
+    the driver). Batch-2 state must equal a from-scratch rebuild over
+    the concatenated input."""
+    import decimal
+
+    from pyspark.sql.types import (
+        DateType,
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.scd import (
+        create_scd_from_input,
+        scd_point_in_time_join,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.scd_stream import (
+        scd_stream_upsert,
+    )
+
+    d = datetime.date
+    dec = decimal.Decimal
+
+    dim_schema = StructType(
+        [
+            StructField("store", LongType()),
+            StructField("city", StringType()),
+            StructField("obs_date", DateType()),
+        ]
+    )
+    sales_schema = StructType(
+        [
+            StructField("sale_id", LongType()),
+            StructField("store", LongType()),
+            StructField("sale_date", DateType()),
+            StructField("amount", DecimalType(12, 2)),
+        ]
+    )
+
+    dim_drop1 = [(1, "ames", d(2024, 1, 1)), (2, "adel", d(2024, 1, 1))]
+    dim_drop2 = [(1, "boone", d(2024, 2, 1)), (3, "clive", d(2024, 2, 1))]
+    sales1 = [
+        (10, 1, d(2024, 1, 5), dec("10.00")),
+        (11, 2, d(2024, 1, 6), dec("20.00")),
+        (12, 1, d(2024, 1, 20), dec("5.50")),
+    ]
+    # overlaps batch 1's dates (sale 13 is NOT newer than the
+    # watermark and must be dropped by the gate) + genuinely new rows,
+    # one of which (15) falls in store 1's post-change "boone" era
+    sales2 = [
+        (13, 1, d(2024, 1, 20), dec("99.99")),
+        (14, 2, d(2024, 1, 25), dec("7.25")),
+        (15, 1, d(2024, 2, 10), dec("40.00")),
+        (16, 3, d(2024, 2, 11), dec("3.00")),
+    ]
+
+    staging_dim = str(tmp_path / "staging_dim")
+    dim_path = str(tmp_path / "dim_store")
+    ckpt = str(tmp_path / "ckpt_dim")
+    fact_path = str(tmp_path / "fact_sales")
+
+    def run_batch(sess, dim_rows, sales_rows):
+        if dim_rows:
+            sess.createDataFrame(dim_rows, dim_schema).write.mode("append").parquet(staging_dim)
+        scd_stream_upsert(
+            sess, staging_dim, dim_path, ckpt, "store", "obs_date", ["city"], schema=dim_schema
+        )
+        mode, n = load_or_update(
+            sess, sess.createDataFrame(sales_rows, sales_schema), fact_path, "sale_date"
+        )
+        return mode, n
+
+    def dashboard(sess):
+        fact = sess.read.parquet(fact_path)
+        dim = sess.read.parquet(dim_path)
+        enriched = scd_point_in_time_join(fact, dim, "store", "sale_date")
+        rows = (
+            enriched.groupBy("city")
+            .agg(F.sum("amount").alias("rev"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {(r["city"]): (str(r["rev"]), r["n"]) for r in rows}
+
+    # ---- batch 1 (fresh targets: create path) ----
+    mode, n = run_batch(spark, dim_drop1, sales1)
+    assert (mode, n) == ("create", 3)
+    assert dashboard(spark) == {"ames": ("15.50", 2), "adel": ("20.00", 1)}
+
+    # ---- restart: new session; all state must come from disk ----
+    sess2 = spark.newSession()
+
+    # replaying batch 1's source through the restarted session is a
+    # no-op on both legs (watermark gate + streaming checkpoint)
+    mode, n = run_batch(sess2, None, sales1)
+    assert (mode, n) == ("update", 0)
+    assert sess2.read.parquet(dim_path).count() == 2
+
+    # ---- batch 2 ----
+    mode, n = run_batch(sess2, dim_drop2, sales1 + sales2)
+    assert mode == "update"
+    assert n == 3  # sale 13 is behind the watermark and must not append
+
+    got = dashboard(sess2)
+
+    # ---- full rebuild over the concatenated input (ground truth) ----
+    full_dim = create_scd_from_input(
+        spark.createDataFrame(dim_drop1 + dim_drop2, dim_schema), ["city"], "obs_date", "store"
+    )
+    kept_sales = [s for s in sales1 + sales2 if s[0] != 13]
+    full_fact = spark.createDataFrame(kept_sales, sales_schema)
+    want_rows = (
+        scd_point_in_time_join(full_fact, full_dim, "store", "sale_date")
+        .groupBy("city")
+        .agg(F.sum("amount").alias("rev"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r["city"]): (str(r["rev"]), r["n"]) for r in want_rows}
+    assert got == want
+    assert got == {
+        "ames": ("15.50", 2),
+        "adel": ("27.25", 2),
+        "boone": ("40.00", 1),
+        "clive": ("3.00", 1),
+    }
+
+    # the incremental SCD merge converged to the rebuild's row set
+    got_dim = {
+        (r["store"], r["city"], str(r["start_date"]), str(r["end_date"]), r["is_current"])
+        for r in sess2.read.parquet(dim_path).collect()
+    }
+    want_dim = {
+        (r["store"], r["city"], str(r["start_date"]), str(r["end_date"]), r["is_current"])
+        for r in full_dim.collect()
+    }
+    assert got_dim == want_dim
