@@ -22,9 +22,21 @@ target rank) with a fixed, window-free DataFrame plan:
 5. the last level runs at value grain and yields the exact threshold.
 
 Every intermediate is bounded by ``n_targets x (domain/width)`` per
-level — data-size invariant. The whole thing is one static plan: no
-driver iteration, no collect, no window. Banding rows against the
-resulting (tiny) threshold set is one broadcast join + array fold.
+level — data-size invariant. No window anywhere. Each level's tiny
+``hist``/``located`` set feeds 2-3 downstream consumers (the next
+level's semi-join restriction AND its cumulative join), so WITHOUT
+materialization the level lineage compounds once per consumer,
+multiplicatively across levels (~3^levels): q206's raw plan carried
+246 parquet scans, and a cache-only fix (persist) caps re-EXECUTION
+but leaves the analyzed logical plan compounding (~600k nodes;
+Catalyst re-analysis dominated the wall clock). The ``persist`` hook
+therefore takes a materialize-AND-TRUNCATE callback — the registry's
+``_materialize_tiny`` (eager ``localCheckpoint``) — making execution
+and plan size both O(levels), at the cost of O(levels) bounded jobs
+at construction (the q188 eager-persist trade). With ``persist=None``
+the operator stays a pure lazy plan (right for one-shot threshold
+sets over small inputs). Banding rows against the resulting (tiny)
+threshold set is one broadcast join + array fold.
 
 Tie semantics: thresholds are actual data values; banding sends rows
 EQUAL to a threshold into the lower band. This differs from ``ntile``
@@ -38,6 +50,8 @@ round-6 review required for the global-ntile family.
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -71,6 +85,7 @@ def exact_rank_thresholds(
     value_col: str,
     targets: DataFrame,
     widths: list[int],
+    persist: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """For each (d, target_rank) row in ``targets``, the exact
     threshold = MIN v with cnt_le(v) >= target_rank, computed by
@@ -82,18 +97,32 @@ def exact_rank_thresholds(
     to cents first — exactness is the point). Each level's histogram
     is bounded by (#located buckets of the previous level) x
     (width ratio), independent of row count; all joins broadcast.
+
+    ``persist``: materialize-and-truncate hook for each level's (tiny)
+    ``hist`` and ``located`` sets — both feed multiple downstream
+    consumers, so without it each level compounds once per consumer,
+    multiplicatively across levels, in both execution and plan size
+    (module docstring). Registered queries pass the registry's
+    ``_materialize_tiny`` (eager localCheckpoint).
     """
     if widths[-1] != 1:
         raise ValueError("widths must end at 1 (value grain)")
     if any(widths[i] % widths[i + 1] for i in range(len(widths) - 1)):
         raise ValueError("each width must divide the previous one (nested buckets)")
+    keep = persist if persist is not None else (lambda df: df)
 
     v = values.select(F.col(value_col).cast("bigint").alias("v"))
     # located: per target, the bucket PATH narrowed so far plus the
     # cumulative count strictly below that bucket. Level 0 starts with
     # one implicit all-enclosing bucket and cum_below = 0.
-    located = targets.select(
-        "d", "target_rank", F.lit(None).cast("bigint").alias("pbkt"), F.lit(0).alias("cum_below")
+    # (targets' lineage holds the N-count scan — materialize it too.)
+    located = keep(
+        targets.select(
+            "d",
+            "target_rank",
+            F.lit(None).cast("bigint").alias("pbkt"),
+            F.lit(0).alias("cum_below"),
+        )
     )
     prev_width: int | None = None
     for width in widths:
@@ -109,7 +138,7 @@ def exact_rank_thresholds(
                 v.select(bkt.alias("bkt"), _floor_div(F.col("v"), prev_width).alias("pbkt"))
                 .join(F.broadcast(parents), "pbkt", "left_semi")
             )
-        hist = hist.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+        hist = keep(hist.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt")))
         below = hist.select(F.col("bkt").alias("b_bkt"), F.col("cnt").alias("b_cnt"))
         same_parent = (
             F.lit(True)
@@ -133,7 +162,7 @@ def exact_rank_thresholds(
             .groupBy("d", "target_rank", "pbkt", "cum_below", "bkt", "cnt")
             .agg(F.coalesce(F.sum("b_cnt"), F.lit(0)).alias("cum_in"))
         )
-        located = (
+        located = keep(
             cum.where(
                 (F.col("cum_below") + F.col("cum_in") < F.col("target_rank"))
                 & (F.col("target_rank") <= F.col("cum_below") + F.col("cum_in") + F.col("cnt"))
@@ -178,11 +207,13 @@ def exact_band(
     n_bands: int,
     widths: list[int],
     band_col: str = "band",
+    persist: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """One-call banding: rank targets -> exact thresholds -> band
     column. ``widths`` per the value's domain, e.g. ``[1000, 1]`` for
     balances in cents (~1.1M-value domain), ``[10**6, 10**4, 100, 1]``
-    for per-customer money sums (near-continuous cents)."""
+    for per-customer money sums (near-continuous cents). ``persist``
+    threads to :func:`exact_rank_thresholds`."""
     targets = rank_targets(df, n_bands)
-    th = exact_rank_thresholds(df, value_col, targets, widths)
+    th = exact_rank_thresholds(df, value_col, targets, widths, persist=persist)
     return band_by_thresholds(df, value_col, th, band_col)

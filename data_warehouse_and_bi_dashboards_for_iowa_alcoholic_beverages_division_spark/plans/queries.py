@@ -201,6 +201,22 @@ def _persist(df: DataFrame, eager: bool = False) -> DataFrame:
     return df
 
 
+def _materialize_tiny(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a DOMAIN-BOUNDED intermediate and truncate
+    its lineage (localCheckpoint). The quantile refinement levels
+    (q204/q206) need this rather than a cache: each level's tiny
+    hist/located set feeds 2-3 downstream consumers and nests
+    level-over-level, so a persist caps re-EXECUTION but keeps the
+    full logical lineage — the analyzed plan still compounds
+    ~3^levels (q206's cache-only final plan reached ~600k nodes and
+    Catalyst re-analysis dominated the wall clock). A checkpoint leaf
+    keeps execution AND the plan O(levels). Storage is freed by the
+    ContextCleaner when the round's DataFrame is dereferenced
+    (operators/graph.py note); only for provably tiny sets
+    (<= n_targets x bucket-ratio rows)."""
+    return df.localCheckpoint(eager=True)
+
+
 def _scalar_count(df: DataFrame) -> int:
     """The one sanctioned plan-parameterizing action: a cheap count
     (scan + partial count, no wide child) whose value shapes the plan
@@ -10435,7 +10451,18 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
     )
     return (
-        quantiles.exact_band(cust, "cents", 10, [_Q204_BUCKET_CENTS, 1], band_col="decile")
+        quantiles.exact_band(
+            cust,
+            "cents",
+            10,
+            [_Q204_BUCKET_CENTS, 1],
+            band_col="decile",
+            # checkpoint each refinement level once: hist/located feed
+            # 2-3 consumers each and nest level-over-level, so both
+            # execution AND the analyzed plan compound without a
+            # lineage-truncating materialization (_materialize_tiny)
+            persist=_materialize_tiny,
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
@@ -10590,7 +10617,16 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("m_v", "m_q", [10**6, 10**4, 100, 1]),
     ):
         targets = quantiles.rank_targets(vals, 5)
-        th = quantiles.exact_rank_thresholds(vals, value_col, targets, widths)
+        th = quantiles.exact_rank_thresholds(
+            vals,
+            value_col,
+            targets,
+            widths,
+            # checkpoint each level (q204 note; quantiles docstring) —
+            # without lineage truncation the seven refinement levels
+            # compound multiplicatively in execution and plan size
+            persist=_materialize_tiny,
+        )
         banded = quantiles.band_by_thresholds(banded, value_col, th, band_col)
     return (
         banded.groupBy("r_q", "f_q", "m_q")

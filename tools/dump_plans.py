@@ -61,10 +61,12 @@ HEADLINE = [
     ("q191_pii_redaction", "PII scrub: zero exchanges, 2-column pruned scan, replace chain materialized once in its own projection"),
     ("q192_repeated_spans", "repeated spans: one shuffle on 16-hex md5-prefix keys (never span text); top-100 is TakeOrderedAndProject"),
     ("q193_touch_attribution", "attribution: one events scan, one (user_id) exchange, one Window computing first+last touch together"),
-    ("q188_shingle_containment", "containment: per-doc shingle arrays computed BELOW the self-join (once per doc, honest AQE sizing) — the 41x-at-10x per-pair rebuild is pinned out"),
+    ("q188_shingle_containment", "containment: candidates from capped MinHash bands over leading windows (linear in the signature stream); shingles computed once per candidate MEMBER behind a left-semi restriction, never per pair"),
     ("q196_leakage_safe_split", "leakage-safe split: one window over the fingerprint equivalence class — no pairs, no graph, linear at any scale"),
     ("q197_span_corruption", "T5 span corruption: both rewritten streams from higher-order functions in one zero-shuffle codegen pass"),
     ("q198_ann_recall", "ANN recall@10: broadcast query batch on both paths, WindowGroupLimit partial top-k — the corpus never shuffles"),
+    ("q204_decile_thresholds", "exact decile banding with ZERO WindowExec: domain-bounded histogram refinement, every self-join broadcast — the 100 TB twin of the q94 global ntile"),
+    ("q206_rfm_distributed", "full RFM quintile grid on the window-free threshold operator: three banded measures, no single-partition funnel anywhere"),
 ]
 
 
