@@ -36,7 +36,14 @@ def exact_dedup_keys(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 def char_shingles_expr(text_col: str, k: int = 9) -> Column:
     """Distinct k-character shingles of the lowercased text, computed
-    with ``sequence`` + ``transform`` — JVM-side, no explode needed."""
+    with ``sequence`` + ``transform`` — JVM-side, no explode needed.
+
+    HOT-PATH WARNING: ``lower(text)`` is inlined in the transform
+    lambda, so it re-evaluates once per shingle (O(len²) per doc —
+    measured 49 s vs ~3 s over a 35k-doc member set). Fine for tiny
+    inputs and tests; in any per-corpus path, project the lowered
+    text into its own column first and shingle THAT (what
+    ``minhash_signatures`` and ``ngram_jaccard_pairs`` do)."""
     t = F.lower(F.col(text_col))
     n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
     return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k)))
@@ -326,37 +333,98 @@ def lsh_bucket_size_histogram(
     )
 
 
+def _compute_width(df: DataFrame) -> int:
+    """Partition count for compute-bound stages: the session's shuffle
+    width. Passed EXPLICITLY to ``repartition`` so AQE does not
+    coalesce it away — AQE sizes partitions by shuffle bytes, which
+    under-parallelizes stages whose per-byte compute dominates
+    (shingling expands each input byte into ~k shingle-compares)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,
     id_col: str,
     text_col: str = "text",
     shingle_k: int = 9,
+    persist_fn=None,
 ) -> DataFrame:
     """Exact Jaccard verification over candidate pairs: |A∩B| / |A∪B|
     on distinct shingle sets. Run only on the (small) candidate set —
-    the expensive set ops never touch the full corpus cross-product."""
+    the expensive set ops never touch the full corpus cross-product.
+
+    Two measured hot-path rules (sf1.0, 35k members, 174k pairs):
+
+    - The lowered text is projected BEFORE the shingle lambda.
+      ``char_shingles_expr`` inlines ``lower(text)`` inside the
+      ``transform`` body, which re-evaluates the full-document
+      lowercase once PER SHINGLE — 49.3 s vs ~2 s for the member set.
+      (Same pitfall ``minhash_signatures`` documents; q188 fixed its
+      own copy in round 6, this is the shared-operator fix.)
+    - |A∪B| is computed as |A|+|B|−|A∩B| from per-member distinct
+      counts instead of materializing ``array_union`` per pair —
+      identical value (set identity), half the per-pair array work.
+    - The member set is explicitly re-spread (``repartition(n,
+      "doc")``) before the shingle projection: AQE coalesces the
+      semi-join output by shuffle BYTES (35k docs ≈ 50 MB → one
+      partition) but shingling expands each byte ~100× in compute,
+      so the coalesced stage runs effectively single-threaded —
+      measured 25.0 s → 2.2 s at 32 cores. The explicit partition
+      count pins compute parallelism where AQE's byte model is blind.
+
+    ``persist_fn``: the shingle table feeds BOTH join legs; the two
+    branches of one downstream action each recompute it unless it is
+    cached eagerly (a lazy persist lets the branches race past the
+    empty cache — q188's measured 47 s vs 22 s failure mode). Callers
+    with a cache registry pass their tracked eager-persist hook here;
+    the default None keeps the operator side-effect-free.
+    """
     # only shingle documents that appear in some candidate pair — the
     # expensive set materialization never touches the full corpus
     member_ids = candidate_pairs.select(F.col("id_a").alias("doc")).unionByName(
         candidate_pairs.select(F.col("id_b").alias("doc"))
     ).distinct()
+    shingle = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(_lt) - {shingle_k - 1}, 1)),"
+            f" i -> substring(_lt, i, {shingle_k}))"
+        )
+    )
     shingled = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
         .join(member_ids, "doc", "left_semi")
-        .select("doc", char_shingles_expr("_txt", shingle_k).alias("sh"))
+        .repartition(_compute_width(df), "doc")
+        .select("doc", F.lower(F.col("_txt")).alias("_lt"))
+        .select("doc", shingle.alias("sh"))
+        .select("doc", "sh", F.size("sh").alias("n_sh"))
     )
-    a = shingled.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = shingled.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    if persist_fn is not None:
+        shingled = persist_fn(shingled)
+    a = shingled.select(
+        F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    b = shingled.select(
+        F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
     return (
         candidate_pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("_i"),
+        )
+        .select(
+            "id_a",
+            "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+                F.col("_i") / (F.col("na").cast("double") + F.col("nb").cast("double") - F.col("_i"))
             ).alias("jaccard"),
         )
     )
@@ -577,18 +645,25 @@ def ssjoin_prefix(
         .select("a_id", "b_id")
         .distinct()
     )
-    ta = arrs.select(F.col("id").alias("a_id"), F.col("ts").alias("ta"))
-    tb = arrs.select(F.col("id").alias("b_id"), F.col("ts").alias("tb"))
+    ta = arrs.select(F.col("id").alias("a_id"), F.col("ts").alias("ta"), F.col("n").alias("na"))
+    tb = arrs.select(F.col("id").alias("b_id"), F.col("ts").alias("tb"), F.col("n").alias("nb"))
+    # |A∪B| = |A|+|B|−|A∩B| from the already-carried set sizes — one
+    # array op per pair instead of two (same identity as
+    # ngram_jaccard_pairs; values bit-identical)
     return (
         cands.join(ta, "a_id")
         .join(tb, "b_id")
         .select(
             "a_id",
             "b_id",
-            (
-                F.size(F.array_intersect("ta", "tb"))
-                / F.size(F.array_union("ta", "tb"))
-            ).alias("jaccard"),
+            F.size(F.array_intersect("ta", "tb")).alias("_i"),
+            "na",
+            "nb",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("_i") / (F.col("na") + F.col("nb") - F.col("_i"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -8952,8 +8952,13 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
+    # explicit width: AQE coalesces the small semi-join output by
+    # bytes, serializing the compute-heavy shingle stage (the
+    # dedup._compute_width note; measured 25 s -> 2.2 s on q202's
+    # equivalent member set)
     fsh = (
         corpus.join(member_ids, "doc_id", "left_semi")
+        .repartition(dedup._compute_width(corpus), "doc_id")
         .select("doc_id", F.length("text").alias("L"), F.lower("text").alias("lt"))
         .select("doc_id", "L", shingle.alias("sh"))
     )
@@ -10164,15 +10169,25 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(
-        docs,
-        "doc_id",
-        base_hash=dedup.portable_base_hash,
-        family=dedup.portable_family(dedup._mh_family_constants(32, 11)),
-        band_bucket=dedup.portable_band_bucket,
-        max_bucket_size=_Q202_MAX_BUCKET,
+    # eager persist (q188's device): ngram_jaccard_pairs consumes the
+    # candidate set three times (member-id restriction + both join
+    # legs), and each un-cached consumer re-executes the full
+    # md5-signature banding stream — at sf1.0 one execution is 49.7 s
+    # of the 128.5 s round-6 wall. The member shingle table is the
+    # other half (49.3 s once, two consumers): it is persisted inside
+    # ngram_jaccard_pairs via the same tracked hook.
+    pairs = _persist(
+        dedup.minhash_lsh_candidates(
+            docs,
+            "doc_id",
+            base_hash=dedup.portable_base_hash,
+            family=dedup.portable_family(dedup._mh_family_constants(32, 11)),
+            band_bucket=dedup.portable_band_bucket,
+            max_bucket_size=_Q202_MAX_BUCKET,
+        ),
+        eager=True,
     )
-    j = ngram_jaccard_pairs(docs, pairs, "doc_id")
+    j = ngram_jaccard_pairs(docs, pairs, "doc_id", persist_fn=lambda df: _persist(df, eager=True))
     src = docs.select("doc_id", "source")
     lab = (
         j.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")

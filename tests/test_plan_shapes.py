@@ -822,11 +822,21 @@ def test_containment_shingles_member_restricted(q):
         idx = next(
             i for i, ln in enumerate(tree_lines) if ln.endswith(f"Project ({node})")
         )
-        window = "\n".join(tree_lines[idx : idx + 3])
-        assert "LeftSemi" in window, (
-            f"shingle Project ({node}) must feed directly off the "
-            "left-semi member restriction (shingle candidate members "
-            "only, once per member)"
+        # walk down the subtree: the shingle Project must reach the
+        # left-semi member restriction through projection/width
+        # plumbing only (Project/Exchange/AQEShuffleRead/Sort — the
+        # explicit compute-width repartition lives here), never
+        # through a pair join (which would mean per-pair rebuild)
+        below = []
+        for ln in tree_lines[idx + 1 : idx + 8]:
+            below.append(ln)
+            if "Join" in ln:
+                break
+        first_join = next((ln for ln in below if "Join" in ln), "")
+        assert "LeftSemi" in first_join, (
+            f"shingle Project ({node}) must feed off the left-semi "
+            "member restriction (shingle candidate members only, once "
+            f"per member); first join below was: {first_join!r}"
         )
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin) Inner", tree), (
         "containment verify must be a hash/merge join over candidates"
