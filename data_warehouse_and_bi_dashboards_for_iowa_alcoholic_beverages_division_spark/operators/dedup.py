@@ -148,7 +148,16 @@ def minhash_signatures(
     # re-evaluates lower() per element inside the lambda — measured ~8s
     # vs ~1s for 1.5M shingles. Duplicate shingles are harmless here
     # (min over a multiset equals min over its set).
-    lowered = df.select(F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("lt"))
+    # explicit compute width (the _compute_width lesson): the whole
+    # per-shingle hash stream — explode, substring, base hash, and the
+    # map-side partial min-aggregation — executes in the SCAN stage,
+    # and a text corpus is few bytes per FLOP (sf1.0 documents = one
+    # ~50 MB parquet split -> one task for the entire signature
+    # stream). The shuffle this inserts moves only (doc, lowered-text)
+    # rows, far cheaper than serializing the hash work.
+    lowered = df.select(F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("lt")).repartition(
+        _compute_width(df), "doc"
+    )
     positions = lowered.select(
         "doc",
         "lt",
@@ -477,7 +486,12 @@ def simhash_near_dup_pairs(
     identical quarter). Like the MinHash path, blocks are aggregated
     and pairs generated inline — the simhash computation runs once, not
     twice as in a bucket self-join."""
-    sh = df.select(F.col(id_col).alias("doc"), simhash_expr(text_col, hash_fn).alias("sh"))
+    # explicit compute width before the fold-heavy fingerprint (the
+    # _compute_width note: the 64-mask SimHash accumulation would
+    # otherwise run inside the single-split scan stage)
+    sh = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")).repartition(
+        _compute_width(df), "doc"
+    ).select("doc", simhash_expr("_txt", hash_fn).alias("sh"))
     quarters = sh.select(
         "doc",
         "sh",

@@ -165,16 +165,48 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _py_norm(vec: list[float]) -> float:
+    """The JVM ``norm_expr`` fold replicated in Python: strictly
+    left-to-right double accumulation then sqrt — IEEE ops are
+    correctly rounded in both runtimes, so the result is bit-identical
+    to evaluating ``norm_expr`` over the same literal array. Lets
+    driver-resident centroid norms become plan literals instead of
+    per-row interpreted folds."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     """Cell id with the highest cosine to ``vec_col``, as a pure JVM
     expression: an array of (score, cell) structs reduced by
     ``array_max`` (struct ordering compares score first, then cell —
-    ties deterministically pick the highest cell id)."""
-    entries = []
-    for i, cent in enumerate(centroids):
-        lit_c = F.array(*[F.lit(v) for v in cent])
-        entries.append(F.struct(floor_round6(cosine_expr(F.col(vec_col), lit_c)).alias("s"), F.lit(i).alias("c")))
-    return F.array_max(F.array(*entries))["c"]
+    ties deterministically pick the highest cell id).
+
+    Fold economy (measured on the Lloyd assignment pass): the naive
+    per-centroid ``cosine_expr`` evaluates 3 interpreted aggregate
+    folds per centroid per row — the dot (necessary), the row norm
+    (redundant x n_cells), and the literal centroid norm (Catalyst
+    does NOT constant-fold higher-order functions, so even the
+    literal fold runs per row). Centroid norms become Python-computed
+    literals (``_py_norm``, bit-identical) and the row norm is bound
+    ONCE via a single-element ``transform`` — a `let` encoding: HOFs
+    run interpreted with no codegen subexpression elimination, so
+    naming the norm as a lambda variable is what makes the 8
+    references one fold. n_cells=8: 24 folds/row -> 9. The score
+    stays dot/(nrm_v * nrm_c), same grouping, values unchanged."""
+    norms = [_py_norm(c) for c in centroids]
+
+    def entries(nv: Column) -> Column:
+        scored = []
+        for i, (cent, nc) in enumerate(zip(centroids, norms)):
+            lit_c = F.array(*[F.lit(v) for v in cent])
+            s = floor_round6(dot_expr(F.col(vec_col), lit_c) / (nv * F.lit(nc)))
+            scored.append(F.struct(s.alias("s"), F.lit(i).alias("c")))
+        return F.array_max(F.array(*scored))["c"]
+
+    return F.element_at(F.transform(F.array(norm_expr(F.col(vec_col))), entries), 1)
 
 
 def _lloyd_dim_means(assigned: DataFrame) -> list:
@@ -226,8 +258,15 @@ def ivf_train_centroids(
     """
     seeds = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    # explicit compute width: an embeddings table is few BYTES per
+    # FLOP (sf0.1 = one 15 MB parquet split), so the scan gives the
+    # fold-heavy assignment pass 1 task and AQE won't widen it — the
+    # dedup._compute_width lesson applied to vectors
+    from .dedup import _compute_width
+
+    work = corpus.repartition(_compute_width(corpus))
     for _ in range(iters):
-        assigned = corpus.select(
+        assigned = work.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             _argmax_cell_expr(vec_col, centroids).alias("cell"),
@@ -446,16 +485,44 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥
     threshold), LSH-blocked: near-identical vectors land in the same
     sign bucket with high probability, so candidate generation is an
-    equi self-join on bucket."""
+    equi self-join on bucket.
+
+    Two in-bucket-compute rules (sf1.0, 20k vectors, p=8, measured):
+
+    - Norms are computed ONCE per vector in the tagged projection, so
+      each candidate pair evaluates only the dot fold — the per-pair
+      ``cosine_expr`` form re-folds both norms per pair (3× the
+      interpreted higher-order-function work; the DuckDB oracle's
+      ``a.nrm * c.nrm`` CTE is the same shape, and the division
+      grouping dot/(nrm_a·nrm_b) is unchanged so values stay
+      bit-identical).
+    - Both join sides get an explicit ``repartition(width, bucket)``:
+      the tagged table is ~10 MB of shuffle bytes, so AQE coalesces
+      the self-join to ~1 partition and the O(bucket²) interpreted
+      cosine folds run single-threaded (the dedup._compute_width
+      lesson: AQE's partition model is bytes, not FLOPs). The shared
+      partitioning also makes the self-join exchange-free."""
+    from .dedup import _compute_width
+
     planes = _hyperplanes(dim, n_planes, seed)
-    tagged = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"), _bucket_expr(vec_col, planes).alias("bucket"))
+    tagged = (
+        corpus.select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("vec"),
+            _bucket_expr(vec_col, planes).alias("bucket"),
+            norm_expr(F.col(vec_col)).alias("nrm"),
+        )
+        .repartition(_compute_width(corpus), "bucket")
+    )
     a, b = tagged.alias("a"), tagged.alias("b")
     return (
         a.join(b, on=(F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")), how="inner")
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            floor_round6(cosine_expr(F.col("a.vec"), F.col("b.vec"))).alias("score"),
+            floor_round6(
+                dot_expr(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )
