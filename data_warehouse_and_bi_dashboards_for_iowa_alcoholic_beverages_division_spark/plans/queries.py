@@ -9189,7 +9189,14 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.35, n_planes=p).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    comp = connected_components(emb.select(F.col("vec_id").alias("node")), pairs)
+    # star, not min-label: a loose cosine threshold (0.35) chains
+    # semantic neighbors into long paths — measured diameter ~23 at
+    # sf1.0, i.e. 24 min-label rounds (12.9 s) vs O(log d) star rounds
+    # (8.2 s), identical labels. Text dedup graphs (q84/q187) stay
+    # min-label: their clusters are dense little cliques, d ~ 2-3.
+    comp = connected_components(
+        emb.select(F.col("vec_id").alias("node")), pairs, algorithm="star"
+    )
     return (
         comp.groupBy(F.col("comp").alias("cluster_id"))
         .agg(
