@@ -52,15 +52,30 @@ def cosine_topk(
     ties on neighbor id for full determinism (scores rounded to 6
     decimals first so ulp-level float noise cannot flip the order).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # norms ride the row projections so the pairwise score folds only
+    # the dot: cosine_expr would re-fold norm(q) per corpus row and
+    # norm(c) per query row (HOFs are interpreted, no CSE — the
+    # _argmax_cell_expr note). dot/(qn*cn) keeps cosine_expr's exact
+    # grouping, so scores are bit-identical.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+    )
     scored = F.broadcast(q).crossJoin(c)
     if not include_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"),
+        floor_round6(
+            dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn"))
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -149,14 +164,28 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_expr(F.col(vec_col)).alias("qn"),
         F.explode(_probe_buckets_expr(vec_col, planes, n_probe)).alias("bucket"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), _bucket_expr(vec_col, planes).alias("bucket"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+        _bucket_expr(vec_col, planes).alias("bucket"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, on="bucket", how="inner")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"))
+        # norms ride the row projections; the pairwise score folds only
+        # the dot (cosine_expr's grouping kept — bit-identical scores)
+        .select(
+            "query_id",
+            "neighbor_id",
+            floor_round6(
+                dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn"))
+            ).alias("score"),
+        )
         # no dedup needed: each corpus row lives in exactly one bucket
         # and a query's probe buckets are pairwise distinct, so a
         # (query, neighbor) pair can match on at most one bucket
@@ -306,6 +335,7 @@ def cosine_topk_ivf(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
         _argmax_cell_expr(vec_col, centroids).alias("cell"),
     )
 
@@ -318,14 +348,23 @@ def cosine_topk_ivf(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_expr(F.col(vec_col)).alias("qn"),
         F.explode(probes).alias("probe"),
-    ).select("query_id", "q_vec", F.col("probe.c").alias("cell"))
+    ).select("query_id", "q_vec", "qn", F.col("probe.c").alias("cell"))
 
     scored = (
         F.broadcast(q)
         .join(c, on="cell", how="inner")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"))
+        # norms ride the row projections (the cosine_topk note);
+        # scores bit-identical to the per-pair cosine_expr form
+        .select(
+            "query_id",
+            "neighbor_id",
+            floor_round6(
+                dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn"))
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -447,8 +486,9 @@ def query_ivf_index(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_expr(F.col(vec_col)).alias("qn"),
         F.explode(probes).alias("probe"),
-    ).select("query_id", "q_vec", F.col("probe.c").alias("cell"))
+    ).select("query_id", "q_vec", "qn", F.col("probe.c").alias("cell"))
     # q is consumed twice (probed-cell collect, then the broadcast join);
     # checkpoint so the n_cells-per-row centroid scoring runs once
     q = q.localCheckpoint(eager=True)
@@ -457,16 +497,25 @@ def query_ivf_index(
     c = (
         spark.read.parquet(path)
         .where(F.col("cell").isin(probed_cells))
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell")
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_expr(F.col(vec_col)).alias("cn"),
+            "cell",
+        )
     )
     scored = (
         F.broadcast(q)
         .join(c, on="cell", how="inner")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        # norms ride the row projections (the cosine_topk note);
+        # scores bit-identical to the per-pair cosine_expr form
         .select(
             "query_id",
             "neighbor_id",
-            floor_round6(cosine_expr(F.col("q_vec"), F.col("c_vec"))).alias("score"),
+            floor_round6(
+                dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
