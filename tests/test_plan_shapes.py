@@ -904,3 +904,47 @@ def test_rfm_distributed_no_window(q):
     plan = plan_text(q("q206_rfm_distributed"))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_signature_stream_not_scan_stage_bound(q):
+    # the round-7 lesson: Spark's partition sizers are byte-based
+    # (maxPartitionBytes for scans, AQE coalescing for shuffles), so a
+    # compute-dense stage over a small byte stream serializes unless an
+    # EXPLICIT width is pinned. The minhash signature pipeline carries a
+    # repartition of the (doc, lowered-text) projection before the
+    # per-shingle hash explode — this pin fails if a refactor drops it
+    # and the whole md5/xxhash stream silently collapses back into the
+    # one-split scan stage (measured: 46 s single-task at sf1.0).
+    plan = plan_text(q("q35_minhash_lsh"))
+    assert "REPARTITION_BY_NUM" in plan, (
+        "minhash_signatures must pin an explicit compute width "
+        "(repartition with numPartitions) below the shingle explode"
+    )
+
+
+def test_near_dup_self_join_has_pinned_width(q):
+    # embedding_near_dup_pairs: both sides of the bucket self-join are
+    # explicitly repartitioned — AQE coalesced the ~10 MB shuffle to
+    # one partition and ran the O(bucket^2) interpreted cosine folds
+    # serially (36.7 s -> 5.2 s at sf1.0 when pinned)
+    plan = plan_text(q("q40_embedding_near_dup"))
+    assert "REPARTITION_BY_NUM" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_verify_shingles_outside_lambda_lower(q):
+    # ngram_jaccard_pairs projects the lowered text BEFORE the shingle
+    # transform; inlining lower(text) in the lambda re-evaluates the
+    # full-document lowercase once per shingle (O(len^2) per doc,
+    # 49.3 s vs ~2 s over a 35k-doc member set). The pin: no shingle
+    # transform block may contain a lower( call — the lambda must
+    # substring a pre-lowered attribute.
+    plan = plan_text(q("q202_source_overlap"))
+    blocks = [b for b in re.split(r"\n(?=\(\d+\) )", plan) if "transform(sequence" in b]
+    assert blocks, "expected shingle transforms in the q202 plan"
+    for b in blocks:
+        seg = b[b.index("transform(sequence"):]
+        assert "lower(" not in seg.split("\n")[0], (
+            "shingle lambda must substring a pre-lowered column, not "
+            "re-evaluate lower(text) per element"
+        )
