@@ -148,15 +148,15 @@ def minhash_signatures(
     # re-evaluates lower() per element inside the lambda — measured ~8s
     # vs ~1s for 1.5M shingles. Duplicate shingles are harmless here
     # (min over a multiset equals min over its set).
-    # explicit compute width (the _compute_width lesson): the whole
-    # per-shingle hash stream — explode, substring, base hash, and the
-    # map-side partial min-aggregation — executes in the SCAN stage,
-    # and a text corpus is few bytes per FLOP (sf1.0 documents = one
-    # ~50 MB parquet split -> one task for the entire signature
-    # stream). The shuffle this inserts moves only (doc, lowered-text)
-    # rows, far cheaper than serializing the hash work.
-    lowered = df.select(F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("lt")).repartition(
-        _compute_width(df), "doc"
+    # the whole per-shingle hash stream — explode, substring, base
+    # hash, and the map-side partial min-aggregation — executes in the
+    # SCAN stage, and a text corpus is few bytes per FLOP (sf1.0
+    # documents = one ~50 MB parquet split -> one task for the entire
+    # 46 s signature stream). _spread_narrow_scan widens exactly when
+    # the split count is the bottleneck and skips the corpus shuffle
+    # when the scan is already wide (the 100 TB case).
+    lowered = _spread_narrow_scan(
+        df.select(F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("lt")), "doc"
     )
     positions = lowered.select(
         "doc",
@@ -354,6 +354,29 @@ def _compute_width(df: DataFrame) -> int:
         return df.sparkSession.sparkContext.defaultParallelism
 
 
+def _spread_narrow_scan(df: DataFrame, *cols: str) -> DataFrame:
+    """Widen a SCAN-stage input only when its static split count is
+    below the compute width. Two regimes, one correct answer each:
+
+    - Small SF / filtered corpus: the whole table is one
+      ``maxPartitionBytes`` split, so fold-heavy work chained onto the
+      scan runs single-task — repartition to compute width.
+    - 100 TB: the scan already has thousands of splits; an
+      unconditional repartition would shuffle the ENTIRE text stream
+      just to re-spread what is already parallel — skip it.
+
+    The check reads the static partition count off the RDD lineage
+    (no job). This is ONLY valid for scan-shaped inputs, where the
+    count is the real file-split count. Post-shuffle stages must keep
+    the unconditional explicit repartition instead: their static
+    count is the pre-AQE shuffle width, and AQE's runtime coalescing
+    (the actual serializer) is invisible here."""
+    width = _compute_width(df)
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width, *[F.col(c) for c in cols])
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidate_pairs: DataFrame,
@@ -486,11 +509,11 @@ def simhash_near_dup_pairs(
     identical quarter). Like the MinHash path, blocks are aggregated
     and pairs generated inline — the simhash computation runs once, not
     twice as in a bucket self-join."""
-    # explicit compute width before the fold-heavy fingerprint (the
-    # _compute_width note: the 64-mask SimHash accumulation would
-    # otherwise run inside the single-split scan stage)
-    sh = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")).repartition(
-        _compute_width(df), "doc"
+    # widen before the fold-heavy fingerprint if the scan is narrow
+    # (the _spread_narrow_scan note: the 64-mask SimHash accumulation
+    # would otherwise run inside a single-split scan stage)
+    sh = _spread_narrow_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")), "doc"
     ).select("doc", simhash_expr("_txt", hash_fn).alias("sh"))
     quarters = sh.select(
         "doc",

@@ -287,13 +287,13 @@ def ivf_train_centroids(
     """
     seeds = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
-    # explicit compute width: an embeddings table is few BYTES per
+    # widen the scan if narrow: an embeddings table is few BYTES per
     # FLOP (sf0.1 = one 15 MB parquet split), so the scan gives the
-    # fold-heavy assignment pass 1 task and AQE won't widen it — the
-    # dedup._compute_width lesson applied to vectors
-    from .dedup import _compute_width
+    # fold-heavy assignment pass 1 task and AQE won't widen it; at
+    # real scale the scan is already wide and the shuffle is skipped
+    from .dedup import _spread_narrow_scan
 
-    work = corpus.repartition(_compute_width(corpus))
+    work = _spread_narrow_scan(corpus, id_col)
     for _ in range(iters):
         assigned = work.select(
             F.col(id_col).alias("id"),
@@ -549,8 +549,11 @@ def embedding_near_dup_pairs(
       the tagged table is ~10 MB of shuffle bytes, so AQE coalesces
       the self-join to ~1 partition and the O(bucket²) interpreted
       cosine folds run single-threaded (the dedup._compute_width
-      lesson: AQE's partition model is bytes, not FLOPs). The shared
-      partitioning also makes the self-join exchange-free."""
+      lesson: AQE's partition model is bytes, not FLOPs). This stays
+      UNCONDITIONAL (no narrow-scan check): the equi-join on bucket
+      requires a bucket-hash exchange anyway, so the explicit one
+      replaces the join's own — zero extra shuffle at any scale; it
+      only pins the width AQE would otherwise coalesce away."""
     from .dedup import _compute_width
 
     planes = _hyperplanes(dim, n_planes, seed)
