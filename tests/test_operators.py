@@ -518,3 +518,26 @@ def test_ivf_centroids_invariant_to_partitioning(spark):
         emb.coalesce(1),
     ):
         assert ivf_train_centroids(reshaped, n_cells=8, iters=2) == base
+
+
+def test_spread_narrow_scan_widens_only_when_narrow(spark):
+    # the adaptive-width contract: a single-partition input is spread
+    # to compute width (the small-SF / filtered-corpus regime); an
+    # input already at-or-above width passes through IDENTICALLY — no
+    # shuffle is inserted (the 100 TB regime, where a repartition
+    # would re-shuffle the whole corpus for nothing)
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.dedup import (
+        _compute_width,
+        _spread_narrow_scan,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("doc"))
+    width = _compute_width(df)
+
+    narrow = df.coalesce(1)
+    spread = _spread_narrow_scan(narrow, "doc")
+    assert spread.rdd.getNumPartitions() == width
+
+    wide = df.repartition(width, "doc")
+    passthrough = _spread_narrow_scan(wide, "doc")
+    assert passthrough is wide, "already-wide input must pass through unshuffled"
