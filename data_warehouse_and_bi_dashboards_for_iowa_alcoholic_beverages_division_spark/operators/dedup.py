@@ -18,6 +18,8 @@ Determinism: all hash seeds are fixed constants; no RNG at runtime.
 
 from __future__ import annotations
 
+import re as _re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -354,6 +356,28 @@ def _compute_width(df: DataFrame) -> int:
         return df.sparkSession.sparkContext.defaultParallelism
 
 
+_SCAN_SHAPED_NODES = frozenset({"Project", "Filter", "Relation", "LogicalRelation"})
+
+
+def _is_scan_shaped(df: DataFrame) -> bool:
+    """True iff the optimized logical plan contains ONLY
+    projection/filter nodes over a relation — no joins, aggregates,
+    windows, unions, or repartitions anywhere in the lineage. Checked
+    off the optimized plan's tree (analysis only, never runs a job)."""
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:
+        return False
+    for line in tree.splitlines():
+        name = line.lstrip(" +:-!*'")
+        if not name:
+            continue
+        head = _re.match(r"[A-Za-z]+", name)
+        if head is None or head.group(0) not in _SCAN_SHAPED_NODES:
+            return False
+    return True
+
+
 def _spread_narrow_scan(df: DataFrame, *cols: str) -> DataFrame:
     """Widen a SCAN-stage input only when its static split count is
     below the compute width. Two regimes, one correct answer each:
@@ -367,12 +391,17 @@ def _spread_narrow_scan(df: DataFrame, *cols: str) -> DataFrame:
 
     The check reads the static partition count off the RDD lineage
     (no job). This is ONLY valid for scan-shaped inputs, where the
-    count is the real file-split count. Post-shuffle stages must keep
-    the unconditional explicit repartition instead: their static
-    count is the pre-AQE shuffle width, and AQE's runtime coalescing
-    (the actual serializer) is invisible here."""
+    count is the real file-split count — AND where materializing
+    ``.rdd`` is job-free. On a plan containing exchanges, ``.rdd``
+    under AQE actually EXECUTES the upstream query stages (a hidden
+    eager job at construction time) and the static count it returns
+    is the meaningless pre-AQE width anyway. So the shape is
+    ENFORCED, not assumed: anything that is not provably
+    project/filter-over-relation takes the unconditional explicit
+    repartition — the correct device for post-shuffle stages, whose
+    AQE byte-blind coalescing is invisible to any static count."""
     width = _compute_width(df)
-    if df.rdd.getNumPartitions() >= width:
+    if _is_scan_shaped(df) and df.rdd.getNumPartitions() >= width:
         return df
     return df.repartition(width, *[F.col(c) for c in cols])
 

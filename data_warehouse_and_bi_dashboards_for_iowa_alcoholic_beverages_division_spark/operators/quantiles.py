@@ -60,8 +60,12 @@ from pyspark.sql import Column, DataFrame
 def _floor_div(col: Column, m: int) -> Column:
     """Floor division on bigints, portable across engines that use a
     truncated ``%`` (Spark, DuckDB): subtract the positive mod, then
-    the division is exact in any rounding mode."""
-    return ((col - ((col % m + m) % m)) / m).cast("bigint")
+    integer-divide — the dividend is exactly divisible by ``m``, so
+    truncating ``div`` IS floor division. Integer ``div`` (not ``/``
+    then cast): ``/`` routes through double and silently misplaces
+    values beyond 2^53, and this operator advertises arbitrary
+    bigint inputs."""
+    return F.call_function("div", col - ((col % m + m) % m), F.lit(m))
 
 
 def rank_targets(df: DataFrame, n_bands: int) -> DataFrame:

@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 
 from ..functions.rounding import floor_round6
@@ -395,6 +396,23 @@ def build_ivf_index(
     return centroids
 
 
+def _count_batch_token(spark, sidecar_path: str, token: str) -> int:
+    """Probe the ``_batches`` sidecar for ``token``. Returns 0 iff the
+    sidecar does not exist yet (no tokened append has ever committed).
+    Every OTHER failure mode — permissions, transient FS errors, a
+    corrupt file — re-raises: treating an unreadable sidecar as "no
+    token" would let a recorded token be bypassed and the batch
+    re-appended, the exact duplicate-rows failure the token prevents."""
+    try:
+        sidecar = spark.read.parquet(sidecar_path)
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        if cond == "PATH_NOT_FOUND" or (cond is None and "PATH_NOT_FOUND" in str(e)):
+            return 0
+        raise
+    return sidecar.where(F.col("token") == F.lit(token)).limit(1).count()
+
+
 def append_to_ivf_index(
     new_vectors: DataFrame,
     path: str,
@@ -430,18 +448,27 @@ def append_to_ivf_index(
 
     Both guards protect against the same failure: a blind re-append
     silently doubles inverted-list rows (duplicate neighbors, skewed
-    occupancy audits)."""
+    occupancy audits).
+
+    Failure semantics of the token probe: ONLY a missing ``_batches``
+    sidecar (no tokened append has ever committed) is treated as
+    "token not seen". Any other read failure — permissions, transient
+    FS errors, a corrupt footer — RAISES instead of appending, because
+    proceeding past an unreadable sidecar is exactly the silent
+    re-append the token exists to prevent.
+
+    Crash window the token does NOT cover: the data append commits
+    before the token is recorded, so a crash between the two leaves
+    committed rows with no token — a retry with the same token would
+    re-append them. Keep ``skip_existing_ids=True`` as the backstop
+    unless your orchestrator guarantees the data+token pair lands
+    atomically (e.g. both staged under one directory rename). The
+    check-then-write is also not serialized across CONCURRENT
+    appenders presenting the same token; dedupe retries upstream
+    (one writer per token) rather than racing two."""
     spark = new_vectors.sparkSession
     if batch_token is not None:
-        try:
-            seen = (
-                spark.read.parquet(path + "_batches")
-                .where(F.col("token") == F.lit(batch_token))
-                .limit(1)
-                .count()
-            )
-        except Exception:  # first tokened append: no sidecar yet
-            seen = 0
+        seen = _count_batch_token(spark, path + "_batches", batch_token)
         if seen:
             return
     cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()

@@ -96,3 +96,37 @@ def test_ivf_append_batch_token_skips_retry_in_constant_work(spark, tmp_path):
     assert spark.read.parquet(path).count() == once + batch2.count()
     tokens = {r["token"] for r in spark.read.parquet(path + "_batches").collect()}
     assert tokens == {"drop-2026-08-14", "drop-2026-08-15"}
+
+
+def test_ivf_append_unreadable_token_sidecar_raises(spark, tmp_path):
+    """Only a MISSING _batches sidecar means "no token recorded yet".
+    A sidecar that exists but cannot be read (here: a corrupt file,
+    standing in for permissions / transient-FS failures) must RAISE —
+    treating it as "token not seen" would bypass a recorded token and
+    re-append the batch, the exact duplicate-rows failure the token
+    exists to prevent."""
+    import pytest
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    train = emb.where("vec_id % 10 != 0")
+    batch = emb.where("vec_id % 10 = 0")
+    path = str(tmp_path / "ivf_badtok")
+    similarity.build_ivf_index(train, path, n_cells=4, iters=1)
+    before = spark.read.parquet(path).count()
+
+    sidecar = tmp_path / "ivf_badtok_batches"
+    sidecar.mkdir()
+    (sidecar / "part-00000.parquet").write_bytes(b"garbage, not parquet " * 16)
+
+    with pytest.raises(Exception) as exc_info:
+        similarity.append_to_ivf_index(
+            batch, path, skip_existing_ids=False, batch_token="drop-2026-08-16"
+        )
+    # the failure is the sidecar read, not something downstream
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+    # and crucially: NOTHING was appended
+    assert spark.read.parquet(path).count() == before

@@ -520,24 +520,56 @@ def test_ivf_centroids_invariant_to_partitioning(spark):
         assert ivf_train_centroids(reshaped, n_cells=8, iters=2) == base
 
 
-def test_spread_narrow_scan_widens_only_when_narrow(spark):
-    # the adaptive-width contract: a single-partition input is spread
-    # to compute width (the small-SF / filtered-corpus regime); an
-    # input already at-or-above width passes through IDENTICALLY — no
-    # shuffle is inserted (the 100 TB regime, where a repartition
-    # would re-shuffle the whole corpus for nothing)
+def test_spread_narrow_scan_widens_only_when_narrow(spark, tmp_path):
+    # the adaptive-width contract, enforced on plan SHAPE:
+    # - a narrow parquet scan is spread to compute width (small-SF /
+    #   filtered-corpus regime);
+    # - a scan already at-or-above width passes through IDENTICALLY —
+    #   no shuffle (100 TB regime, where a repartition would reshuffle
+    #   the whole corpus for nothing);
+    # - anything NOT provably project/filter-over-relation takes the
+    #   unconditional repartition WITHOUT touching .rdd, because under
+    #   AQE materializing .rdd on a plan with exchanges executes the
+    #   upstream stages (a hidden eager job) and its static count is
+    #   the meaningless pre-AQE width anyway.
     from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.dedup import (
         _compute_width,
+        _is_scan_shaped,
         _spread_narrow_scan,
     )
 
     df = spark.range(1000).select(F.col("id").alias("doc"))
     width = _compute_width(df)
 
-    narrow = df.coalesce(1)
-    spread = _spread_narrow_scan(narrow, "doc")
-    assert spread.rdd.getNumPartitions() == width
+    path = str(tmp_path / "spread")
+    df.repartition(width * 2).write.parquet(path)
 
-    wide = df.repartition(width, "doc")
-    passthrough = _spread_narrow_scan(wide, "doc")
-    assert passthrough is wide, "already-wide input must pass through unshuffled"
+    narrow_scan = spark.read.parquet(path).coalesce(1)  # coalesce = not scan-shaped
+    assert not _is_scan_shaped(narrow_scan)
+    assert _spread_narrow_scan(narrow_scan, "doc").rdd.getNumPartitions() == width
+
+    # a genuine scan (+ filter/project, which must not break the shape
+    # check) with splits >= width passes through with NO added shuffle
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    try:
+        wide_scan = (
+            spark.read.parquet(path).where(F.col("doc") >= 0).select("doc")
+        )
+        assert _is_scan_shaped(wide_scan)
+        assert wide_scan.rdd.getNumPartitions() >= width
+        passthrough = _spread_narrow_scan(wide_scan, "doc")
+        assert passthrough is wide_scan, "already-wide scan must pass through unshuffled"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+    # post-shuffle shapes: never trusted, always explicitly respread
+    for unshaped in (
+        df,  # Range leaf
+        spark.read.parquet(path).groupBy("doc").count(),
+        spark.read.parquet(path).repartition(width, "doc"),
+    ):
+        assert not _is_scan_shaped(unshaped)
+        spread = _spread_narrow_scan(unshaped, "doc")
+        assert spread is not unshaped
+        assert spread.rdd.getNumPartitions() == width

@@ -51,6 +51,19 @@ def test_thresholds_handle_heavy_ties_and_negatives(spark):
         assert got == _naive_thresholds(vals, 4), widths
 
 
+def test_thresholds_exact_beyond_double_precision(spark):
+    """The bucket arithmetic must be integer ``div``, not /-then-cast:
+    doubles misplace bigints beyond 2^53 into the wrong bucket and the
+    located-bucket recursion then returns a wrong threshold with no
+    error. Values straddling 2^53..2^60 catch any double round-trip."""
+    rng = random.Random(41)
+    base = 2**60
+    vals = [base + rng.randrange(-1_000_000, 1_000_000) for _ in range(300)]
+    vals += [-base + rng.randrange(0, 1_000_000) for _ in range(100)]
+    got = _spark_thresholds(spark, vals, 5, [100_000, 1_000, 1])
+    assert got == _naive_thresholds(vals, 5)
+
+
 def test_single_value_and_tiny_inputs(spark):
     assert _spark_thresholds(spark, [42] * 10, 4, [10, 1]) == {1: 42, 2: 42, 3: 42}
     assert _spark_thresholds(spark, [5], 2, [1]) == {1: 5}
