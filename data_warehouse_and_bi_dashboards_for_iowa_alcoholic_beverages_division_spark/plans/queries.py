@@ -7255,9 +7255,13 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(corpus, emb.where("vec_id < 5"), k=10)
 
 
-@register(
-    "q171_length_bucketed_batches",
-    r"""
+def _ntile_batch_padding_oracle() -> str:
+    """The NTILE formulation of length-bucketed batch padding, shared
+    by q171 (window Spark plan) and q207 (window-free Spark plan): the
+    per-(bucket, batch) padding stats depend only on the token-count
+    MULTISET each batch receives, and ranks are assigned to the sorted
+    token counts, so both plans must reproduce this SQL exactly."""
+    return r"""
     WITH tok AS (
       SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ntok
@@ -7290,7 +7294,12 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_round6_sql(
             "CAST(SUM(mx * n) - SUM(sm) AS DOUBLE) / CAST(SUM(mx * n) AS DOUBLE)"
         ),
-    ),
+    )
+
+
+@register(
+    "q171_length_bucketed_batches",
+    _ntile_batch_padding_oracle(),
     "Length-bucketed batching for training/inference: docs NTILE'd "
     "into 8 token-length buckets (at scale: range partitioning by "
     "precomputed length quantiles - q164's histogram gives them for "
@@ -7298,7 +7307,11 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
     "waste each batch pays (batch_max x batch_size - real tokens). "
     "Grouping similar lengths is THE lever on padding FLOPs; the "
     "padding_frac column quantifies it per bucket from exact integer "
-    "token counts",
+    "token counts. A global ntile is a total order - Spark plans a "
+    "single-partition window, the honest cost of exact per-row "
+    "ranking; at 100 TB use q207, the window-free twin that derives "
+    "the identical per-bucket stats from the bounded token-count "
+    "histogram (same oracle, no window anywhere)",
 )
 def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -8637,7 +8650,11 @@ def _q186_oracle() -> str:
     "the classic forecasting recursion is bit-reproducible across "
     "engines (q181's decay device applied to a recurrence). The "
     "smoothed level IS the flat SES forecast for the next month. One "
-    "distributed month aggregation; the fold touches ~20 month rows",
+    "distributed month aggregation; the fold touches ~20 month rows. "
+    "WINDOW-FREE: the month rank t and count tt ride the sorted "
+    "collect_list via transform's index lambda instead of row_number/"
+    "count windows, so no WindowExec (partitioned or not) appears "
+    "anywhere — the only shuffle is the month aggregate",
 )
 def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -8646,29 +8663,30 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("x"))
     )
-    w_rank = Window.orderBy("mon")
-    ranked = monthly.select(
-        "mon",
-        "x",
-        F.row_number().over(w_rank).alias("t"),
-        F.count("*").over(Window.partitionBy()).alias("tt"),
+    # one bounded array (<= #months in the date domain); t = i + 1 via
+    # the (element, index) transform lambda, tt = size — the ranks the
+    # oracle's row_number/count windows compute, with the identical
+    # fold order (month-sorted) and identical power-of-two arithmetic
+    collected = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("mon", "x"))).alias("arr")
     )
-    weighted = F.aggregate(
-        F.array_sort(F.collect_list(F.struct("mon", "x", "t", "tt"))),
-        F.lit(0.0),
-        lambda acc, r: acc
-        + r["x"]
+    tt = F.size(F.col("arr"))
+    terms = F.transform(
+        F.col("arr"),
+        lambda r, i: r["x"]
         / F.pow(
-            F.lit(2.0), (r["tt"] - F.greatest(r["t"], F.lit(2)) + F.lit(1)).cast("int")
+            F.lit(2.0),
+            (tt - F.greatest(i + F.lit(1), F.lit(2)) + F.lit(1)).cast("int"),
         ).cast("long").cast("double"),
     )
-    return ranked.agg(
-        F.max("tt").cast("bigint").alias("n_months"),
-        F.max(F.when(F.col("t") == F.col("tt"), F.col("mon"))).alias("last_month"),
-        floor_round6(F.max(F.when(F.col("t") == F.col("tt"), F.col("x")))).alias(
-            "last_month_rev"
-        ),
-        floor_round6(weighted).alias("smoothed_level"),
+    last = F.element_at(F.col("arr"), -1)
+    return collected.select(
+        tt.cast("bigint").alias("n_months"),
+        last["mon"].alias("last_month"),
+        floor_round6(last["x"]).alias("last_month_rev"),
+        floor_round6(
+            F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+        ).alias("smoothed_level"),
     )
 
 
@@ -9628,13 +9646,20 @@ def _q195_oracle() -> str:
     "maps to the same normalized scale as another's, whatever their "
     "raw score distributions). Percentile buckets use pure integer "
     "arithmetic (no float division to drift cross-engine) and the "
-    "101-value reference table is nearest-rank order statistics, "
-    "broadcast onto the per-source ranked stream. Two window "
-    "shuffles (per-source rank, global rank) + one broadcast join; "
-    "at 100 TB the global rank swaps for q164's mergeable histogram "
-    "quantiles and the per-source window stays as-is",
+    "101-value reference table is nearest-rank order statistics "
+    "computed WINDOW-FREE by quantiles.exact_rank_thresholds (the "
+    "value at global rank r in (n_chars, doc_id) order IS the "
+    "smallest value whose cumulative count reaches r — ties in "
+    "n_chars can't disagree because tied rows share the value), "
+    "broadcast onto the per-source ranked stream. One per-source "
+    "window shuffle + bounded histogram aggregates; no global "
+    "single-partition window anywhere. At 100 TB the per-source "
+    "window parallelizes across sources (see q207 for the fully "
+    "window-free banding device when per-row ranks aren't needed)",
 )
 def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import exact_rank_thresholds
+
     docs = _t(spark, sf_dir, "documents")
     ranked = docs.select(
         "doc_id",
@@ -9653,22 +9678,22 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("((rk - 1) * 200 + (n - 1)) DIV (2 * (n - 1))"))
         .alias("bucket"),
     )
-    granked = docs.select(
-        "n_chars",
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("grk"),
-    )
     gnt = docs.agg(F.count("*").alias("gn"))
     targets = (
         docs.sparkSession.range(101)
-        .select(F.col("id").alias("bucket"))
+        .select(F.col("id").alias("d"))
         .crossJoin(F.broadcast(gnt))
-        .select("bucket", F.greatest(F.lit(1), F.expr("(bucket * gn + 50) DIV 100")).alias("trk"))
+        .select(
+            "d",
+            F.greatest(F.lit(1), F.expr("(d * gn + 50) DIV 100")).alias("target_rank"),
+        )
     )
-    ref = (
-        granked.join(F.broadcast(targets), F.col("grk") == F.col("trk"))
-        .groupBy("bucket")
-        .agg(F.min("n_chars").alias("ref_value"))
-    )
+    # global nearest-rank order statistics WITHOUT the corpus-scale
+    # Window.orderBy: histogram-refinement thresholds (exact, bounded
+    # intermediates) instead of row_number over every document
+    ref = exact_rank_thresholds(
+        docs.select("n_chars"), "n_chars", targets, widths=[100, 1]
+    ).select(F.col("d").alias("bucket"), F.col("t").alias("ref_value"))
     return bucketed.join(F.broadcast(ref), "bucket").select(
         "doc_id",
         "source",
@@ -10658,4 +10683,134 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor_round6(F.sum("monetary").cast("double")).alias("total_monetary"),
         )
         .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+# =====================================================================
+# Window-free length-bucketed batching — the 100 TB twin of q171.
+# The insight that removes every window: per-(bucket, batch) padding
+# stats depend only on the token-count MULTISET each batch receives,
+# and the (ntok, doc_id) ranking assigns ntok values to ranks purely
+# by the sorted histogram — the doc_id tiebreak permutes WHICH doc
+# carries a rank, never which ntok value does. So the whole NTILE +
+# row_number pipeline collapses to interval arithmetic over the
+# bounded (ntok -> count) histogram: one distributed aggregate over
+# the corpus, then every downstream row set is bounded by
+# #distinct-token-counts (domain, not data) plus #batches (N/32 tiny
+# int rows, fully parallel) — no single-partition stage anywhere.
+# =====================================================================
+
+@register(
+    "q207_batch_padding_distributed",
+    _ntile_batch_padding_oracle(),
+    "Window-free twin of q171's length-bucketed batching: the same "
+    "8-bucket NTILE + 32-doc batch padding stats (same oracle SQL) "
+    "computed from the bounded token-count histogram instead of "
+    "per-row ranks. Rank intervals: each histogram row (ntok, cnt, "
+    "cum_before) owns global ranks [cum_before+1, cum_before+cnt]; "
+    "ntile bucket boundaries are closed-form from N; intersecting "
+    "intervals with bucket spans and then with 32-wide batch spans "
+    "yields each batch's ntok multiset without ever ranking a row. "
+    "One corpus aggregate + broadcast joins over domain-bounded "
+    "sets - the shape that survives 100 TB where q171's "
+    "single-partition window cannot",
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(text.token_count_expr("text").cast("bigint").alias("v"))
+    hist = tok.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative count strictly below each value — broadcast self-join
+    # over the tiny histogram (bounded by distinct token counts)
+    below = hist.select(F.col("v").alias("bv"), F.col("cnt").alias("bcnt"))
+    cum = (
+        hist.join(F.broadcast(below), F.col("bv") < F.col("v"), "left")
+        .groupBy("v", "cnt")
+        .agg(F.coalesce(F.sum("bcnt"), F.lit(0)).cast("bigint").alias("cum_before"))
+    )
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    # NTILE(8) boundaries in closed form: bucket b spans global ranks
+    # [(b-1)*base + min(b-1, rem) + 1, b*base + min(b, rem)]
+    buckets = (
+        spark.range(1, 9)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bucket",
+            (
+                (F.col("bucket") - 1) * F.expr("n DIV 8")
+                + F.least(F.col("bucket") - 1, F.col("n") % 8)
+                + 1
+            ).cast("bigint").alias("bstart"),
+            (
+                F.col("bucket") * F.expr("n DIV 8")
+                + F.least(F.col("bucket"), F.col("n") % 8)
+            ).cast("bigint").alias("bend"),
+        )
+        .where(F.col("bstart") <= F.col("bend"))  # empty tiles when N < 8
+    )
+    # intersect each histogram row's rank interval with each bucket
+    # span, re-express in bucket-local ranks, then split across the
+    # 32-wide batch grid it straddles
+    spans = (
+        cum.join(
+            F.broadcast(buckets),
+            (F.col("cum_before") + 1 <= F.col("bend"))
+            & (F.col("cum_before") + F.col("cnt") >= F.col("bstart")),
+        )
+        .select(
+            "v",
+            "bucket",
+            (
+                F.greatest(F.col("cum_before") + 1, F.col("bstart"))
+                - F.col("bstart")
+                + 1
+            ).alias("ls"),
+            (
+                F.least(F.col("cum_before") + F.col("cnt"), F.col("bend"))
+                - F.col("bstart")
+                + 1
+            ).alias("le"),
+        )
+        .select(
+            "v",
+            "bucket",
+            "ls",
+            "le",
+            F.explode(
+                F.sequence(F.expr("(ls - 1) DIV 32"), F.expr("(le - 1) DIV 32"))
+            ).alias("batch"),
+        )
+        .select(
+            "v",
+            "bucket",
+            "batch",
+            (
+                F.least(F.col("le"), (F.col("batch") + 1) * 32)
+                - F.greatest(F.col("ls"), F.col("batch") * 32 + 1)
+                + 1
+            ).alias("k"),
+        )
+    )
+    per_batch = spans.groupBy("bucket", "batch").agg(
+        F.sum("k").alias("n"),
+        F.max("v").alias("mx"),
+        F.sum(F.col("v") * F.col("k")).alias("sm"),
+    )
+    padded = F.sum(F.col("mx") * F.col("n"))
+    real = F.sum("sm")
+    return per_batch.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_batches"),
+        padded.cast("bigint").alias("padded_tokens"),
+        real.cast("bigint").alias("real_tokens"),
+        floor_round6((padded - real).cast("double") / padded.cast("double")).alias(
+            "padding_frac"
+        ),
+    ).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_docs",
+        "n_batches",
+        "padded_tokens",
+        "real_tokens",
+        "padding_frac",
     )

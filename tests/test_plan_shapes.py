@@ -906,6 +906,41 @@ def test_rfm_distributed_no_window(q):
     assert "CartesianProduct" not in plan
 
 
+def test_batch_padding_distributed_no_window(q):
+    # q207 is the window-free twin of q171's length-bucketed batching:
+    # the NTILE + per-bucket row_number pipeline re-derived as interval
+    # arithmetic over the bounded token-count histogram. Its contract
+    # is zero window functions and broadcast-only joins — a refactor
+    # that reintroduces either brings back the single-partition funnel
+    # the query exists to eliminate
+    plan = plan_text(q("q207_batch_padding_distributed"))
+    assert "Window" not in plan, "q207 must stay window-free (that's its contract)"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, (
+        "q207's histogram joins are domain-bounded and must broadcast"
+    )
+
+
+def test_exp_smoothing_no_window(q):
+    # q186's ranks ride the sorted collect_list (transform index
+    # lambda), so even the bounded month table needs no WindowExec
+    plan = plan_text(q("q186_exp_smoothing"))
+    assert "Window" not in plan
+
+
+def test_quantile_norm_no_global_window(q):
+    # q195's global nearest-rank reference values come from the
+    # histogram-refinement operator; the ONLY windows left are the
+    # per-source ranks (partitioned). An unpartitioned window over
+    # documents would funnel the corpus through one task.
+    plan = plan_text(q("q195_quantile_norm"))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(source#" in line, (
+                "q195 must not carry an unpartitioned (global) window:\n" + line
+            )
+
+
 def test_signature_stream_not_scan_stage_bound(q):
     # the round-7 lesson: Spark's partition sizers are byte-based
     # (maxPartitionBytes for scans, AQE coalescing for shuffles), so a
