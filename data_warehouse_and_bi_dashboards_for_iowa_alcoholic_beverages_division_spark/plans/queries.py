@@ -5246,6 +5246,52 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# ---------------------------------------------------------------------
+# Rows-only ↔ portable-twin contract. Three pipelines use xxhash64 in
+# production (one multiply-shift mix per token/shingle — the right
+# cost at 100 TB) which no external engine reproduces, so their
+# registered queries are rows-only. Each has an oracle-checked twin
+# that runs the IDENTICAL pipeline with the md5-derived portable hash
+# family injected. "Identical" is enforced by construction, not by
+# review: the production query and its twin both call ONE shared
+# pipeline helper below, differing only in the hash arguments — a
+# parameter drift (blocking, thresholds, splits) cannot desynchronize
+# them. test_registry_invariants pins this map against the registry.
+# ---------------------------------------------------------------------
+ROWS_ONLY_TWINS: dict[str, str | None] = {
+    "q35_minhash_lsh": "q146_minhash_portable",
+    "q36_simhash": "q145_simhash_md5",
+    "q99_incremental_lsh": "q147_incremental_portable",
+    # no twin can exist: the value IS engine-internal state
+    "q56_approx_distinct": None,  # HLL register layout differs across engines by design
+    "q71_media_resize": None,  # binary payloads: DuckDB lacks blob md5/substring
+}
+
+
+def _minhash_candidates_pipeline(spark, sf_dir, **hash_kwargs) -> DataFrame:
+    """Shared by q35 (production xxhash64) and q146 (portable md5)."""
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "doc_id", **hash_kwargs
+    )
+
+
+def _simhash_pairs_pipeline(spark, sf_dir, hash_fn=None) -> DataFrame:
+    """Shared by q36 (production xxhash64) and q145 (portable md5)."""
+    return dedup.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", max_hamming=8, hash_fn=hash_fn
+    )
+
+
+def _incremental_dedup_pipeline(spark, sf_dir, **hash_kwargs) -> DataFrame:
+    """Shared by q99 (production xxhash64) and q147 (portable md5)."""
+    docs = _t(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 10 == 0)
+    cor = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_dedup(cor, inc, "doc_id", **hash_kwargs).select(
+        "new_id", "old_id", floor_round6(F.col("jaccard")).alias("jaccard")
+    )
+
+
 @register(
     "q145_simhash_md5",
     r"""
@@ -5284,10 +5330,7 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mix vs md5's full digest per token)",
 )
 def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", max_hamming=8,
-        hash_fn=dedup.md5_token_hash,
-    )
+    return _simhash_pairs_pipeline(spark, sf_dir, hash_fn=dedup.md5_token_hash)
 
 
 def _portable_minhash_bands_cte(
@@ -5384,9 +5427,9 @@ def _q146_oracle() -> str:
 )
 def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     consts = dedup._mh_family_constants(32, 11)
-    return dedup.minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"),
-        "doc_id",
+    return _minhash_candidates_pipeline(
+        spark,
+        sf_dir,
         base_hash=dedup.portable_base_hash,
         family=dedup.portable_family(consts),
         band_bucket=dedup.portable_band_bucket,
@@ -5430,17 +5473,13 @@ def _q147_oracle() -> str:
 )
 def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     consts = dedup._mh_family_constants(32, 11)
-    docs = _t(spark, sf_dir, "documents")
-    inc = docs.where(F.col("doc_id") % 10 == 0)
-    cor = docs.where(F.col("doc_id") % 10 != 0)
-    return dedup.incremental_dedup(
-        cor,
-        inc,
-        "doc_id",
+    return _incremental_dedup_pipeline(
+        spark,
+        sf_dir,
         base_hash=dedup.portable_base_hash,
         family=dedup.portable_family(consts),
         band_bucket=dedup.portable_band_bucket,
-    ).select("new_id", "old_id", floor_round6(F.col("jaccard")).alias("jaccard"))
+    )
 
 
 @register(
@@ -10275,20 +10314,26 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q35_minhash_lsh",
-    None,  # xxhash64 has no DuckDB equivalent → rows-only check
-    "MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket join)",
+    None,  # xxhash64 has no DuckDB equivalent → rows-only; value-checked via q146
+    "MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket "
+    "join). Rows-only for xxhash64; the pipeline itself is hash-oracled "
+    "by q146_minhash_portable, which calls the SAME shared helper with "
+    "only the hash family swapped (ROWS_ONLY_TWINS contract)",
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"), "doc_id")
+    return _minhash_candidates_pipeline(spark, sf_dir)
 
 
 @register(
     "q36_simhash",
-    None,  # xxhash64-based
-    "SimHash near-dup pairs, 16-bit-quarter blocked Hamming join",
+    None,  # xxhash64-based → rows-only; value-checked via q145
+    "SimHash near-dup pairs, 16-bit-quarter blocked Hamming join. "
+    "Rows-only for xxhash64; the pipeline itself is hash-oracled by "
+    "q145_simhash_md5, which calls the SAME shared helper with only "
+    "the token hash swapped (ROWS_ONLY_TWINS contract)",
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), "doc_id", max_hamming=8)
+    return _simhash_pairs_pipeline(spark, sf_dir)
 
 
 @register(
@@ -10320,22 +10365,18 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q99_incremental_lsh",
-    None,  # xxhash64 signature family is not DuckDB-expressible — rows-only
+    None,  # xxhash64 signature family not DuckDB-expressible → rows-only; value-checked via q147
     "Incremental near-dup via bipartite MinHash LSH: both sides banded "
     "with shared seeds, single bucket aggregation, in-bucket new x old "
     "expansion (never corpus x corpus), exact-Jaccard verification of "
     "candidates only. At scale the corpus signatures are a precomputed "
-    "table, making marginal cost O(|incoming batch|)",
+    "table, making marginal cost O(|incoming batch|). Rows-only for "
+    "xxhash64; the pipeline itself is hash-oracled by "
+    "q147_incremental_portable via the SAME shared helper "
+    "(ROWS_ONLY_TWINS contract)",
 )
 def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import incremental_dedup
-
-    docs = _t(spark, sf_dir, "documents")
-    inc = docs.where(F.col("doc_id") % 10 == 0)
-    cor = docs.where(F.col("doc_id") % 10 != 0)
-    return incremental_dedup(cor, inc, "doc_id").select(
-        "new_id", "old_id", floor_round6(F.col("jaccard")).alias("jaccard")
-    )
+    return _incremental_dedup_pipeline(spark, sf_dir)
 
 
 

@@ -57,6 +57,34 @@ def test_rows_only_queries_are_the_known_set():
     }
 
 
+def test_rows_only_twins_contract():
+    # Every rows-only query must either name an oracle-checked portable
+    # twin (the same pipeline helper with only the hash family swapped)
+    # or carry an explicit None documenting why no external oracle can
+    # exist. A rows-only query missing from the map is unaccounted
+    # verification debt; a twin without an oracle is a broken promise.
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        ROWS_ONLY_TWINS,
+    )
+
+    reg = registry()
+    rows_only = {n for n, s in reg.items() if s.oracle is None}
+    assert rows_only == set(ROWS_ONLY_TWINS), (
+        "rows-only set and ROWS_ONLY_TWINS diverged — every oracle-less "
+        "query needs a twin entry (or a documented None)"
+    )
+    for name, twin in ROWS_ONLY_TWINS.items():
+        if twin is None:
+            continue
+        assert twin in reg, f"{name}: twin {twin} is not registered"
+        assert reg[twin].oracle is not None, (
+            f"{name}: twin {twin} must itself be oracle-checked"
+        )
+        assert "ROWS_ONLY_TWINS" in reg[name].description, (
+            f"{name}: description must surface the twin contract"
+        )
+
+
 def test_readme_registry_count_is_current():
     with open("/root/repo/README.md") as f:
         m = re.search(r"(\d+)-query registry", f.read())
