@@ -268,6 +268,32 @@ def _lloyd_dim_means(assigned: DataFrame) -> list:
     )
 
 
+# Cap on the derived cell count: centroids are driver-resident and the
+# Lloyd/probe scoring builds one literal-fold expression per cell, so
+# the exponent bounds BOTH driver memory and Catalyst expression size.
+# 2^12 = 4096 cells x 64 dims x 8 B = 2 MB of centroids — comfortable;
+# past that a real deployment shards the coarse quantizer (hierarchical
+# IVF), which is a different operator, not a bigger literal.
+_IVF_MAX_CELLS_EXP = 12
+
+
+def derived_n_cells(n: int, cap_exp: int = _IVF_MAX_CELLS_EXP) -> int:
+    """Cardinality-derived cell count: the smallest power of two >=
+    sqrt(n), floored at 4 and capped at 2^cap_exp. sqrt balances the
+    two per-query costs — centroid scoring is O(n_cells) and each
+    probed inverted list holds ~n/n_cells vectors — so both stay
+    O(sqrt n) as the corpus grows, instead of an operator memo bumping
+    a toy constant (n_cells=8 is right at 2k vectors and absurd at
+    10^9). Pure integer arithmetic ((n-1).bit_length() == ceil(log2 n))
+    so an external SQL CASE ladder computes the identical count for
+    the identical cardinality — the q190 plane-derivation device.
+    m/pq_k are NOT derived here: subspace count is dimension-driven
+    (m must divide dim) and codebook size is a byte-budget constant
+    (k=256 for 8-bit codes in practice), not cardinality-driven."""
+    blen = max(n - 1, 0).bit_length()  # ceil(log2 n), 0 for n <= 1
+    return min(1 << cap_exp, max(4, 1 << ((blen + 1) // 2)))
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -5621,7 +5621,11 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q67_oracle(train_pred: str = "TRUE", final_select: str | None = None) -> str:
+def _q67_oracle(
+    train_pred: str = "TRUE",
+    final_select: str | None = None,
+    derived_cells: bool = False,
+) -> str:
     """DuckDB twin of similarity.cosine_topk_ivf(k=10, n_cells=8,
     n_probe=3, iters=2): the deterministic k-means-lite train is fully
     unrolled in SQL — seeds are the 8 lowest-id vectors, each Lloyd
@@ -5638,7 +5642,13 @@ def _q67_oracle(train_pred: str = "TRUE", final_select: str | None = None) -> st
     the rest under the frozen quantizer). Default TRUE = q67.
     ``final_select`` swaps the terminal top-k SELECT for a different
     consumer of the unrolled CTEs (q200 reads ``af`` for the cell
-    occupancy audit)."""
+    occupancy audit). ``derived_cells=True`` replaces the fixed LIMIT 8
+    seed set with the cardinality-derived count: a params CTE computes
+    similarity.derived_n_cells via the same integer ladder (a CASE
+    count of n > 2^j gives ceil(log2 n) — no float log2 near
+    power-of-two boundaries), and c0 keeps the first nc row-numbered
+    seeds. Every downstream CTE is already relational over the cell
+    table, so nothing else changes with the count."""
     # parameterized on BOTH aliases ({v} vector side, {c} centroid
     # side) — a post-hoc .replace("v.", ...) over the formatted SQL
     # would silently rewrite any future fragment containing "v."
@@ -5681,6 +5691,28 @@ def _q67_oracle(train_pred: str = "TRUE", final_select: str | None = None) -> st
         "list_sum(list_transform(list_zip(q.embedding, v.embedding),"
         " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm)"
     )
+    if derived_cells:
+        from ..operators.similarity import _IVF_MAX_CELLS_EXP
+
+        ladder = " + ".join(f"(CASE WHEN n > {1 << j} THEN 1 ELSE 0 END)" for j in range(44))
+        c0 = f"""params AS (
+      SELECT LEAST({1 << _IVF_MAX_CELLS_EXP},
+                   GREATEST(4, (CAST(1 AS BIGINT) << ((({ladder}) + 1) // 2)))) AS nc
+      FROM (SELECT COUNT(*) AS n FROM embeddings WHERE {train_pred})
+    ),
+    c0 AS (
+      SELECT cell, cvec FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings WHERE {train_pred}
+      ) WHERE cell < (SELECT nc FROM params)
+    ),"""
+    else:
+        c0 = f"""c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE {train_pred} ORDER BY vec_id LIMIT 8
+    ),"""
     return f"""
     WITH v AS (
       SELECT vec_id, embedding,
@@ -5689,11 +5721,7 @@ def _q67_oracle(train_pred: str = "TRUE", final_select: str | None = None) -> st
       FROM embeddings
     ),
     vt AS (SELECT * FROM v WHERE {train_pred}),
-    c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-      FROM embeddings WHERE {train_pred} ORDER BY vec_id LIMIT 8
-    ),
+    {c0}
     {assign("a1", "c0", "vt")},
     {lloyd("a1", "c0", "c1")},
     {assign("a2", "c1", "vt")},
@@ -7854,12 +7882,15 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(emb, emb.where("vec_id < 5"), books, k=10)
 
 
-def _q178_oracle() -> str:
+def _q178_oracle(tail: str | None = None) -> str:
     """DuckDB twin of IVFPQ: the q67 IVF blocks (cosine Lloyd, probes
     with highest-cell tiebreaks) composed with the q177 PQ blocks (L2
     Lloyd per subspace, lowest-cell tiebreaks, floored ADC lookups) —
     candidates are the probed cells' inverted lists, ranked by
-    adc = d0 + d1."""
+    adc = d0 + d1. ``tail`` replaces everything after the ``scored``
+    CTE (and may open with further CTE definitions via a leading
+    comma) — q209 appends exact/approx/hits CTEs for the recall
+    evaluation over the same unrolled pipeline."""
     cos_c = (
         "list_sum(list_transform(list_zip(v.embedding, {c}.cvec),"
         " z -> CAST(z[1] AS DOUBLE) * z[2]))"
@@ -7991,12 +8022,12 @@ def _q178_oracle() -> str:
       JOIN dist1 d1 ON d1.cell = k1.cell AND d1.query_id = p.query_id
       WHERE af.vec_id <> p.query_id
     )
-    SELECT * FROM (
+    {tail if tail is not None else '''SELECT * FROM (
       SELECT query_id, neighbor_id, adc_dist,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
       FROM scored
-    ) WHERE rank <= 10
+    ) WHERE rank <= 10'''}
     """
 
 
@@ -10854,4 +10885,112 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
         "padded_tokens",
         "real_tokens",
         "padding_frac",
+    )
+
+
+# =====================================================================
+# Cardinality-derived IVF capacity + IVFPQ recall — closing the two
+# "toy constant" gaps in the ANN family. q208 derives n_cells ~ sqrt(N)
+# (both per-query cost terms stay O(sqrt N)); q209 makes IVFPQ recall
+# an oracle-checked query exactly as q198 did for LSH recall.
+# =====================================================================
+
+@register(
+    "q208_ivf_derived_cells",
+    _q67_oracle(derived_cells=True),
+    "IVF top-k with the coarse-quantizer capacity DERIVED from corpus "
+    "cardinality instead of a toy constant: n_cells = the smallest "
+    "power of two >= sqrt(N) (floored at 4, capped at 2^12 - driver "
+    "centroids and Catalyst expression size are the real bounds), so "
+    "centroid scoring (O(n_cells)) and per-probe list size (O(N/"
+    "n_cells)) BOTH stay O(sqrt N) as data grows - the q190 "
+    "derive-from-count device applied to index capacity. The oracle "
+    "derives the identical count via an integer CASE ladder and runs "
+    "the same relational Lloyd pipeline over the derived seed set "
+    "(32 cells at sf0.001, 64 at sf0.01 - the cross-SF gate "
+    "exercises two different derivations)",
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # capacity from a cheap count (the sanctioned plan-parameterizing
+    # scalar) — same discipline as q190's plane derivation
+    nc = similarity.derived_n_cells(_scalar_count(emb))
+    return similarity.cosine_topk_ivf(
+        emb, emb.where("vec_id < 5"), k=10, n_cells=nc, n_probe=3
+    )
+
+
+def _q209_oracle() -> str:
+    """IVFPQ recall@10 over the SAME unrolled q178 pipeline: the scored
+    candidate set is re-ranked into the approx top-10, intersected with
+    the exact brute-force top-10 (identical rounded-score + neighbor-id
+    tiebreak total order on both engines), one row per query."""
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * c.nrm)"
+    )
+    tail = f""", approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {floor_round6_sql(cos)} DESC, c.vec_id ASC) AS rank
+        FROM v q, v c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT query_id, COUNT(*) AS n_hits
+      FROM approx JOIN exact USING (query_id, neighbor_id)
+      GROUP BY query_id
+    )
+    SELECT qs.vec_id AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+           {floor_round6_sql("CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0")} AS recall_at_10
+    FROM (SELECT vec_id FROM v WHERE vec_id < 5) qs
+    LEFT JOIN hits h ON h.query_id = qs.vec_id
+    ORDER BY qs.vec_id"""
+    return _q178_oracle(tail=tail)
+
+
+@register(
+    "q209_ivfpq_recall",
+    _q209_oracle(),
+    "IVFPQ recall@10 as a first-class query - the q198 accept-gate "
+    "device applied to the compressed-code stack: the IVFPQ top-10 "
+    "(q178's exact pipeline, probes + ADC ranking) intersected per "
+    "query with the brute-force top-10, zero-filled for queries the "
+    "probed cells starve. Lossy-quantization recall is the number a "
+    "100 TB deployment watches when trading code bytes for accuracy; "
+    "making it an oracle-checked query means the whole measurement - "
+    "both rankings and the intersection - is value-verified, not just "
+    "eyeballed",
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where("vec_id < 5")
+    exact = similarity.cosine_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    approx = similarity.ivfpq_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            floor_round6(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / 10.0
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
     )

@@ -265,6 +265,41 @@ def test_corpus_free_of_bpe_boundary_markers():
         )
 
 
+def test_ivf_derived_cells_matches_oracle_ladder():
+    """q208's Spark side derives n_cells in Python, its oracle in a SQL
+    integer ladder — identical for any cardinality, and the value must
+    actually be the smallest power of two >= sqrt(n) within the clamp."""
+    import math
+
+    import duckdb
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        _IVF_MAX_CELLS_EXP,
+        derived_n_cells,
+    )
+
+    assert derived_n_cells(0) == 4
+    assert derived_n_cells(1) == 4
+    assert derived_n_cells(500) == 32
+    assert derived_n_cells(2000) == 64
+    assert derived_n_cells(10**12) == 1 << _IVF_MAX_CELLS_EXP
+
+    ladder = " + ".join(f"(CASE WHEN n > {1 << j} THEN 1 ELSE 0 END)" for j in range(44))
+    for n in (1, 2, 3, 4, 16, 17, 500, 2000, 2048, 2049, 60000, 10**7, 10**12):
+        want = derived_n_cells(n)
+        got = duckdb.sql(
+            f"SELECT LEAST({1 << _IVF_MAX_CELLS_EXP}, "
+            f"GREATEST(4, (CAST(1 AS BIGINT) << ((({ladder}) + 1) // 2)))) "
+            f"FROM (SELECT {n} AS n)"
+        ).fetchone()[0]
+        assert got == want, (n, got, want)
+        # power-of-two ceil of sqrt(n), inside the clamp
+        assert want & (want - 1) == 0
+        if 4 < want < (1 << _IVF_MAX_CELLS_EXP):
+            assert want >= math.isqrt(n - 1) + (math.isqrt(n - 1) ** 2 < n)
+            assert want // 2 < math.sqrt(n)
+
+
 def test_q190_plane_count_derivation_matches_oracle_ladder():
     """The Spark side derives n_planes in Python, the oracle in a SQL
     integer ladder — both must compute the identical p for any count,
