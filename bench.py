@@ -97,6 +97,12 @@ def main() -> None:
                 "heavy_total": round(sum(heavy.values()), 3),
                 "heavy_queries": heavy,
                 "sf": sf,
+                # the ACTIVE driver-checked window (first 50 of the
+                # rotated registration order) — recorded per-round so
+                # which queries the external hash gate verified is
+                # auditable from the BENCH artifact alone, not from
+                # reading _WINDOW_SWAPS in a particular commit
+                "driver_window": list(reg)[:50],
             }
         )
     )

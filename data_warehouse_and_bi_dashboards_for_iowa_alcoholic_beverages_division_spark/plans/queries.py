@@ -150,6 +150,19 @@ def register(name: str, oracle: str | None, description: str = ""):
 # cluster canonicalization, leakage-safe split, and the new
 # distributed-percentile twin — five of the heaviest beyond-reference
 # operators now get driver-side value checks.
+# Swapped-in round 8 (cumulative — round-7 entries stay in-window):
+# every query NEW or REWRITTEN this round rides the driver hash gate
+# the round it changes: the window-free batching twin (q207), the
+# derived-capacity IVF (q208), IVFPQ recall (q209), the RFM quantile
+# composition (q206, never driver-checked), and the two rewrites
+# (q195 window-free global ranks, q186 window-free smoothing).
+# Swapped out, each with its §2 row still in-window: q18 (P7 → q51),
+# q28 (F4 → q20), q27 (A5 → q23/q26), q11 (W2 → q21, W3 → q43),
+# q32/q33 (text family → q31/q34; both accumulated driver passes in
+# the r1-r7 windows).
+# The ACTIVE window is emitted in every bench run ("driver_window" in
+# bench.py's JSON) so externally-reported verification coverage is
+# auditable round over round without reading this file.
 # ---------------------------------------------------------------------
 _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("q03_distinct", "q146_minhash_portable"),
@@ -157,6 +170,12 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("q15_intersect", "q187_cluster_canonical"),
     ("q24_star_month", "q196_leakage_safe_split"),
     ("q49_date_horizon", "q204_decile_thresholds"),
+    ("q18_null_fill_geo", "q207_batch_padding_distributed"),
+    ("q28_season", "q208_ivf_derived_cells"),
+    ("q27_kpi_totals", "q209_ivfpq_recall"),
+    ("q11_order_gaps", "q206_rfm_distributed"),
+    ("q32_text_quality", "q195_quantile_norm"),
+    ("q33_lang_id", "q186_exp_smoothing"),
 ]
 
 
