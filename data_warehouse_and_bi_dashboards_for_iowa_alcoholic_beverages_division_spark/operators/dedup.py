@@ -443,6 +443,19 @@ def ngram_jaccard_pairs(
     empty cache — q188's measured 47 s vs 22 s failure mode). Callers
     with a cache registry pass their tracked eager-persist hook here;
     the default None keeps the operator side-effect-free.
+
+    The shingle sets are carried as DISTINCT 60-BIT MD5-PREFIX HASHES
+    (``md5_token_hash``), not strings — "dedup shuffles fingerprints,
+    not bodies" applies to the verify stage too. The pair joins drag
+    both members' shingle arrays through an id_b shuffle, so array
+    bytes ARE the stage: at sf10 (500k docs, 7.2M pairs) the string
+    form spent 194 s almost entirely in that shuffle (the intersect
+    added <1 s); 8-byte hash arrays ran the same verify in 30 s and
+    built the shingle table 3.4× faster (less to write into the
+    cache). |A∩B| over hashes equals the string count unless two
+    shingles of one pair collide in 60 bits (~1e-12 per pair) — and
+    the DuckDB oracles hash with the IDENTICAL md5 device, so
+    cross-engine parity is exact by construction even then.
     """
     # only shingle documents that appear in some candidate pair — the
     # expensive set materialization never touches the full corpus
@@ -455,12 +468,13 @@ def ngram_jaccard_pairs(
             f" i -> substring(_lt, i, {shingle_k}))"
         )
     )
+    hashed = F.array_distinct(F.transform(shingle, md5_token_hash))
     shingled = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
         .join(member_ids, "doc", "left_semi")
         .repartition(_compute_width(df), "doc")
         .select("doc", F.lower(F.col("_txt")).alias("_lt"))
-        .select("doc", shingle.alias("sh"))
+        .select("doc", hashed.alias("sh"))
         .select("doc", "sh", F.size("sh").alias("n_sh"))
     )
     if persist_fn is not None:

@@ -1052,11 +1052,24 @@ _SHINGLES_SQL = (
 )
 
 
+def _hashed_shingles_sql(inner: str) -> str:
+    """Hash a string shingle list to the distinct 60-bit md5-prefix
+    longs the Spark verify stage carries (dedup.md5_token_hash —
+    ngram_jaccard_pairs shuffles fingerprints, not text; the measured
+    sf10 anatomy is in its docstring). The IDENTICAL device on both
+    engines makes |A∩B|/|A∪B| parity exact by construction, even in
+    the ~1e-12-per-pair event of a 60-bit collision."""
+    return (
+        "list_distinct(list_transform(" + inner +
+        ", s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))"
+    )
+
+
 @register(
     "q37_ngram_jaccard",
     f"""
     WITH blocked AS (
-      SELECT doc_id, lang, source, n_chars // 16 AS blk, {_SHINGLES_SQL} AS sh
+      SELECT doc_id, lang, source, n_chars // 16 AS blk, {_hashed_shingles_sql(_SHINGLES_SQL)} AS sh
       FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2002,10 +2015,14 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT id_a, id_b,
-        list_distinct([substring(lower(ta), CAST(i AS INT), 9)
-                       for i in range(1, greatest(length(ta) - 8, 1) + 1)]) AS sa,
-        list_distinct([substring(lower(tb), CAST(i AS INT), 9)
-                       for i in range(1, greatest(length(tb) - 8, 1) + 1)]) AS sb
+        list_distinct(list_transform(
+          [substring(lower(ta), CAST(i AS INT), 9)
+           for i in range(1, greatest(length(ta) - 8, 1) + 1)],
+          s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sa,
+        list_distinct(list_transform(
+          [substring(lower(tb), CAST(i AS INT), 9)
+           for i in range(1, greatest(length(tb) - 8, 1) + 1)],
+          s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sb
       FROM pairs
     )
     SELECT id_a, id_b,
@@ -2468,10 +2485,14 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT id_a, id_b,
-        list_distinct([substring(lower(ta), CAST(i AS INT), 9)
-                       for i in range(1, greatest(length(ta) - 8, 1) + 1)]) AS sa,
-        list_distinct([substring(lower(tb), CAST(i AS INT), 9)
-                       for i in range(1, greatest(length(tb) - 8, 1) + 1)]) AS sb
+        list_distinct(list_transform(
+          [substring(lower(ta), CAST(i AS INT), 9)
+           for i in range(1, greatest(length(ta) - 8, 1) + 1)],
+          s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sa,
+        list_distinct(list_transform(
+          [substring(lower(tb), CAST(i AS INT), 9)
+           for i in range(1, greatest(length(tb) - 8, 1) + 1)],
+          s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sb
       FROM cand
     ),
     matched AS (
@@ -3093,10 +3114,14 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT new_id, old_id,
-        list_distinct([substring(lower(ta), CAST(i AS INT), 9)
-                       for i in range(1, greatest(length(ta) - 8, 1) + 1)]) AS sa,
-        list_distinct([substring(lower(tb), CAST(i AS INT), 9)
-                       for i in range(1, greatest(length(tb) - 8, 1) + 1)]) AS sb
+        list_distinct(list_transform(
+          [substring(lower(ta), CAST(i AS INT), 9)
+           for i in range(1, greatest(length(ta) - 8, 1) + 1)],
+          s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sa,
+        list_distinct(list_transform(
+          [substring(lower(tb), CAST(i AS INT), 9)
+           for i in range(1, greatest(length(tb) - 8, 1) + 1)],
+          s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sb
       FROM pairs
     )
     SELECT new_id, old_id,
@@ -5470,11 +5495,14 @@ def _q147_oracle() -> str:
       FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
       WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
     ),
+    shh AS (
+      SELECT doc_id, list_distinct(list_transform(shs, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS shs FROM sh
+    ),
     jac AS (
       SELECT cand.new_id, cand.old_id, {jac} AS j
       FROM cand
-      JOIN sh s1 ON s1.doc_id = cand.new_id
-      JOIN sh s2 ON s2.doc_id = cand.old_id
+      JOIN shh s1 ON s1.doc_id = cand.new_id
+      JOIN shh s2 ON s2.doc_id = cand.old_id
     )
     SELECT new_id, old_id, {floor_round6_sql("j")} AS jaccard
     FROM jac WHERE j >= 0.5
@@ -8808,10 +8836,14 @@ def _q187_oracle() -> str:
     ),
     sh AS (
       SELECT id_a, id_b,
-        list_distinct([substring(lower(ta), CAST(i AS INT), 9)
-                       for i in range(1, greatest(length(ta) - 8, 1) + 1)]) AS sa,
-        list_distinct([substring(lower(tb), CAST(i AS INT), 9)
-                       for i in range(1, greatest(length(tb) - 8, 1) + 1)]) AS sb
+        list_distinct(list_transform(
+          [substring(lower(ta), CAST(i AS INT), 9)
+           for i in range(1, greatest(length(ta) - 8, 1) + 1)],
+          s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sa,
+        list_distinct(list_transform(
+          [substring(lower(tb), CAST(i AS INT), 9)
+           for i in range(1, greatest(length(tb) - 8, 1) + 1)],
+          s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sb
       FROM cand
     ),
     matched AS (
@@ -10240,13 +10272,16 @@ def _q202_oracle() -> str:
       FROM capped a JOIN capped c
         ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
     ),
+    shh AS (
+      SELECT doc_id, list_distinct(list_transform(shs, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS shs FROM sh
+    ),
     j AS (
       SELECT cand.id_a, cand.id_b,
              len(list_intersect(s1.shs, s2.shs))
                / len(list_distinct(list_concat(s1.shs, s2.shs))) AS jaccard
       FROM cand
-      JOIN sh s1 ON s1.doc_id = cand.id_a
-      JOIN sh s2 ON s2.doc_id = cand.id_b
+      JOIN shh s1 ON s1.doc_id = cand.id_a
+      JOIN shh s2 ON s2.doc_id = cand.id_b
     ),
     lab AS (
       SELECT j.id_a, j.id_b, j.jaccard,
