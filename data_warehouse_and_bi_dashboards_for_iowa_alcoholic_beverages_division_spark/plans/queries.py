@@ -8998,7 +8998,7 @@ def _q188_oracle() -> str:
         ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
     ),
     fsh AS (
-      SELECT doc_id, length(text) AS L, {_SHINGLES_SQL} AS shs FROM corpus
+      SELECT doc_id, length(text) AS L, {_hashed_shingles_sql(_SHINGLES_SQL)} AS shs FROM corpus
     ),
     joined AS (
       SELECT cand.id_a, cand.id_b, fa.L AS la, fb.L AS lb,
@@ -9079,11 +9079,18 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into the pair join, which dominated the wall at 10x data. The
     # lowered text is projected BEFORE the shingle lambda — inlining
     # lower(text) in the transform re-evaluates it per element
-    # (measured 3x slower; same pitfall minhash_signatures documents)
+    # (measured 3x slower; same pitfall minhash_signatures documents).
+    # Sets are carried as distinct 60-bit md5-prefix hashes — the pair
+    # joins move |pairs| x array bytes, so 8 B/shingle, never text
+    # (ngram_jaccard_pairs' measured sf10 anatomy); the oracle hashes
+    # with the identical device, parity exact by construction
     shingle = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, greatest(length(lt) - 8, 1)),"
-            " i -> substring(lt, i, 9))"
+        F.transform(
+            F.expr(
+                "transform(sequence(1, greatest(length(lt) - 8, 1)),"
+                " i -> substring(lt, i, 9))"
+            ),
+            dedup.md5_token_hash,
         )
     )
     member_ids = (

@@ -121,6 +121,31 @@ def test_ngram_jaccard_values(spark):
     assert 0.5 < j.get((1, 3), j.get((2, 3), 0.0)) < 1.0
 
 
+def test_ngram_jaccard_matches_string_set_semantics(spark):
+    # the verify stage carries 60-bit md5-prefix hashes through the
+    # pair joins (fingerprints, not text — the measured sf10 shuffle
+    # anatomy in the operator docstring); values must still equal the
+    # plain string-set Jaccard (hashing is injective on any real set),
+    # and the fingerprint device must actually be in the plan so a
+    # refactor back to string arrays fails loudly
+    docs = _docs_df(spark)
+    rows = docs.select("doc_id", "text").collect()
+    def shingles(t):
+        t = t.lower()
+        n = max(len(t) - 8, 1)
+        return {t[i:i + 9] for i in range(n)}
+    sets = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    cands = minhash_lsh_candidates(docs, "doc_id")
+    out = ngram_jaccard_pairs(docs, cands, "doc_id")
+    assert "md5" in out._jdf.queryExecution().analyzed().toString(), (
+        "verify stage must fingerprint shingles (md5_token_hash), not ship strings"
+    )
+    for r in out.collect():
+        a, b = sets[r["id_a"]], sets[r["id_b"]]
+        want = len(a & b) / len(a | b)
+        assert abs(r["jaccard"] - want) < 1e-12, (r["id_a"], r["id_b"])
+
+
 def test_simhash_near_dup(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(_docs_df(spark), "doc_id", max_hamming=12).collect()}
     assert pairs.get((1, 2)) == 0, "identical text → identical simhash"
