@@ -10,12 +10,26 @@ Construction notes (what keeps the scale-up honest):
 - ``nation``/``region`` stay fixed (they are fixed-size dimensions at
   every TPC-H scale factor); customer/supplier nationkeys still
   resolve.
-- ``documents.text`` gets a per-shard word suffix (``w -> w x<i>``)
-  for shards > 0: shard i's corpus is shingle-disjoint from shard j's,
-  so near-dup PAIRS scale 10x (per-shard structure preserved exactly),
-  not 100x as verbatim copies would — verbatim duplication would turn
-  the dedup benchmarks into an every-doc-has-9-exact-dups stress test
-  instead of a scale-up of the sf0.1 distribution.
+- ``documents.text``: every word in shard i > 0 is split into <= 6
+  char chunks joined AND suffixed by a 3-char tag derived from
+  ``md5(word || shard)``. Two properties, each load-bearing:
+
+  * chunking bounds the longest run of unchanged characters at
+    chunk(6) + space(1) = 7 < 9, so no 9-char shingle of the ORIGINAL
+    text survives into any tagged shard (cross-shard disjointness up
+    to rare per-word tag collisions, ~1/256 per word — asserted below
+    to stay under 0.5%);
+  * the tag varies PER WORD. A fixed per-shard tag (both earlier
+    devices: ``w || 'x<i>'``, and chunking with a constant tag) turns
+    the tag into shard-wide BOILERPLATE — every doc in the shard
+    shares every tag shingle, within-shard Jaccard inflates, and
+    MinHash candidate pairs explode ~50x per shard (measured:
+    335 -> 182k pairs at 10 copies with the constant tag; a
+    pair-density stress test, not a scale-up). Deriving the tag from
+    the word makes two docs share a tag exactly when they already
+    share the word — the original similarity structure, so planted
+    near-dups stay near-dups and pair counts scale with the copy
+    count.
 - ``embeddings`` get a per-shard SIGNED PERMUTATION of dimensions
   (orthogonal ⇒ within-shard cosines preserved exactly, cross-shard
   cosines ~random): near-dup PAIR counts scale 10x like the
@@ -102,13 +116,24 @@ def main() -> None:
             f" user_id + {{i}} * {stride['user']} AS user_id,"
             " event_type, value, props FROM events"
         ),
+        # chunk(<=6) + per-word md5 tag join/suffix (module docstring):
+        # bounds unchanged runs at 7 chars AND injects no shard-wide
+        # boilerplate — tags repeat only where words already repeat
         "documents": shard_union(
             f"SELECT doc_id + {{i}} * {stride['doc']} AS doc_id,"
             " CASE WHEN {i} = 0 THEN text ELSE array_to_string("
-            "   list_transform(str_split(text, ' '), w -> w || 'x{i}'), ' ') END AS text,"
+            "   list_transform(str_split(text, ' '),"
+            "     w -> array_to_string("
+            "            [substring(w, (c-1)*6 + 1, 6) || 'x' || substr(md5(w || 's{i}'), 1, 2)"
+            "             for c in range(1, CAST(greatest(ceil(length(w)/6.0), 1) AS INT) + 1)],"
+            "            '')), ' ') END AS text,"
             " lang, source,"
             " CASE WHEN {i} = 0 THEN n_chars ELSE CAST(length(array_to_string("
-            "   list_transform(str_split(text, ' '), w -> w || 'x{i}'), ' ')) AS BIGINT)"
+            "   list_transform(str_split(text, ' '),"
+            "     w -> array_to_string("
+            "            [substring(w, (c-1)*6 + 1, 6) || 'x' || substr(md5(w || 's{i}'), 1, 2)"
+            "             for c in range(1, CAST(greatest(ceil(length(w)/6.0), 1) AS INT) + 1)],"
+            "            '')), ' ')) AS BIGINT)"
             " END AS n_chars"
             " FROM documents"
         ),
@@ -138,6 +163,32 @@ def main() -> None:
         con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
         n = q(con, f"SELECT count(*) FROM '{dst}'")
         print(f"{t}: {n} rows -> {dst}")
+
+    # the disjointness CONTRACT, asserted on the artifact itself: the
+    # 9-char shingles a shard-0 doc shares with its shard-1 twin (the
+    # strongest leak channel — same source text) must stay under 0.5%
+    # of the twin's shingles. Zero is unreachable by design: per-word
+    # tags collide across shards w.p. ~1/256 per word; what matters is
+    # that the leak stays far below any near-dup threshold so decade
+    # pair counts track planted structure, not the device.
+    if args.copies > 1:
+        ndoc = stride["doc"]
+        shared, total = con.execute(
+            f"""
+            WITH d AS (SELECT doc_id, lower(text) AS t FROM '{args.out}/documents.parquet'),
+            s0 AS (SELECT doc_id, unnest(list_distinct(
+                     [substring(t, CAST(i AS INT), 9) for i in range(1, greatest(length(t) - 8, 1) + 1)])) AS g
+                   FROM d WHERE doc_id < {ndoc}),
+            s1 AS (SELECT doc_id - {ndoc} AS doc_id, unnest(list_distinct(
+                     [substring(t, CAST(i AS INT), 9) for i in range(1, greatest(length(t) - 8, 1) + 1)])) AS g
+                   FROM d WHERE doc_id >= {ndoc} AND doc_id < 2 * {ndoc})
+            SELECT (SELECT count(*) FROM s0 JOIN s1 USING (doc_id, g)),
+                   (SELECT count(*) FROM s1)
+            """
+        ).fetchone()
+        frac = shared / max(total, 1)
+        assert frac < 0.005, f"cross-shard shingle leak {frac:.2%} ({shared}/{total})"
+        print(f"disjointness check: twin-shared 9-grams = {frac:.4%} (< 0.5% contract)")
 
 
 if __name__ == "__main__":
