@@ -73,3 +73,43 @@ def test_dedup_empty(spark):
     assert exact_dedup_keys(docs, "doc_id").count() == 0
     assert minhash_lsh_candidates(docs, "doc_id").count() == 0
     assert simhash_near_dup_pairs(docs, "doc_id").count() == 0
+
+
+def test_jaccard_verify_empty(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame([], DOC_SCHEMA)
+    pairs = spark.createDataFrame(
+        [], StructType([StructField("id_a", LongType()), StructField("id_b", LongType())])
+    )
+    out = ngram_jaccard_pairs(docs, pairs, "doc_id")
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+    assert out.count() == 0
+
+
+def test_quantile_thresholds_empty(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.quantiles import (
+        exact_rank_thresholds,
+        rank_targets,
+    )
+
+    vals = spark.createDataFrame([], StructType([StructField("v", LongType())]))
+    th = exact_rank_thresholds(vals, "v", rank_targets(vals, 4), widths=[10, 1])
+    # zero rows → every target rank is 0 → no threshold can be located;
+    # the quiet-day contract is an empty result with the right schema
+    assert th.columns == ["d", "target_rank", "t"]
+    assert th.count() == 0
+
+
+def test_derived_n_cells_degenerate():
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        derived_n_cells,
+    )
+
+    # empty/tiny corpora must still yield a sane quantizer capacity
+    # (the floor), never 0 or a negative shift
+    assert derived_n_cells(0) == 4
+    assert derived_n_cells(1) == 4
+    assert derived_n_cells(2) == 4
