@@ -11055,3 +11055,78 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# =====================================================================
+# Corpus snapshot diff — the version-over-version change audit every
+# periodically-rebuilt training corpus needs before shipping: what was
+# added, removed, edited, untouched — per source, from fingerprints.
+# =====================================================================
+
+@register(
+    "q210_corpus_diff",
+    r"""
+    WITH old AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+      FROM documents WHERE doc_id % 13 <> 0
+    ),
+    new AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END
+             ), '\s+', ' ', 'g'))) AS f
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    diff AS (
+      SELECT COALESCE(new.source, old.source) AS source,
+             CASE WHEN old.f IS NULL THEN 'added'
+                  WHEN new.f IS NULL THEN 'removed'
+                  WHEN old.f = new.f THEN 'unchanged'
+                  ELSE 'modified' END AS status
+      FROM old FULL OUTER JOIN new USING (doc_id)
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM diff GROUP BY source, status
+    """,
+    "Corpus snapshot diff: two corpus versions (simulated as modulus "
+    "slices with planted edits) compared per document by NORMALIZED-"
+    "TEXT FINGERPRINT into added/removed/modified/unchanged counts per "
+    "source - the pre-ship audit of a periodically-rebuilt training "
+    "corpus (an unexpected mass 'modified' or 'removed' row is the "
+    "canary for an upstream extraction regression). 100 TB shape: "
+    "only (doc_id, source, 16-byte md5) ever shuffles - text never "
+    "moves; one co-partitioned full-outer join on doc_id + one "
+    "partial-aggregated count. With both versions stored bucketed by "
+    "doc_id the join is shuffle-free",
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    def fp(text_col: Column) -> Column:
+        return F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+
+    old = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id", F.col("source").alias("src_old"), fp(F.col("text")).alias("f_old")
+    )
+    new = docs.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.col("source").alias("src_new"),
+        fp(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text"))
+        ).alias("f_new"),
+    )
+    status = (
+        F.when(F.col("f_old").isNull(), F.lit("added"))
+        .when(F.col("f_new").isNull(), F.lit("removed"))
+        .when(F.col("f_old") == F.col("f_new"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(F.coalesce("src_new", "src_old").alias("source"), status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
