@@ -983,3 +983,65 @@ def test_jaccard_verify_shingles_outside_lambda_lower(q):
             "shingle lambda must substring a pre-lowered column, not "
             "re-evaluate lower(text) per element"
         )
+
+
+# ---------------------------------------------------------------------
+# Registry-wide unpartitioned-window audit. An unpartitioned window is
+# Spark's single-partition funnel — every input row through ONE task —
+# so each one in the registry must be a conscious, documented decision.
+# Two legitimate classes: (a) deliberate exact global ntile contracts
+# that carry a window-free 100 TB twin (q204/q206/q207), and (b)
+# windows whose INPUT is bounded by construction (bin vectors, top-k
+# lists, per-partition count tables), where the funnel holds a few
+# hundred rows at any corpus size. A new query sneaking a corpus-scale
+# global window in must show up here and be either fixed or allowlisted
+# with its reason.
+# ---------------------------------------------------------------------
+
+UNPARTITIONED_WINDOW_CARRIERS = {
+    # deliberate exact-global-ntile contracts, each naming its twin
+    "q94_balance_deciles": "exact global ntile; window-free twin q204",
+    "q171_length_bucketed_batches": "exact global ntile; window-free twin q207",
+    "q184_rfm_segments": "exact RFM ntile x3; window-free twin q206",
+    # input-bounded by construction
+    "q97_dense_ids": "prefix sum over the #partitions-row counts table",
+    "q164_histogram_quantiles": "quantile walk over the ~120-row bin vector",
+    "q166_hybrid_rrf": "rank fusion over two bounded top-k lists",
+    "q140_benford_digits": "shares over the 9 leading-digit rows",
+    "q176_zipf_fit": "rank over the vocabulary table (vocab-bounded)",
+    "q91_top_supplier": "scalar MAX window over the small aggregate",
+    "q200_ivf_occupancy": "shares/skew over the n_cells-row cell table",
+}
+
+
+def _unpartitioned_window_count(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        first = plan[m.end():m.end() + 200].split(",", 1)[0]
+        if first.startswith("specifiedwindowframe") or " ASC" in first or " DESC" in first:
+            n += 1
+    return n
+
+
+def test_registry_unpartitioned_windows_are_allowlisted(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        release_persisted,
+    )
+
+    reg = registry()
+    offenders, stale = [], []
+    for name, spec in reg.items():
+        n = _unpartitioned_window_count(spec.fn(spark, SF_DIR))
+        release_persisted()
+        if n and name not in UNPARTITIONED_WINDOW_CARRIERS:
+            offenders.append(f"{name}: {n} unpartitioned window(s)")
+        if not n and name in UNPARTITIONED_WINDOW_CARRIERS:
+            stale.append(name)
+    assert not offenders, (
+        "unpartitioned (single-partition) windows outside the allowlist — "
+        "either route through the window-free twins (quantiles.py / q207's "
+        "interval device) or allowlist WITH a boundedness reason:\n"
+        + "\n".join(offenders)
+    )
+    assert not stale, f"allowlist entries no longer carrying a window: {stale}"
