@@ -1014,8 +1014,37 @@ UNPARTITIONED_WINDOW_CARRIERS = {
 }
 
 
-def _unpartitioned_window_count(df) -> int:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+# Arrow/Python evaluation is the slow path; it is the DESIGN only where
+# the work is inherently Python (media codecs). Anything else in Python
+# is a hot-path regression.
+PYTHON_EVAL_CARRIERS = {
+    "q45_media_features": "Arrow mapInPandas media feature extraction (codec work is Python by nature)",
+    "q70_frame_sample": "Arrow mapInPandas frame sampling",
+    "q71_media_resize": "Arrow mapInPandas payload resize",
+}
+
+_PY_NODES = (
+    "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+    "FlatMapGroupsInPandas", "PythonUDTF", "MapInArrow",
+)
+
+
+@pytest.fixture(scope="module")
+def registry_plans(spark):
+    """One walk over every registered query's executed plan — shared by
+    the registry-wide audits below (the walk dominates their cost)."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        release_persisted,
+    )
+
+    plans = {}
+    for name, spec in registry().items():
+        plans[name] = spec.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        release_persisted()
+    return plans
+
+
+def _unpartitioned_window_count(plan: str) -> int:
     n = 0
     for m in re.finditer(r"windowspecdefinition\(", plan):
         first = plan[m.end():m.end() + 200].split(",", 1)[0]
@@ -1024,16 +1053,10 @@ def _unpartitioned_window_count(df) -> int:
     return n
 
 
-def test_registry_unpartitioned_windows_are_allowlisted(spark):
-    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
-        release_persisted,
-    )
-
-    reg = registry()
+def test_registry_unpartitioned_windows_are_allowlisted(registry_plans):
     offenders, stale = [], []
-    for name, spec in reg.items():
-        n = _unpartitioned_window_count(spec.fn(spark, SF_DIR))
-        release_persisted()
+    for name, plan in registry_plans.items():
+        n = _unpartitioned_window_count(plan)
         if n and name not in UNPARTITIONED_WINDOW_CARRIERS:
             offenders.append(f"{name}: {n} unpartitioned window(s)")
         if not n and name in UNPARTITIONED_WINDOW_CARRIERS:
@@ -1045,3 +1068,27 @@ def test_registry_unpartitioned_windows_are_allowlisted(spark):
         + "\n".join(offenders)
     )
     assert not stale, f"allowlist entries no longer carrying a window: {stale}"
+
+
+def test_registry_has_zero_cartesian_products(registry_plans):
+    # a CartesianProduct is |left| x |right| work AND memory with no
+    # key to partition on — there is no corpus size at which one is
+    # acceptable in this registry (bounded scalar cross joins plan as
+    # BroadcastNestedLoopJoin, which is allowed)
+    offenders = [n for n, p in registry_plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_registry_python_eval_only_in_media_queries(registry_plans):
+    offenders, stale = [], []
+    for name, plan in registry_plans.items():
+        nodes = [nd for nd in _PY_NODES if nd in plan]
+        if nodes and name not in PYTHON_EVAL_CARRIERS:
+            offenders.append(f"{name}: {nodes}")
+        if not nodes and name in PYTHON_EVAL_CARRIERS:
+            stale.append(name)
+    assert not offenders, (
+        "Python/Arrow evaluation outside the media allowlist — rewrite "
+        "with built-in Column expressions (the JVM path):\n" + "\n".join(offenders)
+    )
+    assert not stale, f"allowlist entries no longer using Python eval: {stale}"
