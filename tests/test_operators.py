@@ -598,3 +598,38 @@ def test_spread_narrow_scan_widens_only_when_narrow(spark, tmp_path):
         spread = _spread_narrow_scan(unshaped, "doc")
         assert spread is not unshaped
         assert spread.rdd.getNumPartitions() == width
+
+
+def test_ivfpq_recall_tracks_code_capacity(spark):
+    """The q209 accept-gate must DISCRIMINATE: more PQ code capacity
+    (subspaces x codebook size) must buy recall on the clustered
+    synthetic embeddings, and the toy demonstration config (m=2,
+    pq_k=4 - 16 distinct code pairs for the whole corpus) must be
+    visibly lossy. This pins the measurement's direction, not exact
+    values (the driver regenerates testdata). The ceiling is the
+    probe budget: n_probe=3 of 8 cells bounds recall for ANY codebook,
+    which is why the richest config here still sits well under 1.0."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+        similarity,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.where("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, qs, k=10).collect()
+    }
+
+    def recall(m, pq_k):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivfpq_topk(emb, qs, k=10, m=m, pq_k=pq_k).collect()
+        }
+        return len(approx & exact)
+
+    toy, mid, rich = recall(2, 4), recall(4, 16), recall(8, 16)
+    assert toy <= mid <= rich, f"recall must track code capacity: {toy}, {mid}, {rich}"
+    assert rich > toy, "richer codebooks must measurably beat the toy config"
