@@ -239,6 +239,59 @@ def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     return F.element_at(F.transform(F.array(norm_expr(F.col(vec_col))), entries), 1)
 
 
+# Above this count, the literal-fold device stops being the right
+# encoding: its expression tree is n_cells x dim literal nodes (x every
+# consumer), so a derived sqrt(N) capacity (q208: 256 cells at 20k
+# vectors, 4096 at the cap) would spend minutes in Catalyst analysis
+# before any execution. The broadcast-join formulation scales in
+# n_cells with a constant-size plan.
+_ASSIGN_JOIN_THRESHOLD = 16
+
+
+def with_assigned_cell(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "cell"
+) -> DataFrame:
+    """Append ``out_col`` = argmax-cosine cell id for every row.
+
+    Two encodings, IDENTICAL values and tiebreaks (score is
+    floor_round6(dot/(row_norm * centroid_norm)); ties pick the
+    highest cell id):
+
+    - ``n_cells <= _ASSIGN_JOIN_THRESHOLD``: the literal-fold
+      expression (:func:`_argmax_cell_expr`) — zero shuffle, the right
+      shape for a handful of cells.
+    - larger: broadcast the (cell, cvec, cnorm) table, score each
+      (row x cell) pair, reduce with a map-side partial ``max`` of the
+      (score, cell) struct grouped by the row — the broadcast join
+      keeps every candidate row of one input row in the same
+      partition, so the partial aggregate collapses them BEFORE any
+      exchange and the shuffle carries one row per input row. Plan
+      size is constant in n_cells; centroid norms ride the broadcast
+      table instead of being literals.
+
+    Rows must be unique (every caller passes an id-keyed frame) — the
+    join path groups by the row's columns to reduce the argmax."""
+    if len(centroids) <= _ASSIGN_JOIN_THRESHOLD:
+        return df.withColumn(out_col, _argmax_cell_expr(vec_col, centroids))
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c], _py_norm(c)) for i, c in enumerate(centroids)],
+        "_cell INT, _cvec ARRAY<DOUBLE>, _cnorm DOUBLE",
+    )
+    score = floor_round6(
+        dot_expr(F.col(vec_col), F.col("_cvec")) / (F.col("_nv") * F.col("_cnorm"))
+    )
+    cols = df.columns
+    return (
+        df.withColumn("_nv", norm_expr(F.col(vec_col)))
+        .join(F.broadcast(cent))
+        .select(*cols, F.struct(score.alias("s"), F.col("_cell").alias("c")).alias("_sc"))
+        .groupBy(*cols)
+        .agg(F.max("_sc").alias("_best"))
+        .select(*cols, F.col("_best")["c"].alias(out_col))
+    )
+
+
 def _lloyd_dim_means(assigned: DataFrame) -> list:
     """Per-(cell, dim) Lloyd-step mean with ORDER-PINNED summation:
     contributions fold in vector-id order via
@@ -322,10 +375,10 @@ def ivf_train_centroids(
 
     work = _spread_narrow_scan(corpus, id_col)
     for _ in range(iters):
-        assigned = work.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            _argmax_cell_expr(vec_col, centroids).alias("cell"),
+        assigned = with_assigned_cell(
+            work.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            "v",
+            centroids,
         )
         means = _lloyd_dim_means(assigned)
         # the canonical floor_round6 formula, NOT Python round(): round()
@@ -359,11 +412,14 @@ def cosine_topk_ivf(
     batches never reshuffle the corpus."""
     centroids = ivf_train_centroids(corpus, id_col, vec_col, n_cells, iters)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_expr(F.col(vec_col)).alias("cn"),
-        _argmax_cell_expr(vec_col, centroids).alias("cell"),
+    c = with_assigned_cell(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_expr(F.col(vec_col)).alias("cn"),
+        ),
+        "c_vec",
+        centroids,
     )
 
     # rank cells per query and keep the n_probe best
@@ -413,8 +469,8 @@ def build_ivf_index(
     rescanning or reshuffling the corpus."""
     spark = corpus.sparkSession
     centroids = ivf_train_centroids(corpus, id_col, vec_col, n_cells, iters)
-    corpus.select(
-        F.col(id_col), F.col(vec_col), _argmax_cell_expr(vec_col, centroids).alias("cell")
+    with_assigned_cell(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell INT, centroid ARRAY<DOUBLE>"
@@ -503,8 +559,8 @@ def append_to_ivf_index(
     if skip_existing_ids:
         existing = spark.read.parquet(path).select(F.col(id_col))
         batch = batch.join(existing, on=id_col, how="left_anti")
-    batch.select(
-        F.col(id_col), F.col(vec_col), _argmax_cell_expr(vec_col, centroids).alias("cell")
+    with_assigned_cell(
+        batch.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
     ).write.mode("append").partitionBy("cell").parquet(path)
     if batch_token is not None:
         spark.createDataFrame([(batch_token,)], "token STRING").write.mode("append").parquet(
@@ -867,12 +923,19 @@ def ivfpq_topk(
     books = pq_train(corpus, id_col, vec_col, m, pq_k, iters, dim)
     dsub = dim // m
 
-    codes = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _argmax_cell_expr(vec_col, centroids).alias("cell"),
+    codes = with_assigned_cell(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_v"),
+        ),
+        "_v",
+        centroids,
+    ).select(
+        "neighbor_id",
+        "cell",
         *[
             _argmin_cell_expr(
-                F.slice(F.col(vec_col), s * dsub + 1, dsub), books[s]
+                F.slice(F.col("_v"), s * dsub + 1, dsub), books[s]
             ).alias(f"code_{s}")
             for s in range(m)
         ],

@@ -51,3 +51,40 @@ def test_pq_codebooks_invariant_under_repartitioning(spark):
         "PQ codebooks changed under a different partitioning — same "
         "boundary class as the IVF tripwire above"
     )
+
+
+def test_assignment_join_path_matches_literal_path(spark):
+    """with_assigned_cell has two encodings (literal folds vs
+    broadcast-join partial-max) chosen by centroid count; they must be
+    BIT-IDENTICAL on the same centroids — same floor_round6 scores,
+    same highest-cell tiebreak — or the derived-capacity path (q208)
+    silently diverges from the oracles the small-cell path verified."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        _ASSIGN_JOIN_THRESHOLD,
+        _argmax_cell_expr,
+        ivf_train_centroids,
+        with_assigned_cell,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_cells = _ASSIGN_JOIN_THRESHOLD + 4  # forces the join encoding
+    cents = ivf_train_centroids(emb, n_cells=n_cells, iters=1)
+    via_join = {
+        r["vec_id"]: r["cell"]
+        for r in with_assigned_cell(
+            emb.select("vec_id", "embedding"), "embedding", cents
+        ).collect()
+    }
+    via_literal = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", _argmax_cell_expr("embedding", cents).alias("cell")
+        ).collect()
+    }
+    assert via_join == via_literal
+    assert len(set(via_join.values())) > 1, "degenerate assignment"
