@@ -146,36 +146,56 @@ def register(name: str, oracle: str | None, description: str = ""):
 # losing SURVEY §2 coverage: every swapped-out query's §2 row is still
 # covered by another window slot (q03→q30 for P10, q09→q25 for O3,
 # q15→q14 for U3, q24→q23/q25-q28 for A5, q49→q20/q28 for F4/#6).
-# Swapped-in round 7: the portable MinHash pipeline, RFM segmentation,
-# cluster canonicalization, leakage-safe split, and the new
-# distributed-percentile twin — five of the heaviest beyond-reference
-# operators now get driver-side value checks.
-# Swapped-in round 8 (cumulative — round-7 entries stay in-window):
-# every query NEW or REWRITTEN this round rides the driver hash gate
-# the round it changes: the window-free batching twin (q207), the
-# derived-capacity IVF (q208), IVFPQ recall (q209), the RFM quantile
-# composition (q206, never driver-checked), and the two rewrites
-# (q195 window-free global ranks, q186 window-free smoothing).
-# Swapped out, each with its §2 row still in-window: q18 (P7 → q51),
-# q28 (F4 → q20), q27 (A5 → q23/q26), q11 (W2 → q21, W3 → q43),
-# q32/q33 (text family → q31/q34; both accumulated driver passes in
-# the r1-r7 windows).
+# Round-9 rotation (aggressive — the r08 verdict's #1 ask): the r07/r08
+# swap-ins (q146 q184 q187 q196 q204 q206 q207 q208 q209 q195 q186) all
+# accumulated driver-hash passes, so ALL of them rotate back out and 23
+# never-driver-checked queries take window slots. Cumulative distinct
+# driver-checked queries: 64 through r08 → 87 if this window goes green.
+# Per-swap §2-family coverage (out → anchor that stays in-window):
+#   q03 (P10 → q30)          q09 (O3 → q143-in, q10)
+#   q15 (U3 → q14)           q24 (A5 → q23)
+#   q49/q28 (F4 → q20)       q18 (P7 → q51)
+#   q27 (A5 → q23)           q11 (W2 → q21; W3 → q43)
+#   q32/q33/q31 (text → q34) q04 (J1 → q58-in, q05, q23)
+#   q25 (O3/A5 → q143-in, q23)  q26 (rollup → q55-in cube, q23)
+#   q37 (Jaccard verify → q147-in, same shared pipeline)
+#   q40 (embed near-dup → q190-in, q38)  q41 (events agg → q66-in, q43)
+#   q42 (no dedicated §2 row; F2 → q47)  q44 (pivot → q123-in unpivot)
+#   q46 (multimodal → q45, q151-in)      q52 (gsets → q141-in, q55-in)
+#   q53 (W running sum → q64-in, q10, q43)
+# q05 (sole J3 left-outer anchor), q06 (sole J4 anti), q07 (sole semi),
+# q08 (sole J7 cross) stay — no other window slot covers those rows.
+# ADVICE r08 items land in-window this round: q210_corpus_diff (new in
+# r8, never value-verified externally) and the hashed-shingle rewrites
+# q145/q147 (Spark+oracle changed in lockstep in r8 — now driver-gated).
 # The ACTIVE window is emitted in every bench run ("driver_window" in
 # bench.py's JSON) so externally-reported verification coverage is
 # auditable round over round without reading this file.
 # ---------------------------------------------------------------------
 _WINDOW_SWAPS: list[tuple[str, str]] = [
-    ("q03_distinct", "q146_minhash_portable"),
-    ("q09_topn_parts", "q184_rfm_segments"),
-    ("q15_intersect", "q187_cluster_canonical"),
-    ("q24_star_month", "q196_leakage_safe_split"),
-    ("q49_date_horizon", "q204_decile_thresholds"),
-    ("q18_null_fill_geo", "q207_batch_padding_distributed"),
-    ("q28_season", "q208_ivf_derived_cells"),
-    ("q27_kpi_totals", "q209_ivfpq_recall"),
-    ("q11_order_gaps", "q206_rfm_distributed"),
-    ("q32_text_quality", "q195_quantile_norm"),
-    ("q33_lang_id", "q186_exp_smoothing"),
+    ("q03_distinct", "q84_dedup_clusters"),
+    ("q09_topn_parts", "q143_topn_with_ties"),
+    ("q15_intersect", "q131_table_diff"),
+    ("q24_star_month", "q73_sql_text_star"),
+    ("q49_date_horizon", "q122_gap_fill"),
+    ("q18_null_fill_geo", "q65_constraint_checks"),
+    ("q28_season", "q133_yoy_growth"),
+    ("q27_kpi_totals", "q132_revenue_share"),
+    ("q11_order_gaps", "q59_next_later_date"),
+    ("q32_text_quality", "q120_quality_classifier"),
+    ("q33_lang_id", "q127_char_entropy"),
+    ("q04_join_inner_agg", "q58_compound_join"),
+    ("q25_topn_vendors", "q91_top_supplier"),
+    ("q26_rollup_geo", "q55_cube"),
+    ("q31_token_stats", "q145_simhash_md5"),
+    ("q37_ngram_jaccard", "q147_incremental_portable"),
+    ("q40_embedding_near_dup", "q190_semantic_dedup"),
+    ("q41_events_hourly", "q66_session_window"),
+    ("q42_json_props", "q210_corpus_diff"),
+    ("q44_pivot", "q123_unpivot"),
+    ("q46_media_metadata", "q151_resize_text_twin"),
+    ("q52_grouping_sets", "q141_grouping_id"),
+    ("q53_running_total", "q64_moving_window"),
 ]
 
 
