@@ -6,6 +6,17 @@
 
 Each query is forced to full materialization with the `noop` sink
 (no driver collect cost, no output I/O cost — pure plan execution).
+
+Since round 9 every reported number is a PER-QUERY MEDIAN across
+repeated runs (HEADLINE_REPS for the headline list, HEAVY_REPS for the
+heavy tail), because BASELINE.md's round-8 spread study measured
+±2-3x single-shot variance on sub-second queries — single shots were
+manufacturing phantom regressions for the round-over-round compare.
+Reps are interleaved round-robin (run the whole list, repeat) so a
+transient box-wide stall inflates at most one rep of each query rather
+than every rep of one query. "queries" carries the medians (same
+shape as before, so cross-round totals stay comparable); "stats"
+carries {median, min, max} per query for spread inspection.
 """
 
 from __future__ import annotations
@@ -13,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -57,6 +69,11 @@ HEAVY = [
     "q202_source_overlap",
 ]
 
+# Rep counts per the round-8 verdict ask (>=5 headline, >=3 heavy);
+# overridable for quick local iteration (SPARK_GRAFT_BENCH_REPS=1).
+HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+HEAVY_REPS = min(HEADLINE_REPS, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPS", "3")))
+
 
 def main() -> None:
     from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark import get_spark
@@ -73,17 +90,27 @@ def main() -> None:
     for warm in ("q01_pricing_summary", "q23_star_weekday"):
         reg[warm].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
 
-    def run_list(names: list[str]) -> dict[str, float]:
-        t: dict[str, float] = {}
-        for name in names:
-            t0 = time.time()
-            reg[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            t[name] = round(time.time() - t0, 3)
-            release_persisted()  # free tracked caches between queries
-        return t
+    def run_list(names: list[str], reps: int) -> dict[str, dict[str, float]]:
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(reps):
+            for name in names:
+                t0 = time.time()
+                reg[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+                samples[name].append(time.time() - t0)
+                release_persisted()  # free tracked caches between queries
+        return {
+            n: {
+                "median": round(statistics.median(s), 3),
+                "min": round(min(s), 3),
+                "max": round(max(s), 3),
+            }
+            for n, s in samples.items()
+        }
 
-    timings = run_list(HEADLINE)
-    heavy = run_list(HEAVY)
+    headline_stats = run_list(HEADLINE, HEADLINE_REPS)
+    heavy_stats = run_list(HEAVY, HEAVY_REPS)
+    timings = {n: s["median"] for n, s in headline_stats.items()}
+    heavy = {n: s["median"] for n, s in heavy_stats.items()}
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -96,6 +123,9 @@ def main() -> None:
                 "queries": timings,
                 "heavy_total": round(sum(heavy.values()), 3),
                 "heavy_queries": heavy,
+                # per-query spread behind the medians above
+                "stats": {**headline_stats, **heavy_stats},
+                "reps": {"headline": HEADLINE_REPS, "heavy": HEAVY_REPS},
                 "sf": sf,
                 # the ACTIVE driver-checked window (first 50 of the
                 # rotated registration order) — recorded per-round so

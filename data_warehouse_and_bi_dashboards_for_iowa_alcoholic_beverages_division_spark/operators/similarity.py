@@ -260,35 +260,48 @@ def with_assigned_cell(
     - ``n_cells <= _ASSIGN_JOIN_THRESHOLD``: the literal-fold
       expression (:func:`_argmax_cell_expr`) — zero shuffle, the right
       shape for a handful of cells.
-    - larger: broadcast the (cell, cvec, cnorm) table, score each
-      (row x cell) pair, reduce with a map-side partial ``max`` of the
-      (score, cell) struct grouped by the row — the broadcast join
-      keeps every candidate row of one input row in the same
-      partition, so the partial aggregate collapses them BEFORE any
-      exchange and the shuffle carries one row per input row. Plan
-      size is constant in n_cells; centroid norms ride the broadcast
-      table instead of being literals.
-
-    Rows must be unique (every caller passes an id-keyed frame) — the
-    join path groups by the row's columns to reduce the argmax."""
+    - larger: ship the whole centroid table as ONE broadcast
+      array-of-structs column (a single-row BroadcastNestedLoopJoin —
+      every partition of ``df`` receives the one centroid row, nothing
+      of ``df`` moves) and reduce per input row with the exact
+      ``transform``/``array_max`` device of :func:`_argmax_cell_expr`,
+      just reading (cvec, cnorm, c) from the broadcast array instead
+      of plan literals. MAP-ONLY: no exchange of the vector table at
+      all (the round-8 formulation broadcast-joined the flat centroid
+      table but then ``groupBy``-ed every input column to reduce the
+      argmax — one full vector-table shuffle per assignment pass, i.e.
+      per Lloyd iteration and per probe at 100 TB; it also silently
+      collapsed duplicate input rows, the r08 ADVICE hazard — both
+      gone here because nothing aggregates across rows). Plan size is
+      constant in n_cells; the row norm is bound once via the
+      single-element-transform `let` (HOFs have no codegen CSE)."""
     if len(centroids) <= _ASSIGN_JOIN_THRESHOLD:
         return df.withColumn(out_col, _argmax_cell_expr(vec_col, centroids))
     spark = df.sparkSession
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c], _py_norm(c)) for i, c in enumerate(centroids)],
-        "_cell INT, _cvec ARRAY<DOUBLE>, _cnorm DOUBLE",
+    cent1 = spark.createDataFrame(
+        [([(i, [float(x) for x in c], _py_norm(c)) for i, c in enumerate(centroids)],)],
+        "_cents ARRAY<STRUCT<c: INT, cvec: ARRAY<DOUBLE>, cnorm: DOUBLE>>",
     )
-    score = floor_round6(
-        dot_expr(F.col(vec_col), F.col("_cvec")) / (F.col("_nv") * F.col("_cnorm"))
-    )
+
+    def best(nv: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                F.col("_cents"),
+                lambda e: F.struct(
+                    floor_round6(
+                        dot_expr(F.col(vec_col), e["cvec"]) / (nv * e["cnorm"])
+                    ).alias("s"),
+                    e["c"].alias("c"),
+                ),
+            )
+        )["c"]
+
     cols = df.columns
-    return (
-        df.withColumn("_nv", norm_expr(F.col(vec_col)))
-        .join(F.broadcast(cent))
-        .select(*cols, F.struct(score.alias("s"), F.col("_cell").alias("c")).alias("_sc"))
-        .groupBy(*cols)
-        .agg(F.max("_sc").alias("_best"))
-        .select(*cols, F.col("_best")["c"].alias(out_col))
+    return df.crossJoin(F.broadcast(cent1)).select(
+        *cols,
+        F.element_at(F.transform(F.array(norm_expr(F.col(vec_col))), best), 1).alias(
+            out_col
+        ),
     )
 
 

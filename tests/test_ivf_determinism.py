@@ -88,3 +88,21 @@ def test_assignment_join_path_matches_literal_path(spark):
     }
     assert via_join == via_literal
     assert len(set(via_join.values())) > 1, "degenerate assignment"
+
+    # r09 plan pin: the above-threshold encoding must be MAP-ONLY —
+    # the centroid array rides a single-row BroadcastExchange and the
+    # vector table never moves. Any other Exchange (the r08 version
+    # groupBy-ed every input column, shuffling the full vector table
+    # once per assignment pass) is a regression at Lloyd/probe scale.
+    assigned = with_assigned_cell(emb.select("vec_id", "embedding"), "embedding", cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert not exchanges, f"vector-table exchange in assignment stage:\n{plan}"
+
+    # r08 ADVICE: the old groupBy reduction silently collapsed
+    # duplicate input rows; the per-row reduction must preserve them.
+    dup = emb.select("vec_id", "embedding").limit(3)
+    doubled = dup.unionAll(dup)
+    assert with_assigned_cell(doubled, "embedding", cents).count() == 6
