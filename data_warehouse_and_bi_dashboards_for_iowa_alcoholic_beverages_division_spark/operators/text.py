@@ -12,7 +12,7 @@ in ``plans/queries.py``.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 # Words whose presence marks English text — tiny stopword head-list,
 # shared verbatim with the DuckDB oracle regex.
@@ -171,4 +171,41 @@ def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text", leve
 
     return docs.select(id_col, text_col).mapInPandas(
         batches, schema=f"{id_col} long, raw_bytes long, compressed_bytes long, ratio double"
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-source change audit between two corpus snapshots, each given
+    as (id, source, f) triples where ``f`` is the normalized-text
+    fingerprint (:func:`fingerprint_expr`): counts of added / removed /
+    modified / unchanged documents per source (the q210 contract).
+
+    100 TB shape: callers fingerprint BEFORE calling, so only
+    (id, source, 16-byte md5) ever reaches the full-outer join — text
+    never moves. With both snapshots stored bucketed on ``id_col``
+    (``sources.bucketing.write_bucketed``) the join itself is
+    SHUFFLE-FREE: both bucketed scans satisfy the join's required
+    hash-partitioning, so the only exchange left in the whole query is
+    the tiny partial-aggregated (source, status) count — pinned by
+    tests/test_bucketing.py::test_snapshot_diff_bucketed_join_no_shuffle.
+    """
+    o = old.select(
+        id_col, F.col("source").alias("_src_old"), F.col("f").alias("_f_old")
+    )
+    n = new.select(
+        id_col, F.col("source").alias("_src_new"), F.col("f").alias("_f_new")
+    )
+    status = (
+        F.when(F.col("_f_old").isNull(), F.lit("added"))
+        .when(F.col("_f_new").isNull(), F.lit("removed"))
+        .when(F.col("_f_old") == F.col("_f_new"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            F.coalesce("_src_new", "_src_old").alias("source"), status.alias("status")
+        )
+        .groupBy("source", "status")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
     )

@@ -11127,26 +11127,15 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
 
     old = docs.where(F.col("doc_id") % 13 != 0).select(
-        "doc_id", F.col("source").alias("src_old"), fp(F.col("text")).alias("f_old")
+        "doc_id", "source", fp(F.col("text")).alias("f")
     )
     new = docs.where(F.col("doc_id") % 17 != 0).select(
         "doc_id",
-        F.col("source").alias("src_new"),
+        "source",
         fp(
             F.when(
                 F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" rev2"))
             ).otherwise(F.col("text"))
-        ).alias("f_new"),
+        ).alias("f"),
     )
-    status = (
-        F.when(F.col("f_old").isNull(), F.lit("added"))
-        .when(F.col("f_new").isNull(), F.lit("removed"))
-        .when(F.col("f_old") == F.col("f_new"), F.lit("unchanged"))
-        .otherwise(F.lit("modified"))
-    )
-    return (
-        old.join(new, "doc_id", "full_outer")
-        .select(F.coalesce("src_new", "src_old").alias("source"), status.alias("status"))
-        .groupBy("source", "status")
-        .agg(F.count("*").cast("bigint").alias("n_docs"))
-    )
+    return text.snapshot_diff(old, new)
