@@ -5311,24 +5311,43 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------
-# Rows-only ↔ portable-twin contract. Three pipelines use xxhash64 in
-# production (one multiply-shift mix per token/shingle — the right
-# cost at 100 TB) which no external engine reproduces, so their
-# registered queries are rows-only. Each has an oracle-checked twin
-# that runs the IDENTICAL pipeline with the md5-derived portable hash
-# family injected. "Identical" is enforced by construction, not by
-# review: the production query and its twin both call ONE shared
-# pipeline helper below, differing only in the hash arguments — a
-# parameter drift (blocking, thresholds, splits) cannot desynchronize
-# them. test_registry_invariants pins this map against the registry.
+# Rows-only ↔ oracle-checked-twin contract. Every rows-only query names
+# a twin of one of two kinds (test_registry_invariants pins this map
+# against the registry — no rows-only entry may be twin-less):
+#
+# "value" — three pipelines use xxhash64 in production (one
+# multiply-shift mix per token/shingle — the right cost at 100 TB)
+# which no external engine reproduces. Each twin runs the IDENTICAL
+# pipeline with the md5-derived portable hash family injected,
+# enforced by construction, not review: production query and twin both
+# call ONE shared pipeline helper below, differing only in the hash
+# arguments — a parameter drift (blocking, thresholds, splits) cannot
+# desynchronize them.
+#
+# "contract" — the rows-only VALUE is engine-internal by design, but
+# the contract the query exposes is value-checked by a different
+# oracle-checked query:
+#   q56: HLL register layout differs across engines by design; the
+#        approx-distinct contract (estimate of |distinct l_orderkey|
+#        within sketch error) is value-checked by the KMV estimator
+#        over the SAME column (q161 — its k-th-hash estimate DuckDB
+#        restates exactly), and q56 itself emits the exact count
+#        alongside the HLL estimate so the error bound is checked
+#        in-row.
+#   q71: DuckDB lacks blob md5/substring, so the binary payloads can't
+#        be value-checked externally; the resize ARITHMETIC
+#        (truncate-or-cycle to the 1024 budget) is value-checked
+#        character-for-character by the text-payload twin q151, while
+#        q71 keeps exercising the BINARY-typed mapInPandas plumbing
+#        (and q46 oracle-checks the typed-metadata view of the same
+#        media frame).
 # ---------------------------------------------------------------------
-ROWS_ONLY_TWINS: dict[str, str | None] = {
-    "q35_minhash_lsh": "q146_minhash_portable",
-    "q36_simhash": "q145_simhash_md5",
-    "q99_incremental_lsh": "q147_incremental_portable",
-    # no twin can exist: the value IS engine-internal state
-    "q56_approx_distinct": None,  # HLL register layout differs across engines by design
-    "q71_media_resize": None,  # binary payloads: DuckDB lacks blob md5/substring
+ROWS_ONLY_TWINS: dict[str, tuple[str, str]] = {
+    "q35_minhash_lsh": ("value", "q146_minhash_portable"),
+    "q36_simhash": ("value", "q145_simhash_md5"),
+    "q99_incremental_lsh": ("value", "q147_incremental_portable"),
+    "q56_approx_distinct": ("contract", "q161_kmv_distinct"),
+    "q71_media_resize": ("contract", "q151_resize_text_twin"),
 }
 
 
@@ -10452,7 +10471,10 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_approx_distinct",
     None,  # HLL sketches differ across engines by design → rows-only
     "Approximate distinct: HLL count of orderkeys (order-insensitive merge ⇒ "
-    "deterministic for fixed data; the scale path for COUNT(DISTINCT) at 100 TB)",
+    "deterministic for fixed data; the scale path for COUNT(DISTINCT) at 100 TB). "
+    "Contract twin q161 (ROWS_ONLY_TWINS): the KMV estimator over the same "
+    "column is hash-oracled, and the exact count rides this row for an "
+    "in-row error-bound check",
 )
 def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").agg(
@@ -10466,7 +10488,9 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # binary payloads: DuckDB lacks blob md5/substring; determinism pinned in tests
     "Resize step: 1 binary payload in → 1 fixed-budget payload out via "
     "mapInPandas (truncate/cycle fake; a real codec swaps in with the "
-    "same signature); no shuffle — inherits scan partitioning",
+    "same signature); no shuffle — inherits scan partitioning. Contract "
+    "twin q151 (ROWS_ONLY_TWINS): the identical truncate-or-cycle "
+    "arithmetic on text payloads is hash-oracled cross-engine",
 )
 def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))

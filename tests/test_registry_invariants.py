@@ -58,11 +58,15 @@ def test_rows_only_queries_are_the_known_set():
 
 
 def test_rows_only_twins_contract():
-    # Every rows-only query must either name an oracle-checked portable
-    # twin (the same pipeline helper with only the hash family swapped)
-    # or carry an explicit None documenting why no external oracle can
-    # exist. A rows-only query missing from the map is unaccounted
-    # verification debt; a twin without an oracle is a broken promise.
+    # Every rows-only query must name an oracle-checked twin: a "value"
+    # twin (the same shared pipeline helper with only the hash family
+    # swapped) or a "contract" twin (a different algorithm whose
+    # oracle-checked output value-checks the same contract, used when
+    # the rows-only value is engine-internal by design — HLL registers,
+    # binary payloads). A rows-only query missing from the map is
+    # unaccounted verification debt; a twin without an oracle is a
+    # broken promise; a None is no longer allowed — the rows-only
+    # story must be CLOSED, not documented-away (r08 verdict ask #6).
     from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
         ROWS_ONLY_TWINS,
     )
@@ -71,11 +75,10 @@ def test_rows_only_twins_contract():
     rows_only = {n for n, s in reg.items() if s.oracle is None}
     assert rows_only == set(ROWS_ONLY_TWINS), (
         "rows-only set and ROWS_ONLY_TWINS diverged — every oracle-less "
-        "query needs a twin entry (or a documented None)"
+        "query needs a (kind, twin) entry"
     )
-    for name, twin in ROWS_ONLY_TWINS.items():
-        if twin is None:
-            continue
+    for name, (kind, twin) in ROWS_ONLY_TWINS.items():
+        assert kind in ("value", "contract"), f"{name}: unknown twin kind {kind}"
         assert twin in reg, f"{name}: twin {twin} is not registered"
         assert reg[twin].oracle is not None, (
             f"{name}: twin {twin} must itself be oracle-checked"
