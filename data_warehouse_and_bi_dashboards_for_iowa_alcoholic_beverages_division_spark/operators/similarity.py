@@ -491,18 +491,46 @@ def build_ivf_index(
     return centroids
 
 
+def _sidecar_is_empty_dir(spark, sidecar_path: str) -> bool:
+    """True iff ``sidecar_path`` exists but holds no non-empty data
+    file (only Hadoop markers like ``_SUCCESS``/dotfiles, or nothing) —
+    the state a crash between directory creation and the first
+    committed parquet file leaves behind. Checked through the Hadoop
+    FS API so the answer is right on any filesystem the index lives on."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(sidecar_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return True
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and st.getLen() > 0 and not name.startswith(("_", ".")):
+            return False
+    return True
+
+
 def _count_batch_token(spark, sidecar_path: str, token: str) -> int:
-    """Probe the ``_batches`` sidecar for ``token``. Returns 0 iff the
-    sidecar does not exist yet (no tokened append has ever committed).
+    """Probe the ``_batches`` sidecar for ``token``. Returns 0 iff no
+    tokened append has ever COMMITTED: the sidecar does not exist, or
+    it exists but holds no data file (a crash between directory
+    creation and the first committed file — without this case an
+    aborted first append would raise UNABLE_TO_INFER_SCHEMA forever,
+    permanently blocking every token-gated append on the index).
     Every OTHER failure mode — permissions, transient FS errors, a
-    corrupt file — re-raises: treating an unreadable sidecar as "no
-    token" would let a recorded token be bypassed and the batch
-    re-appended, the exact duplicate-rows failure the token prevents."""
+    corrupt file alongside committed ones — re-raises: treating an
+    unreadable sidecar as "no token" would let a recorded token be
+    bypassed and the batch re-appended, the exact duplicate-rows
+    failure the token prevents."""
     try:
         sidecar = spark.read.parquet(sidecar_path)
     except AnalysisException as e:
         cond = e.getCondition() if hasattr(e, "getCondition") else None
-        if cond == "PATH_NOT_FOUND" or (cond is None and "PATH_NOT_FOUND" in str(e)):
+        msg = str(e)
+        if cond == "PATH_NOT_FOUND" or (cond is None and "PATH_NOT_FOUND" in msg):
+            return 0
+        if (
+            cond == "UNABLE_TO_INFER_SCHEMA" or "UNABLE_TO_INFER_SCHEMA" in msg
+        ) and _sidecar_is_empty_dir(spark, sidecar_path):
             return 0
         raise
     return sidecar.where(F.col("token") == F.lit(token)).limit(1).count()

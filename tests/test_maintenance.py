@@ -130,3 +130,39 @@ def test_ivf_append_unreadable_token_sidecar_raises(spark, tmp_path):
     assert "PATH_NOT_FOUND" not in str(exc_info.value)
     # and crucially: NOTHING was appended
     assert spark.read.parquet(path).count() == before
+
+
+def test_ivf_append_empty_token_sidecar_recovers(spark, tmp_path):
+    """An EXISTING-but-empty _batches directory (crash between
+    directory creation and the first committed file; may hold Hadoop
+    markers like _SUCCESS but no data file) means "no token recorded
+    yet": the append must proceed and record its token — the r08
+    ADVICE failure was UNABLE_TO_INFER_SCHEMA raising forever and
+    permanently blocking every token-gated append on the index."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    train = emb.where("vec_id % 10 != 0")
+    batch = emb.where("vec_id % 10 = 0")
+    path = str(tmp_path / "ivf_emptytok")
+    similarity.build_ivf_index(train, path, n_cells=4, iters=1)
+    before = spark.read.parquet(path).count()
+
+    sidecar = tmp_path / "ivf_emptytok_batches"
+    sidecar.mkdir()
+    (sidecar / "_SUCCESS").write_bytes(b"")  # marker only, zero data files
+
+    similarity.append_to_ivf_index(
+        batch, path, skip_existing_ids=False, batch_token="drop-2026-08-17"
+    )
+    assert spark.read.parquet(path).count() == before + batch.count()
+    tokens = {r["token"] for r in spark.read.parquet(path + "_batches").collect()}
+    assert tokens == {"drop-2026-08-17"}
+
+    # and the retry with the SAME token is still a no-op
+    similarity.append_to_ivf_index(
+        batch, path, skip_existing_ids=False, batch_token="drop-2026-08-17"
+    )
+    assert spark.read.parquet(path).count() == before + batch.count()
