@@ -248,6 +248,89 @@ def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
 _ASSIGN_JOIN_THRESHOLD = 16
 
 
+def _centroid_array_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """The whole centroid table as ONE single-row array-of-structs
+    DataFrame — crossJoin(broadcast(...)) hands every partition the one
+    row (a BroadcastNestedLoopJoin that moves nothing of the other
+    side), so per-row centroid scoring stays map-only with a plan whose
+    size is constant in n_cells. Norms are Python-computed
+    (``_py_norm``, bit-identical to the interpreted fold) so scoring
+    folds only the dot."""
+    return spark.createDataFrame(
+        [([(i, [float(x) for x in c], _py_norm(c)) for i, c in enumerate(centroids)],)],
+        "_cents ARRAY<STRUCT<c: INT, cvec: ARRAY<DOUBLE>, cnorm: DOUBLE>>",
+    )
+
+
+def with_probe_cells(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    n_probe: int,
+    out_col: str = "_probes",
+) -> DataFrame:
+    """Append ``out_col`` = the ``n_probe`` best (score, cell) structs
+    for every row, descending (score DESC, cell DESC) — the
+    probe-ranking twin of :func:`with_assigned_cell`, with the same
+    dual encoding and the same dispatch threshold:
+
+    - few cells: plan-literal centroid arrays (zero extra operators);
+    - above ``_ASSIGN_JOIN_THRESHOLD``: the one-row broadcast centroid
+      array — map-only, constant plan size. Before this the derived-
+      capacity queries (q208/q211 at sqrt(N) cells) rebuilt the
+      n_cells x dim literal tree in the PROBE stage even though the
+      assignment stage had already moved to the broadcast encoding —
+      at 2048 cells that is ~260k literal nodes of pure Catalyst
+      analysis cost.
+
+    Values and tiebreaks are identical across encodings: scores are
+    floor_round6(dot / (row_norm * centroid_norm)) with the same
+    operation grouping, centroid norms bit-identical by the
+    ``_py_norm`` contract, and ranking is array_sort + reverse + slice
+    on (s, c) structs in both."""
+    if len(centroids) <= _ASSIGN_JOIN_THRESHOLD:
+        cell_scores = [
+            F.struct(
+                floor_round6(
+                    cosine_expr(F.col(vec_col), F.array(*[F.lit(v) for v in cent]))
+                ).alias("s"),
+                F.lit(i).alias("c"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+        return df.withColumn(
+            out_col, F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, n_probe)
+        )
+    cent1 = _centroid_array_df(df.sparkSession, centroids)
+
+    def ranked(nv: Column) -> Column:
+        return F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.transform(
+                        F.col("_cents"),
+                        lambda e: F.struct(
+                            floor_round6(
+                                dot_expr(F.col(vec_col), e["cvec"]) / (nv * e["cnorm"])
+                            ).alias("s"),
+                            e["c"].alias("c"),
+                        ),
+                    )
+                )
+            ),
+            1,
+            n_probe,
+        )
+
+    cols = df.columns
+    return df.crossJoin(F.broadcast(cent1)).select(
+        *cols,
+        F.element_at(F.transform(F.array(norm_expr(F.col(vec_col))), ranked), 1).alias(
+            out_col
+        ),
+    )
+
+
 def with_assigned_cell(
     df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "cell"
 ) -> DataFrame:
@@ -277,11 +360,7 @@ def with_assigned_cell(
       single-element-transform `let` (HOFs have no codegen CSE)."""
     if len(centroids) <= _ASSIGN_JOIN_THRESHOLD:
         return df.withColumn(out_col, _argmax_cell_expr(vec_col, centroids))
-    spark = df.sparkSession
-    cent1 = spark.createDataFrame(
-        [([(i, [float(x) for x in c], _py_norm(c)) for i, c in enumerate(centroids)],)],
-        "_cents ARRAY<STRUCT<c: INT, cvec: ARRAY<DOUBLE>, cnorm: DOUBLE>>",
-    )
+    cent1 = _centroid_array_df(df.sparkSession, centroids)
 
     def best(nv: Column) -> Column:
         return F.array_max(
@@ -415,6 +494,7 @@ def cosine_topk_ivf(
     n_cells: int = 8,
     n_probe: int = 3,
     iters: int = 2,
+    train_where: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are inverted-listed by their
     nearest coarse centroid; each query scores only the rows of its
@@ -422,8 +502,18 @@ def cosine_topk_ivf(
     — at 100 TB that is a shuffle of (id, vector) pairs within probed
     cells only, ~``n_probe / n_cells`` of the brute-force work, and the
     inverted lists can be written bucketed-by-cell so repeated query
-    batches never reshuffle the corpus."""
-    centroids = ivf_train_centroids(corpus, id_col, vec_col, n_cells, iters)
+    batches never reshuffle the corpus.
+
+    ``train_where`` restricts the QUANTIZER TRAIN (seeds + Lloyd
+    passes) to a deterministic subset while the inverted lists still
+    cover every vector — the standard IVF economics at scale: Lloyd is
+    O(|train| x n_cells) per iteration, so training on a sample whose
+    size is a multiple of n_cells (not on all N rows) removes
+    ``iters`` full-corpus scoring passes, leaving the single final
+    assignment pass as the only O(N x n_cells) stage (q211; decade
+    measurements in BASELINE.md)."""
+    train = corpus.where(train_where) if train_where else corpus
+    centroids = ivf_train_centroids(train, id_col, vec_col, n_cells, iters)
 
     c = with_assigned_cell(
         corpus.select(
@@ -436,17 +526,20 @@ def cosine_topk_ivf(
     )
 
     # rank cells per query and keep the n_probe best
-    cell_scores = []
-    for i, cent in enumerate(centroids):
-        lit_c = F.array(*[F.lit(v) for v in cent])
-        cell_scores.append(F.struct(floor_round6(cosine_expr(F.col(vec_col), lit_c)).alias("s"), F.lit(i).alias("c")))
-    probes = F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, n_probe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_expr(F.col(vec_col)).alias("qn"),
-        F.explode(probes).alias("probe"),
-    ).select("query_id", "q_vec", "qn", F.col("probe.c").alias("cell"))
+    q = (
+        with_probe_cells(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                norm_expr(F.col(vec_col)).alias("qn"),
+            ),
+            "q_vec",
+            centroids,
+            n_probe,
+        )
+        .select("query_id", "q_vec", "qn", F.explode("_probes").alias("probe"))
+        .select("query_id", "q_vec", "qn", F.col("probe.c").alias("cell"))
+    )
 
     scored = (
         F.broadcast(q)
@@ -626,19 +719,20 @@ def query_ivf_index(
     cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
 
-    cell_scores = []
-    for i, cent in enumerate(centroids):
-        lit_c = F.array(*[F.lit(v) for v in cent])
-        cell_scores.append(
-            F.struct(floor_round6(cosine_expr(F.col(vec_col), lit_c)).alias("s"), F.lit(i).alias("c"))
+    q = (
+        with_probe_cells(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                norm_expr(F.col(vec_col)).alias("qn"),
+            ),
+            "q_vec",
+            centroids,
+            n_probe,
         )
-    probes = F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, n_probe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_expr(F.col(vec_col)).alias("qn"),
-        F.explode(probes).alias("probe"),
-    ).select("query_id", "q_vec", "qn", F.col("probe.c").alias("cell"))
+        .select("query_id", "q_vec", "qn", F.explode("_probes").alias("probe"))
+        .select("query_id", "q_vec", "qn", F.col("probe.c").alias("cell"))
+    )
     # q is consumed twice (probed-cell collect, then the broadcast join);
     # checkpoint so the n_cells-per-row centroid scoring runs once
     q = q.localCheckpoint(eager=True)
@@ -982,21 +1076,18 @@ def ivfpq_topk(
         ],
     )
 
-    cell_scores = []
-    for i, cent in enumerate(centroids):
-        lit_c = F.array(*[F.lit(v) for v in cent])
-        cell_scores.append(
-            F.struct(
-                floor_round6(cosine_expr(F.col(vec_col), lit_c)).alias("s"),
-                F.lit(i).alias("c"),
-            )
+    q = (
+        with_probe_cells(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            "q_vec",
+            centroids,
+            n_probe,
         )
-    probes = F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, n_probe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(probes).alias("probe"),
-    ).select("query_id", "q_vec", F.col("probe.c").alias("cell"))
+        .select("query_id", "q_vec", F.explode("_probes").alias("probe"))
+        .select("query_id", "q_vec", F.col("probe.c").alias("cell"))
+    )
 
     adc = None
     for s, cents in enumerate(books):

@@ -168,6 +168,9 @@ def register(name: str, oracle: str | None, description: str = ""):
 # ADVICE r08 items land in-window this round: q210_corpus_diff (new in
 # r8, never value-verified externally) and the hashed-shingle rewrites
 # q145/q147 (Spark+oracle changed in lockstep in r8 — now driver-gated).
+# q38 (brute ANN, 7 accumulated driver passes) → q211 (NEW this round:
+# sample-trained derived-capacity IVF — new queries ride the window
+# the round they land; ANN family stays anchored by q190 + q211).
 # The ACTIVE window is emitted in every bench run ("driver_window" in
 # bench.py's JSON) so externally-reported verification coverage is
 # auditable round over round without reading this file.
@@ -196,6 +199,7 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("q46_media_metadata", "q151_resize_text_twin"),
     ("q52_grouping_sets", "q141_grouping_id"),
     ("q53_running_total", "q64_moving_window"),
+    ("q38_knn_cosine", "q211_ivf_sampled_train"),
 ]
 
 
@@ -5711,6 +5715,7 @@ def _q67_oracle(
     train_pred: str = "TRUE",
     final_select: str | None = None,
     derived_cells: bool = False,
+    derive_pred: str | None = None,
 ) -> str:
     """DuckDB twin of similarity.cosine_topk_ivf(k=10, n_cells=8,
     n_probe=3, iters=2): the deterministic k-means-lite train is fully
@@ -5734,7 +5739,11 @@ def _q67_oracle(
     count of n > 2^j gives ceil(log2 n) — no float log2 near
     power-of-two boundaries), and c0 keeps the first nc row-numbered
     seeds. Every downstream CTE is already relational over the cell
-    table, so nothing else changes with the count."""
+    table, so nothing else changes with the count. ``derive_pred``
+    (default: ``train_pred``) is the predicate the capacity count runs
+    over — q211 trains on a SAMPLE but sizes the quantizer from the
+    FULL corpus the cells must serve, so it passes derive_pred='TRUE'
+    with a sampling train_pred."""
     # parameterized on BOTH aliases ({v} vector side, {c} centroid
     # side) — a post-hoc .replace("v.", ...) over the formatted SQL
     # would silently rewrite any future fragment containing "v."
@@ -5784,7 +5793,7 @@ def _q67_oracle(
         c0 = f"""params AS (
       SELECT LEAST({1 << _IVF_MAX_CELLS_EXP},
                    GREATEST(4, (CAST(1 AS BIGINT) << ((({ladder}) + 1) // 2)))) AS nc
-      FROM (SELECT COUNT(*) AS n FROM embeddings WHERE {train_pred})
+      FROM (SELECT COUNT(*) AS n FROM embeddings WHERE {derive_pred or train_pred})
     ),
     c0 AS (
       SELECT cell, cvec FROM (
@@ -11163,3 +11172,32 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f"),
     )
     return text.snapshot_diff(old, new)
+
+
+@register(
+    "q211_ivf_sampled_train",
+    _q67_oracle(train_pred="vec_id % 16 = 0", derived_cells=True, derive_pred="TRUE"),
+    "Sample-trained derived-capacity IVF - q208's build economics "
+    "fixed for the decade study: quantizer capacity still derives "
+    "from the FULL corpus the cells must serve (sqrt N), but seeds "
+    "and both Lloyd passes run on a deterministic 1/16 sample, so "
+    "training costs O(N/16 x n_cells) instead of O(N x n_cells) per "
+    "iteration and the single final inverted-list assignment is the "
+    "only full-corpus scoring pass left - the standard faiss-style "
+    "train-on-sample discipline, which is what keeps an IVF build "
+    "affordable when N x sqrt(N) work is the budget ceiling "
+    "(BASELINE.md round-9 decade table). Oracle unrolls the identical "
+    "sampled train: seeds are the first derived-nc sampled vectors, "
+    "Lloyd means fold the sample only, final lists cover everything",
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nc = similarity.derived_n_cells(_scalar_count(emb))
+    return similarity.cosine_topk_ivf(
+        emb,
+        emb.where("vec_id < 5"),
+        k=10,
+        n_cells=nc,
+        n_probe=3,
+        train_where="vec_id % 16 = 0",
+    )

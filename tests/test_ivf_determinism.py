@@ -106,3 +106,55 @@ def test_assignment_join_path_matches_literal_path(spark):
     dup = emb.select("vec_id", "embedding").limit(3)
     doubled = dup.unionAll(dup)
     assert with_assigned_cell(doubled, "embedding", cents).count() == 6
+
+
+def test_probe_ranking_broadcast_matches_literal(spark):
+    """with_probe_cells has the same dual encoding as with_assigned_cell
+    (r09: the probe stage used to rebuild the n_cells x dim literal
+    tree even above the dispatch threshold). Both encodings must
+    produce the IDENTICAL ordered probe list per row — same
+    floor_round6 scores, same (score DESC, cell DESC) ranking."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.functions.rounding import (
+        floor_round6,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        _ASSIGN_JOIN_THRESHOLD,
+        cosine_expr,
+        ivf_train_centroids,
+        with_probe_cells,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_cells = _ASSIGN_JOIN_THRESHOLD + 4  # forces the broadcast encoding
+    cents = ivf_train_centroids(emb, n_cells=n_cells, iters=1)
+
+    via_broadcast = {
+        r["vec_id"]: [(p["s"], p["c"]) for p in r["_probes"]]
+        for r in with_probe_cells(
+            emb.select("vec_id", "embedding"), "embedding", cents, n_probe=3
+        ).collect()
+    }
+    # the literal branch's exact construction, inlined (the dispatch
+    # would route these 20 centroids to the broadcast path)
+    cell_scores = [
+        F.struct(
+            floor_round6(
+                cosine_expr(F.col("embedding"), F.array(*[F.lit(v) for v in cent]))
+            ).alias("s"),
+            F.lit(i).alias("c"),
+        )
+        for i, cent in enumerate(cents)
+    ]
+    via_literal = {
+        r["vec_id"]: [(p["s"], p["c"]) for p in r["_probes"]]
+        for r in emb.select(
+            "vec_id",
+            F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, 3).alias("_probes"),
+        ).collect()
+    }
+    assert via_broadcast == via_literal
