@@ -23,6 +23,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 
 from ..functions.rounding import floor_round6
+from .dedup import _spread_narrow_scan
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -515,11 +516,21 @@ def cosine_topk_ivf(
     train = corpus.where(train_where) if train_where else corpus
     centroids = ivf_train_centroids(train, id_col, vec_col, n_cells, iters)
 
+    # widen BEFORE the O(N x n_cells) scoring fold: an embeddings scan
+    # is few bytes per FLOP (sf10 = 200k vectors in ~2 parquet splits),
+    # so without this the ENTIRE final assignment runs in 1-2 tasks —
+    # measured 1029 s single-task vs ~40 s wide at sf10. Training
+    # already spreads inside ivf_train_centroids; this is the same
+    # lesson applied to the one remaining full-corpus pass. At real
+    # scale the scan is already wide and this is a no-op (no shuffle).
     c = with_assigned_cell(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            norm_expr(F.col(vec_col)).alias("cn"),
+        _spread_narrow_scan(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                norm_expr(F.col(vec_col)).alias("cn"),
+            ),
+            "neighbor_id",
         ),
         "c_vec",
         centroids,
@@ -575,8 +586,12 @@ def build_ivf_index(
     rescanning or reshuffling the corpus."""
     spark = corpus.sparkSession
     centroids = ivf_train_centroids(corpus, id_col, vec_col, n_cells, iters)
+    # widen the scan before the corpus-wide scoring fold (the
+    # cosine_topk_ivf note: single-split embedding scans serialize it)
     with_assigned_cell(
-        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
+        _spread_narrow_scan(corpus.select(F.col(id_col), F.col(vec_col)), id_col),
+        vec_col,
+        centroids,
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell INT, centroid ARRAY<DOUBLE>"
@@ -694,7 +709,9 @@ def append_to_ivf_index(
         existing = spark.read.parquet(path).select(F.col(id_col))
         batch = batch.join(existing, on=id_col, how="left_anti")
     with_assigned_cell(
-        batch.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
+        _spread_narrow_scan(batch.select(F.col(id_col), F.col(vec_col)), id_col),
+        vec_col,
+        centroids,
     ).write.mode("append").partitionBy("cell").parquet(path)
     if batch_token is not None:
         spark.createDataFrame([(batch_token,)], "token STRING").write.mode("append").parquet(
@@ -1059,9 +1076,12 @@ def ivfpq_topk(
     dsub = dim // m
 
     codes = with_assigned_cell(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_v"),
+        _spread_narrow_scan(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_v"),
+            ),
+            "neighbor_id",
         ),
         "_v",
         centroids,
