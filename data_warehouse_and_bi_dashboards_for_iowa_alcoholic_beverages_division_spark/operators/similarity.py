@@ -64,10 +64,17 @@ def cosine_topk(
         F.col(vec_col).alias("q_vec"),
         norm_expr(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_expr(F.col(vec_col)).alias("cn"),
+    # widen before the per-row norm + per-query dot folds: a broadcast
+    # join evaluates the corpus side in the SCAN stage, and an
+    # embeddings scan is few bytes per FLOP (single split well past
+    # sf1.0) — without this the whole brute-force pass is one task
+    c = _spread_narrow_scan(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_expr(F.col(vec_col)).alias("cn"),
+        ),
+        "neighbor_id",
     )
     scored = F.broadcast(q).crossJoin(c)
     if not include_self:
@@ -169,11 +176,17 @@ def cosine_topk_lsh(
         norm_expr(F.col(vec_col)).alias("qn"),
         F.explode(_probe_buckets_expr(vec_col, planes, n_probe)).alias("bucket"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_expr(F.col(vec_col)).alias("cn"),
-        _bucket_expr(vec_col, planes).alias("bucket"),
+    # widen before the n_planes x dim bucket fold per corpus row (the
+    # cosine_topk width note — the broadcast join leaves this in the
+    # scan stage, single-task on a single-split scan)
+    c = _spread_narrow_scan(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm_expr(F.col(vec_col)).alias("cn"),
+            _bucket_expr(vec_col, planes).alias("bucket"),
+        ),
+        "neighbor_id",
     )
     scored = (
         F.broadcast(q)
@@ -973,9 +986,10 @@ def pq_train(
     to 6dp — the ivf_train_centroids contract, per subspace)."""
     dsub = dim // m
     books: list[list[list[float]]] = []
+    spread = _spread_narrow_scan(corpus, id_col)  # the Lloyd width note
     for s in range(m):
         sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        subdf = corpus.select(F.col(id_col).alias("id"), sub.alias("sv"))
+        subdf = spread.select(F.col(id_col).alias("id"), sub.alias("sv"))
         seeds = subdf.orderBy("id").limit(k).select("sv").collect()
         cents = [[float(x) for x in r[0]] for r in seeds]
         for _ in range(iters):
@@ -1010,7 +1024,9 @@ def pq_encode(
     for s, cents in enumerate(books):
         sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
         cols.append(_argmin_cell_expr(sub, cents).alias(f"code_{s}"))
-    return corpus.select(*cols)
+    # widen before the M x K x dsub fold per row (the cosine_topk_ivf
+    # width note — single-split scans serialize the encode pass)
+    return _spread_narrow_scan(corpus, id_col).select(*cols)
 
 
 def pq_adc_topk(
