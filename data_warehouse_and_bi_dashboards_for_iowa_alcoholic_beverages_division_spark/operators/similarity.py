@@ -583,6 +583,174 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _member_table_df(spark, l2: list[list[float]], cell2super: dict[int, int]) -> DataFrame:
+    """(super, members) with members = the super's (cell, cvec, cnorm)
+    structs in cell order — the broadcast side of the second-level
+    argmax. Supers with no member cell are simply absent (a vector or
+    query routed there finds no candidates; both engines mirror)."""
+    by_super: dict[int, list[int]] = {}
+    for cell, s in cell2super.items():
+        by_super.setdefault(s, []).append(cell)
+    rows = [
+        (s, [(c, l2[c], _py_norm(l2[c])) for c in sorted(cells)])
+        for s, cells in sorted(by_super.items())
+    ]
+    return spark.createDataFrame(
+        rows, "_super INT, _mcents ARRAY<STRUCT<c: INT, cvec: ARRAY<DOUBLE>, cnorm: DOUBLE>>"
+    )
+
+
+def ivf2_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    train_where: str | None = None,
+) -> tuple[list[list[float]], list[list[float]], dict[int, int]]:
+    """Two-level (hierarchical) coarse quantizer — the designed escape
+    hatch past the flat build's O(N x n_cells) assignment wall
+    (BASELINE.md round-9 decade study): level-2 cells train exactly as
+    :func:`ivf_train_centroids` (optionally on a ``train_where``
+    sample), then the CELL CENTROIDS THEMSELVES are clustered into
+    ~sqrt(n_cells) level-1 supercells by the *same verbatim Lloyd
+    device* (seeds = lowest cell ids, order-pinned means, 6dp floors)
+    — so determinism and the oracle-unroll strategy are inherited, not
+    re-proved. Returns (l2_centroids, l1_centroids, cell->super map).
+
+    Assignment economics: a row scores n_super level-1 centroids, then
+    only its winning supercell's members — ~2 sqrt(n_cells) scores per
+    row instead of n_cells (11x less at 512 cells). The price is the
+    standard hierarchical-quantizer approximation: a vector near a
+    supercell boundary may land in a different cell than the flat
+    argmax would pick. The oracle mirrors the SAME two-level rule, so
+    the approximation is value-checked, not hand-waved."""
+    spark = corpus.sparkSession
+    train = corpus.where(train_where) if train_where else corpus
+    l2 = ivf_train_centroids(train, id_col, vec_col, n_cells, iters)
+    n_super = derived_n_cells(len(l2))
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(l2)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    l1 = ivf_train_centroids(cent_df, "vec_id", "embedding", n_super, iters)
+    cell2super = {
+        r["vec_id"]: r["cell"]
+        for r in with_assigned_cell(cent_df, "embedding", l1).select("vec_id", "cell").collect()
+    }
+    return l2, l1, cell2super
+
+
+def cosine_topk_ivf2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    n_super_probe: int = 2,
+    iters: int = 2,
+    train_where: str | None = None,
+) -> DataFrame:
+    """Hierarchical-IVF approximate top-k (:func:`ivf2_train`): corpus
+    rows route level-1 supercell -> best member cell (map-only: the
+    supercell argmax is :func:`with_assigned_cell`, the member argmax
+    folds a per-super broadcast array — no vector ever shuffles);
+    queries probe their ``n_super_probe`` best supercells, rank the
+    union of those supers' member cells, keep ``n_probe``, and score
+    only those inverted lists. Per-row assignment work drops from
+    O(n_cells) to O(sqrt n_cells) both build- and query-side."""
+    spark = corpus.sparkSession
+    l2, l1, cell2super = ivf2_train(corpus, id_col, vec_col, n_cells, iters, train_where)
+    members = _member_table_df(spark, l2, cell2super)
+
+    def best_member(nv: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                F.col("_mcents"),
+                lambda e: F.struct(
+                    floor_round6(
+                        dot_expr(F.col("c_vec"), e["cvec"]) / (nv * e["cnorm"])
+                    ).alias("s"),
+                    e["c"].alias("c"),
+                ),
+            )
+        )["c"]
+
+    c = (
+        with_assigned_cell(
+            _spread_narrow_scan(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("c_vec"),
+                    norm_expr(F.col(vec_col)).alias("cn"),
+                ),
+                "neighbor_id",
+            ),
+            "c_vec",
+            l1,
+            out_col="_super",
+        )
+        .join(F.broadcast(members), "_super")
+        # cn IS norm_expr(c_vec) — reuse it as the bound row norm
+        .select(
+            "neighbor_id",
+            "c_vec",
+            "cn",
+            F.element_at(F.transform(F.array(F.col("cn")), best_member), 1).alias("cell"),
+        )
+    )
+
+    # query side: top supers -> member-cell ranking -> n_probe cells
+    qs = (
+        with_probe_cells(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                norm_expr(F.col(vec_col)).alias("qn"),
+            ),
+            "q_vec",
+            l1,
+            n_super_probe,
+            out_col="_sprobes",
+        )
+        .select("query_id", "q_vec", "qn", F.explode("_sprobes").alias("sp"))
+        .select("query_id", "q_vec", "qn", F.col("sp.c").alias("_super"))
+        .join(F.broadcast(members), "_super")
+        .select("query_id", "q_vec", "qn", F.explode("_mcents").alias("mc"))
+        .select(
+            "query_id",
+            "q_vec",
+            "qn",
+            F.col("mc.c").alias("cell"),
+            floor_round6(
+                dot_expr(F.col("q_vec"), F.col("mc.cvec")) / (F.col("qn") * F.col("mc.cnorm"))
+            ).alias("_cs"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("cell").desc())
+    q = (
+        qs.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "q_vec", "qn", "cell")
+    )
+
+    scored = (
+        F.broadcast(q)
+        .join(c, on="cell", how="inner")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            floor_round6(
+                dot_expr(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,

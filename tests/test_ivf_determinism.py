@@ -158,3 +158,23 @@ def test_probe_ranking_broadcast_matches_literal(spark):
         ).collect()
     }
     assert via_broadcast == via_literal
+
+
+def test_hierarchical_quantizer_invariant_under_repartitioning(spark):
+    """ivf2_train composes two Lloyd trains and an argmax map — all
+    order-pinned devices — so the full (l2, l1, cell->super) triple
+    must be bit-identical under adversarial partitionings (the same
+    tripwire contract as the flat trains above)."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        ivf2_train,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = ivf2_train(emb, n_cells=16, iters=2)
+    for variant in (emb.repartition(7), emb.coalesce(1)):
+        got = ivf2_train(variant, n_cells=16, iters=2)
+        assert got == base, (
+            "hierarchical quantizer changed under a different "
+            "partitioning — an order-unpinned fold crept into one of "
+            "the two Lloyd levels or the cell->super argmax"
+        )
