@@ -148,9 +148,10 @@ def register(name: str, oracle: str | None, description: str = ""):
 # q15→q14 for U3, q24→q23/q25-q28 for A5, q49→q20/q28 for F4/#6).
 # Round-9 rotation (aggressive — the r08 verdict's #1 ask): the r07/r08
 # swap-ins (q146 q184 q187 q196 q204 q206 q207 q208 q209 q195 q186) all
-# accumulated driver-hash passes, so ALL of them rotate back out and 23
-# never-driver-checked queries take window slots. Cumulative distinct
-# driver-checked queries: 64 through r08 → 87 if this window goes green.
+# accumulated driver-hash passes, so ALL of them rotate back out and 25
+# never-driver-checked queries take window slots (23 pre-existing + the
+# two NEW queries of the round, q211/q212). Cumulative distinct
+# driver-checked queries: 64 through r08 → 89 if this window goes green.
 # Per-swap §2-family coverage (out → anchor that stays in-window):
 #   q03 (P10 → q30)          q09 (O3 → q143-in, q10)
 #   q15 (U3 → q14)           q24 (A5 → q23)
