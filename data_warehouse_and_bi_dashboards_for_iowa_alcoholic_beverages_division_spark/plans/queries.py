@@ -274,6 +274,18 @@ def _scalar_count(df: DataFrame) -> int:
     return df.count()
 
 
+def _scratch_index_path(prefix: str, sf_dir: str) -> str:
+    """Deterministic scratch location for queries that materialize a
+    side index (q156/q199): one directory per (query, SF), REUSED and
+    overwritten on every call. A fresh mkdtemp per call leaked one
+    full index copy per bench rep / correctness sweep — unbounded
+    /tmp growth on a long-lived box."""
+    import tempfile
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    return f"{tempfile.gettempdir()}/spark_graft_{prefix}_{slug}/index"
+
+
 def release_persisted() -> int:
     """Unpersist every tracked cache; returns how many were released.
     Safe to call at any point — queries re-persist on next build."""
@@ -6528,10 +6540,11 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     "build+query round trip through parquet",
 )
 def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    # deterministic per-SF path, rebuilt (overwrite) on every call: a
+    # fresh mkdtemp per call leaked one index copy per bench rep /
+    # sweep run — unbounded /tmp growth on a long-lived box
+    path = _scratch_index_path("ivf_index", sf_dir)
     similarity.build_ivf_index(emb, path, n_cells=8, iters=2)
     return similarity.query_ivf_index(emb.where("vec_id < 5"), path, k=10, n_probe=3)
 
@@ -10160,12 +10173,12 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the separate, rarer rebuild",
 )
 def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     emb = _t(spark, sf_dir, "embeddings")
     train = emb.where("vec_id % 10 != 0")
     arriving = emb.where("vec_id % 10 = 0")
-    path = tempfile.mkdtemp(prefix="ivf_inc_") + "/index"
+    # deterministic per-SF path (the q156 leak note): build OVERWRITES,
+    # so the append applies to a fresh subset index on every call
+    path = _scratch_index_path("ivf_inc", sf_dir)
     similarity.build_ivf_index(train, path, n_cells=8, iters=2)
     similarity.append_to_ivf_index(arriving, path)
     return similarity.query_ivf_index(emb.where("vec_id < 5"), path, k=10, n_probe=3)
