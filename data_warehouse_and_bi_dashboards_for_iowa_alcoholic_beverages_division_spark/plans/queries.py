@@ -149,8 +149,8 @@ def register(name: str, oracle: str | None, description: str = ""):
 # Round-9 rotation (aggressive — the r08 verdict's #1 ask): the r07/r08
 # swap-ins (q146 q184 q187 q196 q204 q206 q207 q208 q209 q195 q186) all
 # accumulated driver-hash passes, so ALL of them rotate back out and 25
-# never-driver-checked queries take window slots (23 pre-existing + the
-# two NEW queries of the round, q211/q212). Cumulative distinct
+# never-driver-checked queries take window slots (22 pre-existing + the
+# three NEW queries of the round, q211/q212/q213). Cumulative distinct
 # driver-checked queries: 64 through r08 → 89 if this window goes green.
 # Per-swap §2-family coverage (out → anchor that stays in-window):
 #   q03 (P10 → q30)          q09 (O3 → q143-in, q10)
@@ -179,7 +179,10 @@ def register(name: str, oracle: str | None, description: str = ""):
 _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("q03_distinct", "q84_dedup_clusters"),
     ("q09_topn_parts", "q143_topn_with_ties"),
-    ("q15_intersect", "q131_table_diff"),
+    # q15's U3 row stays covered by q14; this slot carries the third
+    # new query of the round (the diff family's window anchor is
+    # q210_corpus_diff below; q131 rotates in a future round)
+    ("q15_intersect", "q213_ivf2_recall"),
     ("q24_star_month", "q73_sql_text_star"),
     ("q49_date_horizon", "q122_gap_fill"),
     ("q18_null_fill_geo", "q65_constraint_checks"),
@@ -11221,7 +11224,7 @@ def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q212_oracle() -> str:
+def _q212_oracle(final_select: str | None = None) -> str:
     """DuckDB twin of similarity.cosine_topk_ivf2 (hierarchical IVF,
     k=10, n_probe=3, n_super_probe=2, iters=2, 1/16 sampled train,
     derived capacities): the ENTIRE two-level quantizer is unrolled —
@@ -11408,12 +11411,12 @@ def _q212_oracle() -> str:
       JOIN v ON v.vec_id = af2.vec_id AND v.vec_id <> p.query_id
       JOIN v q ON q.vec_id = p.query_id
     )
-    SELECT * FROM (
+    {final_select if final_select is not None else '''SELECT * FROM (
       SELECT query_id, neighbor_id, score,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, neighbor_id ASC) AS rank
       FROM scored
-    ) WHERE rank <= 10
+    ) WHERE rank <= 10'''}
     """
 
 
@@ -11445,4 +11448,81 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=3,
         n_super_probe=2,
         train_where="vec_id % 16 = 0",
+    )
+
+
+def _q213_oracle() -> str:
+    """Recall@10 of the hierarchical stack vs the exact brute-force
+    top-10 — the q209 accept-gate tail grafted onto the unrolled q212
+    pipeline (approx ranks by cosine DESC instead of ADC ASC)."""
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * c.nrm)"
+    )
+    tail = f""", approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {floor_round6_sql(cos)} DESC, c.vec_id ASC) AS rank
+        FROM v q, v c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT query_id, COUNT(*) AS n_hits
+      FROM approx JOIN exact USING (query_id, neighbor_id)
+      GROUP BY query_id
+    )
+    SELECT qs.vec_id AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+           {floor_round6_sql("CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0")} AS recall_at_10
+    FROM (SELECT vec_id FROM v WHERE vec_id < 5) qs
+    LEFT JOIN hits h ON h.query_id = qs.vec_id
+    ORDER BY qs.vec_id"""
+    return _q212_oracle(final_select=tail)
+
+
+@register(
+    "q213_ivf2_recall",
+    _q213_oracle(),
+    "Hierarchical-IVF recall@10 as a first-class oracle-checked query "
+    "- the q198/q209 accept-gate device applied to q212's two-level "
+    "stack: its top-10 intersected per query with the brute-force "
+    "top-10, zero-filled for starved queries. This is the number that "
+    "decides whether the O(sqrt n_cells) routing approximation is "
+    "acceptable for a corpus - measured, value-checked cross-engine, "
+    "not asserted",
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nc = similarity.derived_n_cells(_scalar_count(emb))
+    qs = emb.where("vec_id < 5")
+    exact = similarity.cosine_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    approx = similarity.cosine_topk_ivf2(
+        emb, qs, k=10, n_cells=nc, n_probe=3, n_super_probe=2,
+        train_where="vec_id % 16 = 0",
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            floor_round6(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / 10.0
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
     )
