@@ -1,6 +1,7 @@
 """Benchmark harness: runs the headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints, as the LAST stdout line, ONE
+compact JSON record:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
@@ -14,13 +15,23 @@ heavy tail), because BASELINE.md's round-8 spread study measured
 manufacturing phantom regressions for the round-over-round compare.
 Reps are interleaved round-robin (run the whole list, repeat) so a
 transient box-wide stall inflates at most one rep of each query rather
-than every rep of one query. "queries" carries the medians (same
-shape as before, so cross-round totals stay comparable); "stats"
-carries {median, min, max} per query for spread inspection.
+than every rep of one query.
+
+Output layout (round-10 fix): the external harness records only the
+final ~2000 chars of stdout and parses the metric JSON out of that
+tail. Round 9 packed per-query {median,min,max} stats into the same
+line and pushed ``"metric"`` out of the capture window — the round
+lost its machine-readable bench artifact (BENCH_r09.json parsed:
+null). The detailed blobs (per-query spread stats, the active driver
+window, the cumulative driver-checked-ever name list) therefore now
+go to a sidecar file, ``BENCH_STATS.json`` next to this script, and
+the compact line printed LAST carries only the medians plus counts —
+small enough that the whole record always fits the tail.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -28,7 +39,8 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_DIR)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -61,18 +73,49 @@ HEADLINE = [
 # tracks only fast queries; a 2x regression here used to be invisible).
 # Reported as "heavy_queries"/"heavy_total" alongside the headline
 # metric — the headline total stays comparable across rounds.
+# Round 10 adds q212 (hierarchical IVF — the designed scale path past
+# flat-IVF's N^1.5 build cost); BASELINE.md re-baselines heavy_total.
 HEAVY = [
     "q187_cluster_canonical",
     "q188_shingle_containment",
     "q190_semantic_dedup",
     "q199_ivf_incremental",
     "q202_source_overlap",
+    "q212_hierarchical_ivf",
 ]
 
 # Rep counts per the round-8 verdict ask (>=5 headline, >=3 heavy);
 # overridable for quick local iteration (SPARK_GRAFT_BENCH_REPS=1).
+# An EXPLICIT SPARK_GRAFT_BENCH_HEAVY_REPS is honored verbatim — the
+# old min()-clamp silently ignored a request for more heavy reps than
+# headline reps; the clamp now applies only to the default.
 HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
-HEAVY_REPS = min(HEADLINE_REPS, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPS", "3")))
+_heavy_env = os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPS")
+HEAVY_REPS = int(_heavy_env) if _heavy_env is not None else min(HEADLINE_REPS, 3)
+
+
+def _driver_checked_ever() -> list[str]:
+    """Cumulative set of queries the external harness has ever
+    hash-verified (rows + schema + value hash green in some round's
+    CORRECTNESS_r*.json). Emitted so the accumulation math the
+    round-over-round rotation relies on is auditable from the BENCH
+    artifact alone. Rows-only entries (no oracle → hash_match null)
+    do not accumulate, matching the judge's ledger."""
+    ever: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO_DIR, "CORRECTNESS_r*.json"))):
+        try:
+            results = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, res in results.items():
+            if (
+                isinstance(res, dict)
+                and res.get("rows_match") is True
+                and res.get("schema_match") is True
+                and res.get("hash_match") is True
+            ):
+                ever.add(name)
+    return sorted(ever)
 
 
 def main() -> None:
@@ -111,9 +154,34 @@ def main() -> None:
     heavy_stats = run_list(HEAVY, HEAVY_REPS)
     timings = {n: s["median"] for n, s in headline_stats.items()}
     heavy = {n: s["median"] for n, s in heavy_stats.items()}
+    ever = _driver_checked_ever()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # Detail blobs → sidecar (kept out of the stdout tail on purpose).
+    with open(os.path.join(REPO_DIR, "BENCH_STATS.json"), "w") as f:
+        json.dump(
+            {
+                # per-query {median,min,max} spread behind the medians
+                "stats": {**headline_stats, **heavy_stats},
+                # the ACTIVE driver-checked window (first 50 of the
+                # rotated registration order) — recorded per-round so
+                # which queries the external hash gate verifies is
+                # auditable without reading _WINDOW_SWAPS in a commit
+                "driver_window": list(reg)[:50],
+                # cumulative driver-hash-green names across all rounds
+                "driver_checked_ever": ever,
+                "reps": {"headline": HEADLINE_REPS, "heavy": HEAVY_REPS},
+                "sf": sf,
+            },
+            f,
+            indent=1,
+        )
+
+    # Compact machine-readable record, printed LAST so it is always
+    # inside the harness's stdout-tail capture.
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -123,16 +191,10 @@ def main() -> None:
                 "queries": timings,
                 "heavy_total": round(sum(heavy.values()), 3),
                 "heavy_queries": heavy,
-                # per-query spread behind the medians above
-                "stats": {**headline_stats, **heavy_stats},
                 "reps": {"headline": HEADLINE_REPS, "heavy": HEAVY_REPS},
                 "sf": sf,
-                # the ACTIVE driver-checked window (first 50 of the
-                # rotated registration order) — recorded per-round so
-                # which queries the external hash gate verified is
-                # auditable from the BENCH artifact alone, not from
-                # reading _WINDOW_SWAPS in a particular commit
-                "driver_window": list(reg)[:50],
+                "driver_checked_ever": len(ever),
+                "stats_file": "BENCH_STATS.json",
             }
         )
     )
