@@ -586,8 +586,10 @@ def cosine_topk_ivf(
 def _member_table_df(spark, l2: list[list[float]], cell2super: dict[int, int]) -> DataFrame:
     """(super, members) with members = the super's (cell, cvec, cnorm)
     structs in cell order — the broadcast side of the second-level
-    argmax. Supers with no member cell are simply absent (a vector or
-    query routed there finds no candidates; both engines mirror)."""
+    argmax. :func:`ivf2_train` guarantees every returned super owns at
+    least one member cell (memberless supers are dropped from the
+    routable quantizer there), so this table covers every super a row
+    or query can route to."""
     by_super: dict[int, list[int]] = {}
     for cell, s in cell2super.items():
         by_super.setdefault(s, []).append(cell)
@@ -637,6 +639,19 @@ def ivf2_train(
         r["vec_id"]: r["cell"]
         for r in with_assigned_cell(cent_df, "embedding", l1).select("vec_id", "cell").collect()
     }
+    # Routing must only ever target supers that own at least one member
+    # cell: Lloyd can leave a level-1 centroid with zero assigned cells
+    # (empty cluster kept at its seed), and a corpus vector whose best
+    # super were memberless would otherwise silently vanish from the
+    # index — unreturnable for ANY query. Drop memberless supers from
+    # the returned quantizer and renumber the rest by ascending
+    # original id: order-preserving, so every argmax tie-break below
+    # ranks identically to the unfiltered ids (the oracle mirrors by
+    # restricting its super argmaxes to supers present in cellsup).
+    routable = sorted(set(cell2super.values()))
+    remap = {s: i for i, s in enumerate(routable)}
+    l1 = [l1[s] for s in routable]
+    cell2super = {c: remap[s] for c, s in cell2super.items()}
     return l2, l1, cell2super
 
 
@@ -793,7 +808,15 @@ def _sidecar_is_empty_dir(spark, sidecar_path: str) -> bool:
         return True
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
-        if st.isFile() and st.getLen() > 0 and not name.startswith(("_", ".")):
+        if name.startswith(("_", ".")):
+            continue
+        # A non-marker SUBDIRECTORY may hold committed data (e.g. a
+        # partitioned sidecar layout) — it must never read as "empty",
+        # or the token gate would be silently bypassed. Conservative:
+        # not empty, so the caller re-raises its original error.
+        if st.isDirectory():
+            return False
+        if st.isFile() and st.getLen() > 0:
             return False
     return True
 

@@ -190,15 +190,26 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id") -> Dat
     tests/test_bucketing.py::test_snapshot_diff_bucketed_join_no_shuffle.
     """
     o = old.select(
-        id_col, F.col("source").alias("_src_old"), F.col("f").alias("_f_old")
+        id_col,
+        F.col("source").alias("_src_old"),
+        F.col("f").alias("_f_old"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        id_col, F.col("source").alias("_src_new"), F.col("f").alias("_f_new")
+        id_col,
+        F.col("source").alias("_src_new"),
+        F.col("f").alias("_f_new"),
+        F.lit(True).alias("_in_new"),
     )
+    # Presence is keyed on per-side literal markers, NOT fingerprint
+    # nullity: a row whose fingerprint is legitimately NULL (null text
+    # -> md5 NULL) must still classify by which snapshot it appears in.
+    # Two present rows with equal-or-both-NULL fingerprints compare
+    # null-safely as unchanged.
     status = (
-        F.when(F.col("_f_old").isNull(), F.lit("added"))
-        .when(F.col("_f_new").isNull(), F.lit("removed"))
-        .when(F.col("_f_old") == F.col("_f_new"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_f_old").eqNullSafe(F.col("_f_new")), F.lit("unchanged"))
         .otherwise(F.lit("modified"))
     )
     return (

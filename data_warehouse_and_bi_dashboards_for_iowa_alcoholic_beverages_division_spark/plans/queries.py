@@ -278,15 +278,27 @@ def _scalar_count(df: DataFrame) -> int:
 
 
 def _scratch_index_path(prefix: str, sf_dir: str) -> str:
-    """Deterministic scratch location for queries that materialize a
-    side index (q156/q199): one directory per (query, SF), REUSED and
-    overwritten on every call. A fresh mkdtemp per call leaked one
-    full index copy per bench rep / correctness sweep — unbounded
-    /tmp growth on a long-lived box."""
+    """Deterministic PER-PROCESS scratch location for queries that
+    materialize a side index (q156/q199): one directory per
+    (query, SF, pid), REUSED and overwritten on every call within the
+    process — so a bench loop's reps don't leak index copies (the old
+    per-call mkdtemp did) — but DISJOINT across processes, so a
+    concurrent bench run and correctness sweep can no longer
+    interleave overwrite-vs-read on the same index (they did when the
+    path was process-shared). The process's scratch root is created
+    0700 (not pre-creatable usefully by another user) and removed at
+    interpreter exit."""
+    import atexit
+    import os
+    import shutil
     import tempfile
 
+    root = f"{tempfile.gettempdir()}/spark_graft_scratch_{os.getpid()}"
+    if not os.path.isdir(root):
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
     slug = sf_dir.strip("/").replace("/", "_")
-    return f"{tempfile.gettempdir()}/spark_graft_{prefix}_{slug}/index"
+    return f"{root}/{prefix}_{slug}/index"
 
 
 def release_persisted() -> int:
@@ -11153,12 +11165,15 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 17 <> 0
     ),
     diff AS (
+      -- presence via per-side literal markers (mirrors snapshot_diff):
+      -- a NULL fingerprint must not reclassify a present row
       SELECT COALESCE(new.source, old.source) AS source,
-             CASE WHEN old.f IS NULL THEN 'added'
-                  WHEN new.f IS NULL THEN 'removed'
-                  WHEN old.f = new.f THEN 'unchanged'
+             CASE WHEN old.m IS NULL THEN 'added'
+                  WHEN new.m IS NULL THEN 'removed'
+                  WHEN old.f IS NOT DISTINCT FROM new.f THEN 'unchanged'
                   ELSE 'modified' END AS status
-      FROM old FULL OUTER JOIN new USING (doc_id)
+      FROM (SELECT *, TRUE AS m FROM old) old
+      FULL OUTER JOIN (SELECT *, TRUE AS m FROM new) new USING (doc_id)
     )
     SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM diff GROUP BY source, status
@@ -11318,9 +11333,9 @@ def _q212_oracle(final_select: str | None = None) -> str:
       FROM {prev} LEFT JOIN {new}_c USING (super)
     )"""
 
-    probe_super = floor_round6_sql(cos_vc.format(v="v", c="s2x"))
+    probe_super = floor_round6_sql(cos_vc.format(v="v", c="s2e"))
     probe_cell = floor_round6_sql(cos_vc.format(v="v", c="c2x"))
-    vsup_score = floor_round6_sql(cos_vc.format(v="v", c="s2x"))
+    vsup_score = floor_round6_sql(cos_vc.format(v="v", c="s2e"))
     member_score = floor_round6_sql(cos_vc.format(v="v", c="c2x"))
     pair_cos = (
         "list_sum(list_transform(list_zip(q.embedding, v.embedding),"
@@ -11364,13 +11379,20 @@ def _q212_oracle(final_select: str | None = None) -> str:
     {lloyd_c("sa2", "s1", "s2")},
     {assign_c("cellsup", "s2")},
     s2x AS (SELECT super AS cell, cvec FROM s2),
+    -- routable supers only (ivf2_train mirror): Lloyd can leave a
+    -- level-1 centroid with zero member cells; vectors and probes must
+    -- never route to it, or the routed rows vanish from the index
+    s2e AS (
+      SELECT s2x.* FROM s2x
+      WHERE s2x.cell IN (SELECT DISTINCT super FROM cellsup)
+    ),
     c2x AS (SELECT cell, cvec FROM c2),
     vsup AS (
       SELECT vec_id, cell AS super FROM (
-        SELECT v.vec_id, s2x.cell,
+        SELECT v.vec_id, s2e.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {vsup_score} DESC, s2x.cell DESC) AS rn
-        FROM v, s2x
+                                  ORDER BY {vsup_score} DESC, s2e.cell DESC) AS rn
+        FROM v, s2e
       ) WHERE rn = 1
     ),
     af2 AS (
@@ -11386,10 +11408,10 @@ def _q212_oracle(final_select: str | None = None) -> str:
     ),
     sprobes AS (
       SELECT vec_id AS query_id, cell AS super FROM (
-        SELECT v.vec_id, s2x.cell,
+        SELECT v.vec_id, s2e.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {probe_super} DESC, s2x.cell DESC) AS rn
-        FROM v, s2x WHERE v.vec_id < 5
+                                  ORDER BY {probe_super} DESC, s2e.cell DESC) AS rn
+        FROM v, s2e WHERE v.vec_id < 5
       ) WHERE rn <= 2
     ),
     cprobes AS (
