@@ -655,29 +655,18 @@ def ivf2_train(
     return l2, l1, cell2super
 
 
-def cosine_topk_ivf2(
+def _ivf2_corpus_lists(
     corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 10,
-    n_cells: int = 8,
-    n_probe: int = 3,
-    n_super_probe: int = 2,
-    iters: int = 2,
-    train_where: str | None = None,
+    members: DataFrame,
+    l1: list[list[float]],
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Hierarchical-IVF approximate top-k (:func:`ivf2_train`): corpus
-    rows route level-1 supercell -> best member cell (map-only: the
-    supercell argmax is :func:`with_assigned_cell`, the member argmax
-    folds a per-super broadcast array — no vector ever shuffles);
-    queries probe their ``n_super_probe`` best supercells, rank the
-    union of those supers' member cells, keep ``n_probe``, and score
-    only those inverted lists. Per-row assignment work drops from
-    O(n_cells) to O(sqrt n_cells) both build- and query-side."""
-    spark = corpus.sparkSession
-    l2, l1, cell2super = ivf2_train(corpus, id_col, vec_col, n_cells, iters, train_where)
-    members = _member_table_df(spark, l2, cell2super)
+    """Corpus rows routed level-1 supercell -> best member cell
+    (map-only: the supercell argmax is :func:`with_assigned_cell`, the
+    member argmax folds a per-super broadcast array — no vector ever
+    shuffles). Returns (neighbor_id, c_vec, cn, cell) — the
+    hierarchical inverted lists."""
 
     def best_member(nv: Column) -> Column:
         return F.array_max(
@@ -692,7 +681,7 @@ def cosine_topk_ivf2(
             )
         )["c"]
 
-    c = (
+    return (
         with_assigned_cell(
             _spread_narrow_scan(
                 corpus.select(
@@ -716,7 +705,19 @@ def cosine_topk_ivf2(
         )
     )
 
-    # query side: top supers -> member-cell ranking -> n_probe cells
+
+def _ivf2_probe_cells(
+    queries: DataFrame,
+    members: DataFrame,
+    l1: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    n_super_probe: int,
+    n_probe: int,
+) -> DataFrame:
+    """Query side of the hierarchical probe: top ``n_super_probe``
+    supercells -> member-cell ranking -> ``n_probe`` cells. Returns
+    (query_id, q_vec, qn, cell)."""
     qs = (
         with_probe_cells(
             queries.select(
@@ -744,12 +745,17 @@ def cosine_topk_ivf2(
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("cell").desc())
-    q = (
+    return (
         qs.withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= n_probe)
         .select("query_id", "q_vec", "qn", "cell")
     )
 
+
+def _ivf2_score_topk(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
+    """Score probed queries against the inverted lists they selected:
+    broadcast the (tiny) probe table, equi-join on cell, exact cosine,
+    per-query top-k. Returns (query_id, neighbor_id, score, rank)."""
     scored = (
         F.broadcast(q)
         .join(c, on="cell", how="inner")
@@ -764,6 +770,114 @@ def cosine_topk_ivf2(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_topk_ivf2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    n_super_probe: int = 2,
+    iters: int = 2,
+    train_where: str | None = None,
+) -> DataFrame:
+    """Hierarchical-IVF approximate top-k (:func:`ivf2_train`): corpus
+    rows route level-1 supercell -> best member cell (map-only: the
+    supercell argmax is :func:`with_assigned_cell`, the member argmax
+    folds a per-super broadcast array — no vector ever shuffles);
+    queries probe their ``n_super_probe`` best supercells, rank the
+    union of those supers' member cells, keep ``n_probe``, and score
+    only those inverted lists. Per-row assignment work drops from
+    O(n_cells) to O(sqrt n_cells) both build- and query-side."""
+    spark = corpus.sparkSession
+    l2, l1, cell2super = ivf2_train(corpus, id_col, vec_col, n_cells, iters, train_where)
+    members = _member_table_df(spark, l2, cell2super)
+    c = _ivf2_corpus_lists(corpus, members, l1, id_col, vec_col)
+    q = _ivf2_probe_cells(queries, members, l1, id_col, vec_col, n_super_probe, n_probe)
+    return _ivf2_score_topk(q, c, k)
+
+
+def ivf2_recall_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    combos: list[tuple[int, int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    iters: int = 2,
+    train_where: str | None = None,
+    persist=None,
+) -> DataFrame:
+    """Recall@k curve over (n_super_probe, n_probe) combinations — the
+    table a deployment reads to pick its probe widths: the quantizer
+    trains ONCE (:func:`ivf2_train`), the corpus routes into its
+    hierarchical inverted lists ONCE, and each combo re-runs only the
+    query-side probe + scoring against the shared lists, with recall@k
+    measured per query against the exact brute-force top-k
+    (:func:`cosine_topk`) and aggregated per combo.
+
+    Returns one row per combo:
+    (n_super_probe, n_probe, n_queries, mean_recall, min_recall),
+    mean_recall = sum(hits) / (k * n_queries) — exact integer
+    arithmetic until the one terminal division.
+
+    ``persist`` (optional callable, e.g. the registry's eager
+    ``_persist``) caches the two combo-invariant corpus passes — the
+    inverted lists and the exact baseline — so C combos cost C
+    query-side probes, not C corpus scans. At index scale a deployment
+    runs this sweep against an already-persisted index (q156/q199's
+    device); the in-plan cache is the sweep-as-one-query equivalent."""
+    spark = corpus.sparkSession
+    l2, l1, cell2super = ivf2_train(corpus, id_col, vec_col, n_cells, iters, train_where)
+    members = _member_table_df(spark, l2, cell2super)
+    c = _ivf2_corpus_lists(corpus, members, l1, id_col, vec_col)
+    exact = cosine_topk(corpus, queries, id_col, vec_col, k).select(
+        "query_id", "neighbor_id"
+    )
+    if persist is not None:
+        c = persist(c)
+        exact = persist(exact)
+    qids = queries.select(F.col(id_col).alias("query_id"))
+
+    per_combo = []
+    for n_super_probe, n_probe in combos:
+        q = _ivf2_probe_cells(
+            queries, members, l1, id_col, vec_col, n_super_probe, n_probe
+        )
+        approx = _ivf2_score_topk(q, c, k).select("query_id", "neighbor_id")
+        hits = (
+            approx.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        per_combo.append(
+            qids.join(F.broadcast(hits), "query_id", "left").select(
+                F.lit(n_super_probe).cast("int").alias("n_super_probe"),
+                F.lit(n_probe).cast("int").alias("n_probe"),
+                F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            )
+        )
+    union = per_combo[0]
+    for rec in per_combo[1:]:
+        union = union.unionByName(rec)
+    return (
+        union.groupBy("n_super_probe", "n_probe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            floor_round6(
+                F.sum("n_hits").cast("double")
+                / (F.lit(float(k)) * F.count(F.lit(1)).cast("double"))
+            ).alias("mean_recall"),
+            floor_round6(F.min("n_hits").cast("double") / F.lit(float(k))).alias(
+                "min_recall"
+            ),
+        )
+        .orderBy("n_super_probe", "n_probe")
+    )
 
 
 def build_ivf_index(

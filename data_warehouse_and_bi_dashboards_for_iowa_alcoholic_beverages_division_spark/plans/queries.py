@@ -87,7 +87,6 @@ _CANONICAL_DOUBLE: dict[str, tuple[str, ...]] = {
     "q90_large_orders": ("totalprice", "sum_qty"),
     "q91_top_supplier": ("total_rev",),
     "q92_balance_opportunity": ("total_acctbal",),
-    "q94_balance_deciles": ("lo", "hi"),
     "q96_segment_percentiles": ("bal",),
     "q106_forecast_revenue": ("promo_revenue",),
     "q107_volume_shipping": ("revenue",),
@@ -146,68 +145,62 @@ def register(name: str, oracle: str | None, description: str = ""):
 # losing SURVEY §2 coverage: every swapped-out query's §2 row is still
 # covered by another window slot (q03→q30 for P10, q09→q25 for O3,
 # q15→q14 for U3, q24→q23/q25-q28 for A5, q49→q20/q28 for F4/#6).
-# Round-9 rotation (aggressive — the r08 verdict's #1 ask): the r07/r08
-# swap-ins (q146 q184 q187 q196 q204 q206 q207 q208 q209 q195 q186) all
-# accumulated driver-hash passes, so ALL of them rotate back out and 25
-# never-driver-checked queries take window slots (22 pre-existing + the
-# three NEW queries of the round, q211/q212/q213). Cumulative distinct
-# driver-checked queries: 64 through r08 → 89 if this window goes green.
+# Round-10 rotation (the r09 verdict's #2 ask, aimed at the load-
+# bearing never-checked set it named): all 24 round-9 swap-ins went
+# driver-green in r9 (cumulative distinct driver-checked: 85), so all
+# of them rotate back out and 24 never-driver-checked queries take the
+# same base slots — led by q199 (heavy-list anchor profiled every
+# round, never value-checked externally), q156 (persisted index),
+# q57/q60/q61/q62 (§2 rows riding on local-pass only), q64, q67, q85,
+# q98/q99, q126, q163, q201, plus the heavy-list's other two
+# never-checked members (q188, q202), the skew bench pair
+# (q157/q158), q137, q131, q160, q177, q100, and the round's NEW
+# query q214 (new queries ride the window the round they land).
+# Cumulative if green: 85 → 109.
 # Per-swap §2-family coverage (out → anchor that stays in-window):
-#   q03 (P10 → q30)          q09 (O3 → q143-in, q10)
-#   q15 (U3 → q14)           q24 (A5 → q23)
+#   q03 (P10 → q30)          q09 (O3 → q10 top-N per key)
+#   q15 (U3 → q14)           q24/q27 (A5 → q23)
 #   q49/q28 (F4 → q20)       q18 (P7 → q51)
-#   q27 (A5 → q23)           q11 (W2 → q21; W3 → q43)
-#   q32/q33/q31 (text → q34) q04 (J1 → q58-in, q05, q23)
-#   q25 (O3/A5 → q143-in, q23)  q26 (rollup → q55-in cube, q23)
-#   q37 (Jaccard verify → q147-in, same shared pipeline)
-#   q40 (embed near-dup → q190-in, q38)  q41 (events agg → q66-in, q43)
-#   q42 (no dedicated §2 row; F2 → q47)  q44 (pivot → q123-in unpivot)
-#   q46 (multimodal → q45, q151-in)      q52 (gsets → q141-in, q55-in)
-#   q53 (W running sum → q64-in, q10, q43)
+#   q11 (W2 → q21; W3 → q43) q32/q33/q31 (text → q34)
+#   q04 (J1 → q05, q23)      q25 (O3/A5 → q23; q91/q143 passed r9)
+#   q26 (rollup → q55 passed r9)  q37 (Jaccard → q147 passed r9)
+#   q40 (near-dup → q190 passed r9)  q41 (events → q66 passed r9)
+#   q42 (F2 → q47)           q44 (pivot → q123 passed r9)
+#   q46 (multimodal → q45)   q52 (gsets → q141/q55 passed r9)
+#   q53 (W → q10, q43)       q38 (ANN → q67/q156/q199/q214 all in)
 # q05 (sole J3 left-outer anchor), q06 (sole J4 anti), q07 (sole semi),
 # q08 (sole J7 cross) stay — no other window slot covers those rows.
-# ADVICE r08 items land in-window this round: q210_corpus_diff (new in
-# r8, never value-verified externally) and the hashed-shingle rewrites
-# q145/q147 (Spark+oracle changed in lockstep in r8 — now driver-gated).
-# q38 (brute ANN, 7 accumulated driver passes) → q211 (NEW this round:
-# sample-trained derived-capacity IVF — new queries ride the window
-# the round they land; ANN family stays anchored by q190 + q211).
 # The ACTIVE window is emitted in every bench run ("driver_window" in
-# bench.py's JSON) so externally-reported verification coverage is
-# auditable round over round without reading this file.
+# BENCH_STATS.json) alongside the cumulative driver_checked_ever list,
+# so externally-reported verification coverage is auditable round over
+# round without reading this file.
 # ---------------------------------------------------------------------
 _WINDOW_SWAPS: list[tuple[str, str]] = [
-    ("q03_distinct", "q84_dedup_clusters"),
-    ("q09_topn_parts", "q143_topn_with_ties"),
-    # q15's U3 row stays covered by q14; this slot carries the third
-    # new query of the round (the diff family's window anchor is
-    # q210_corpus_diff below; q131 rotates in a future round)
-    ("q15_intersect", "q213_ivf2_recall"),
-    ("q24_star_month", "q73_sql_text_star"),
-    ("q49_date_horizon", "q122_gap_fill"),
-    ("q18_null_fill_geo", "q65_constraint_checks"),
-    ("q28_season", "q133_yoy_growth"),
-    ("q27_kpi_totals", "q132_revenue_share"),
-    ("q11_order_gaps", "q59_next_later_date"),
-    ("q32_text_quality", "q120_quality_classifier"),
-    ("q33_lang_id", "q127_char_entropy"),
-    ("q04_join_inner_agg", "q58_compound_join"),
-    ("q25_topn_vendors", "q91_top_supplier"),
-    ("q26_rollup_geo", "q55_cube"),
-    ("q31_token_stats", "q145_simhash_md5"),
-    ("q37_ngram_jaccard", "q147_incremental_portable"),
-    ("q40_embedding_near_dup", "q190_semantic_dedup"),
-    ("q41_events_hourly", "q66_session_window"),
-    ("q42_json_props", "q210_corpus_diff"),
-    ("q44_pivot", "q123_unpivot"),
-    ("q46_media_metadata", "q151_resize_text_twin"),
-    ("q52_grouping_sets", "q141_grouping_id"),
-    # q53's W-family row stays covered by q10 (row_number) and q43
-    # (lag); its slot carries the OTHER new query of the round — new
-    # queries ride the window the round they land (q64 rotates in a
-    # future round with the ~120 other never-checked entries)
-    ("q53_running_total", "q212_hierarchical_ivf"),
-    ("q38_knn_cosine", "q211_ivf_sampled_train"),
+    ("q03_distinct", "q199_ivf_incremental"),
+    ("q09_topn_parts", "q156_ivf_persisted"),
+    ("q15_intersect", "q57_ingest_coercion"),
+    ("q24_star_month", "q60_same_day_repair"),
+    ("q49_date_horizon", "q61_asof_grouped"),
+    ("q18_null_fill_geo", "q62_full_outer_upsert"),
+    ("q28_season", "q64_moving_window"),
+    ("q27_kpi_totals", "q67_knn_ivf"),
+    ("q11_order_gaps", "q85_decontamination"),
+    ("q32_text_quality", "q98_incremental_blocked"),
+    ("q33_lang_id", "q99_incremental_lsh"),
+    ("q04_join_inner_agg", "q126_bpe_train"),
+    ("q25_topn_vendors", "q163_pagerank"),
+    ("q26_rollup_geo", "q201_personalized_pagerank"),
+    ("q31_token_stats", "q188_shingle_containment"),
+    ("q37_ngram_jaccard", "q202_source_overlap"),
+    ("q40_embedding_near_dup", "q137_event_asof"),
+    ("q41_events_hourly", "q157_skew_join_salted"),
+    ("q42_json_props", "q158_skew_join_aqe"),
+    ("q44_pivot", "q131_table_diff"),
+    ("q46_media_metadata", "q160_bm25_topk"),
+    ("q52_grouping_sets", "q177_pq_adc"),
+    # the round's NEW query rides the window the round it lands
+    ("q53_running_total", "q214_recall_probe_sweep"),
+    ("q38_knn_cosine", "q100_sequence_packing"),
 ]
 
 
@@ -3028,38 +3021,12 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banding, share-of-segment percentiles).
 # =====================================================================
 
-@register(
-    "q94_balance_deciles",
-    """
-    WITH d AS (
-      SELECT ntile(10) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey) AS decile,
-             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
-      FROM customer
-    )
-    SELECT decile, COUNT(*) AS n_custs, MIN(bal) AS lo, MAX(bal) AS hi
-    FROM d GROUP BY decile
-    """,
-    "W: ntile(10) decile banding of customer balances. A global ntile "
-    "is a total order — Spark plans a single-partition window, which "
-    "is the honest cost of exact global ranking; at 100 TB use q204, "
-    "the window-free distributed-percentile twin (exact thresholds "
-    "from a domain-bounded histogram decomposition, boundary ties to "
-    "the lower band). Deterministic tiebreak on c_custkey; decimal "
-    "balances",
-)
-def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("bal", "c_custkey")
-    return (
-        _t(spark, sf_dir, "customer")
-        .select(F.col("c_acctbal").cast("decimal(12,2)").alias("bal"), "c_custkey")
-        .withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
-        .agg(
-            F.count("*").alias("n_custs"),
-            F.min("bal").alias("lo"),
-            F.max("bal").alias("hi"),
-        )
-    )
+# q94_balance_deciles (global-ntile decile banding) is no longer a
+# registered query: the scale-safe default for decile banding is
+# q204_decile_thresholds (window-free exact-threshold histogram
+# device). The ntile form survives as plans/funnels.py::
+# balance_deciles_funnel, a documented single-partition-window
+# anti-pattern demonstration pinned by tests/test_funnels.py.
 
 
 @register(
@@ -5787,7 +5754,7 @@ def _q67_oracle(
 
     def assign(name: str, cents: str, src: str = "v") -> str:
         scored = floor_round6_sql(cos_c.format(v=src, c=cents))
-        return f"""{name} AS (
+        return f"""{name} AS MATERIALIZED (
       SELECT vec_id, cell FROM (
         SELECT {src}.vec_id, {cents}.cell,
                ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
@@ -5808,7 +5775,7 @@ def _q67_oracle(
         FROM {new}_m GROUP BY cell, pos
       ) GROUP BY cell
     ),
-    {new} AS (
+    {new} AS MATERIALIZED (
       SELECT {prev}.cell, COALESCE({new}_c.cvec, {prev}.cvec) AS cvec
       FROM {prev} LEFT JOIN {new}_c USING (cell)
     )"""
@@ -5841,13 +5808,13 @@ def _q67_oracle(
       FROM embeddings WHERE {train_pred} ORDER BY vec_id LIMIT 8
     ),"""
     return f"""
-    WITH v AS (
+    WITH v AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
     ),
-    vt AS (SELECT * FROM v WHERE {train_pred}),
+    vt AS MATERIALIZED (SELECT * FROM v WHERE {train_pred}),
     {c0}
     {assign("a1", "c0", "vt")},
     {lloyd("a1", "c0", "c1")},
@@ -7451,11 +7418,13 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ntile_batch_padding_oracle() -> str:
-    """The NTILE formulation of length-bucketed batch padding, shared
-    by q171 (window Spark plan) and q207 (window-free Spark plan): the
-    per-(bucket, batch) padding stats depend only on the token-count
-    MULTISET each batch receives, and ranks are assigned to the sorted
-    token counts, so both plans must reproduce this SQL exactly."""
+    """The NTILE formulation of length-bucketed batch padding — the
+    q207 oracle (window-free Spark plan; also reproduced exactly by
+    plans/funnels.py::length_bucketed_batches_funnel, the demonstration
+    window form): the per-(bucket, batch) padding stats depend only on
+    the token-count MULTISET each batch receives, and ranks are
+    assigned to the sorted token counts, so both plans must reproduce
+    this SQL exactly."""
     return r"""
     WITH tok AS (
       SELECT doc_id,
@@ -7492,52 +7461,12 @@ def _ntile_batch_padding_oracle() -> str:
     )
 
 
-@register(
-    "q171_length_bucketed_batches",
-    _ntile_batch_padding_oracle(),
-    "Length-bucketed batching for training/inference: docs NTILE'd "
-    "into 8 token-length buckets (at scale: range partitioning by "
-    "precomputed length quantiles - q164's histogram gives them for "
-    "free), fixed 32-doc batches within each bucket, and the padding "
-    "waste each batch pays (batch_max x batch_size - real tokens). "
-    "Grouping similar lengths is THE lever on padding FLOPs; the "
-    "padding_frac column quantifies it per bucket from exact integer "
-    "token counts. A global ntile is a total order - Spark plans a "
-    "single-partition window, the honest cost of exact per-row "
-    "ranking; at 100 TB use q207, the window-free twin that derives "
-    "the identical per-bucket stats from the bounded token-count "
-    "histogram (same oracle, no window anywhere)",
-)
-def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", text.token_count_expr("text").alias("ntok"))
-    wb = Window.orderBy("ntok", "doc_id")
-    bucketed = tok.withColumn("bucket", F.ntile(8).over(wb))
-    wr = Window.partitionBy("bucket").orderBy("ntok", "doc_id")
-    batched = bucketed.withColumn(
-        "batch", ((F.row_number().over(wr) - F.lit(1)) / F.lit(32)).cast("int")
-    )
-    per_batch = batched.groupBy("bucket", "batch").agg(
-        F.count("*").alias("n"), F.max("ntok").alias("mx"), F.sum("ntok").alias("sm")
-    )
-    padded = F.sum(F.col("mx") * F.col("n"))
-    real = F.sum("sm")
-    return per_batch.groupBy("bucket").agg(
-        F.sum("n").cast("bigint").alias("n_docs"),
-        F.count("*").cast("bigint").alias("n_batches"),
-        padded.cast("bigint").alias("padded_tokens"),
-        real.cast("bigint").alias("real_tokens"),
-        floor_round6(
-            (padded - real).cast("double") / padded.cast("double")
-        ).alias("padding_frac"),
-    ).select(
-        F.col("bucket").cast("int").alias("bucket"),
-        "n_docs",
-        "n_batches",
-        "padded_tokens",
-        "real_tokens",
-        "padding_frac",
-    )
+# q171_length_bucketed_batches (global-ntile length bucketing) is no
+# longer a registered query: the scale-safe default for batch padding
+# stats is q207_batch_padding_distributed — SAME oracle SQL, identical
+# output rows, zero windows. The ntile form survives as
+# plans/funnels.py::length_bucketed_batches_funnel
+# (tests/test_funnels.py pins exact row equality with q207).
 
 
 def _q172_oracle() -> str:
@@ -7952,7 +7881,7 @@ def _q177_oracle() -> str:
         FROM {new}_m GROUP BY cell, pos
       ) GROUP BY cell
     ),
-    {new} AS (
+    {new} AS MATERIALIZED (
       SELECT {prev}.cell, COALESCE({new}_c.cvec, {prev}.cvec) AS cvec
       FROM {prev} LEFT JOIN {new}_c USING (cell)
     )"""
@@ -8052,7 +7981,7 @@ def _q178_oracle(tail: str | None = None) -> str:
         FROM {new}_m GROUP BY cell, pos
       ) GROUP BY cell
     ),
-    {new} AS (
+    {new} AS MATERIALIZED (
       SELECT {prev}.cell, COALESCE({new}_c.cvec, {prev}.cvec) AS cvec
       FROM {prev} LEFT JOIN {new}_c USING (cell)
     )"""
@@ -8091,7 +8020,7 @@ def _q178_oracle(tail: str | None = None) -> str:
         FROM {new}_m GROUP BY cell, pos
       ) GROUP BY cell
     ),
-    {new} AS (
+    {new} AS MATERIALIZED (
       SELECT {prev}.cell, COALESCE({new}_c.cvec, {prev}.cvec) AS cvec
       FROM {prev} LEFT JOIN {new}_c USING (cell)
     )"""
@@ -8647,82 +8576,13 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RFM customer segmentation — classic BI scoring, quintile bands
 # =====================================================================
 
-def _q184_oracle() -> str:
-    """DuckDB twin of RFM: each ntile ORDER BY carries a c_custkey
-    tiebreak (total order -> identical quintile assignment on both
-    engines); monetary stays exact decimal through every sum and is
-    canonicalized to a floor-rounded double only at the terminal column
-    (the decimal-stringification tripwire's required shape)."""
-    return """
-    WITH per_cust AS (
-      SELECT o_custkey,
-             MAX(o_orderdate) AS last_order,
-             COUNT(*) AS n_orders,
-             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
-      FROM orders GROUP BY o_custkey
-    ),
-    anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
-    scored AS (
-      SELECT o_custkey,
-             ntile(5) OVER (ORDER BY date_diff('day', last_order, mx), o_custkey) AS r_q,
-             ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
-             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_q,
-             n_orders, monetary
-      FROM per_cust CROSS JOIN anchor
-    )
-    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
-           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
-           {total_monetary} AS total_monetary
-    FROM scored GROUP BY r_q, f_q, m_q
-    ORDER BY r_q, f_q, m_q
-    """.format(total_monetary=floor_round6_sql("CAST(SUM(monetary) AS DOUBLE)"))
-
-
-@register(
-    "q184_rfm_segments",
-    _q184_oracle(),
-    "RFM segmentation - recency / frequency / monetary quintiles, the "
-    "classic CRM scoring grid: per-customer last-order age, order "
-    "count, and exact-decimal spend, each ntile(5)-banded with a "
-    "custkey tiebreak (total order = identical bands on both engines), "
-    "then rolled up to segment cells. Global ntile is a total order, "
-    "so Spark honestly plans a single-partition window over the "
-    "customer-grain aggregate (per-customer rows, not raw orders - the "
-    "heavy reduction happens in the distributed groupBy first); at "
-    "100 TB swap each ntile for q204's window-free percentile-"
-    "threshold banding (exact, domain-bounded intermediates)",
-)
-def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
-    )
-    anchor = o.agg(F.max("o_orderdate").alias("mx"))
-    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
-        "o_custkey",
-        F.ntile(5)
-        .over(Window.orderBy(F.datediff(F.col("mx"), F.col("last_order")), F.col("o_custkey")))
-        .alias("r_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey")))
-        .alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
-        .alias("m_q"),
-        "n_orders",
-        "monetary",
-    )
-    return (
-        scored.groupBy("r_q", "f_q", "m_q")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.sum("n_orders").cast("bigint").alias("total_orders"),
-            floor_round6(F.sum("monetary").cast("double")).alias("total_monetary"),
-        )
-        .orderBy("r_q", "f_q", "m_q")
-    )
+# q184_rfm_segments (three global RFM ntiles) is no longer a
+# registered query: the scale-safe default for RFM segmentation is
+# q206_rfm_distributed (window-free per-measure exact-threshold
+# refinement). The ntile form survives as
+# plans/funnels.py::rfm_segments_funnel, a documented single-
+# partition-window anti-pattern demonstration pinned by
+# tests/test_funnels.py.
 
 
 # =====================================================================
@@ -10620,23 +10480,23 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Distributed exact percentile banding — the 100 TB twin of the
-# global-ntile family (q94 deciles, q184 RFM quintiles). A global
-# ntile is a total order, which Spark can only plan as a
-# single-partition WindowExec: every per-entity row funnels through
-# ONE task. q204 computes the same decile banding with NO window at
-# all — exact thresholds from a two-level value-histogram
-# decomposition whose every intermediate is bounded by the VALUE
-# DOMAIN (cents of a balance), not the row count, so the plan is
-# invariant to data scale.
+# Distributed exact percentile banding — the registered, 100 TB-safe
+# form of the global-ntile family (decile and RFM-quintile funnels,
+# now demonstration twins in plans/funnels.py). A global ntile is a
+# total order, which Spark can only plan as a single-partition
+# WindowExec: every per-entity row funnels through ONE task. q204
+# computes the same decile banding with NO window at all — exact
+# thresholds from a two-level value-histogram decomposition whose
+# every intermediate is bounded by the VALUE DOMAIN (cents of a
+# balance), not the row count, so the plan is invariant to data scale.
 #
 # Exact <-> ntile boundary difference (documented, deliberate): ntile
 # splits ties across bands by tiebreak to equalize band sizes;
 # threshold banding sends ALL rows equal to a boundary value into the
 # lower band (value-deterministic, tie-safe). Band populations
-# therefore differ from q94 exactly on boundary ties — the honest
-# semantics at scale, where a per-row tiebreak through one task is
-# the thing being eliminated.
+# therefore differ from the ntile funnel exactly on boundary ties —
+# the honest semantics at scale, where a per-row tiebreak through one
+# task is the thing being eliminated.
 # =====================================================================
 
 # $10 buckets over cents: balance domain [-999.99, 9999.99] =>
@@ -10688,8 +10548,10 @@ def _q204_oracle() -> str:
 @register(
     "q204_decile_thresholds",
     _q204_oracle(),
-    "Distributed exact decile banding - the 100 TB twin of the "
-    "q94/q184 global-ntile family, with NO window function anywhere "
+    "Distributed exact decile banding - the registered scale-safe "
+    "form of global decile banding (the ntile funnel is a "
+    "demonstration twin, plans/funnels.py::balance_deciles_funnel), "
+    "with NO window function anywhere "
     "in the plan (the plan-shape test pins zero WindowExec). Exact "
     "decile thresholds via two-level histogram decomposition: "
     "(1) cents-value rows fold into $10 buckets (domain-bounded "
@@ -10839,8 +10701,10 @@ def _q206_oracle() -> str:
 @register(
     "q206_rfm_distributed",
     _q206_oracle(),
-    "Distributed RFM segmentation - q184's recency/frequency/monetary "
-    "quintile grid rebuilt on exact window-free rank thresholds "
+    "Distributed RFM segmentation - the registered scale-safe form of "
+    "the recency/frequency/monetary quintile grid (the triple-ntile "
+    "funnel is a demonstration twin, plans/funnels.py::"
+    "rfm_segments_funnel) rebuilt on exact window-free rank thresholds "
     "(operators/quantiles.py, the q204 operator): each measure's "
     "thresholds come from statically-unrolled histogram refinement "
     "(monetary is near-continuous cents, so it refines through four "
@@ -10850,8 +10714,8 @@ def _q206_oracle() -> str:
     "form of the RFM grid, not just one banded measure. Descending "
     "measures band on negated values. Boundary ties land in the lower "
     "band (exact<->ntile difference, q204's documented contract), so "
-    "cell populations differ from q184 exactly on ties - both grids "
-    "are value-checked against their own oracles",
+    "cell populations differ from the ntile funnel exactly on ties - "
+    "the grid is value-checked against its own exact-threshold oracle",
 )
 def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import quantiles
@@ -10906,7 +10770,9 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Window-free length-bucketed batching — the 100 TB twin of q171.
+# Window-free length-bucketed batching — the registered, 100 TB-safe
+# form (the global-ntile funnel is a demonstration twin:
+# plans/funnels.py::length_bucketed_batches_funnel).
 # The insight that removes every window: per-(bucket, batch) padding
 # stats depend only on the token-count MULTISET each batch receives,
 # and the (ntok, doc_id) ranking assigns ntok values to ranks purely
@@ -10922,7 +10788,8 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q207_batch_padding_distributed",
     _ntile_batch_padding_oracle(),
-    "Window-free twin of q171's length-bucketed batching: the same "
+    "Length-bucketed batching, window-free (the ntile funnel twin is "
+    "plans/funnels.py::length_bucketed_batches_funnel): the same "
     "8-bucket NTILE + 32-doc batch padding stats (same oracle SQL) "
     "computed from the bounded token-count histogram instead of "
     "per-row ranks. Rank intervals: each histogram row (ntok, cnt, "
@@ -10931,7 +10798,7 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
     "intervals with bucket spans and then with 32-wide batch spans "
     "yields each batch's ntok multiset without ever ranking a row. "
     "One corpus aggregate + broadcast joins over domain-bounded "
-    "sets - the shape that survives 100 TB where q171's "
+    "sets - the shape that survives 100 TB where the funnel's "
     "single-partition window cannot",
 )
 def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11278,7 +11145,7 @@ def _q212_oracle(final_select: str | None = None) -> str:
 
     def assign_v(name: str, cents: str, src: str = "v") -> str:
         scored = floor_round6_sql(cos_vc.format(v=src, c=cents))
-        return f"""{name} AS (
+        return f"""{name} AS MATERIALIZED (
       SELECT vec_id, cell FROM (
         SELECT {src}.vec_id, {cents}.cell,
                ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
@@ -11299,7 +11166,7 @@ def _q212_oracle(final_select: str | None = None) -> str:
         FROM {new}_m GROUP BY cell, pos
       ) GROUP BY cell
     ),
-    {new} AS (
+    {new} AS MATERIALIZED (
       SELECT {prev}.cell, COALESCE({new}_c.cvec, {prev}.cvec) AS cvec
       FROM {prev} LEFT JOIN {new}_c USING (cell)
     )"""
@@ -11307,7 +11174,7 @@ def _q212_oracle(final_select: str | None = None) -> str:
     # level-1 Lloyd over the level-2 centroid table c2n (id = cell)
     def assign_c(name: str, supers: str) -> str:
         scored = floor_round6_sql(cos_cc.format(a="c2n", b=supers))
-        return f"""{name} AS (
+        return f"""{name} AS MATERIALIZED (
       SELECT cell, super FROM (
         SELECT c2n.cell, {supers}.super,
                ROW_NUMBER() OVER (PARTITION BY c2n.cell
@@ -11328,7 +11195,7 @@ def _q212_oracle(final_select: str | None = None) -> str:
         FROM {new}_m GROUP BY super, pos
       ) GROUP BY super
     ),
-    {new} AS (
+    {new} AS MATERIALIZED (
       SELECT {prev}.super, COALESCE({new}_c.cvec, {prev}.cvec) AS cvec
       FROM {prev} LEFT JOIN {new}_c USING (super)
     )"""
@@ -11342,13 +11209,13 @@ def _q212_oracle(final_select: str | None = None) -> str:
         " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm)"
     )
     return f"""
-    WITH v AS (
+    WITH v AS MATERIALIZED (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
     ),
-    vt AS (SELECT * FROM v WHERE {train_pred}),
+    vt AS MATERIALIZED (SELECT * FROM v WHERE {train_pred}),
     params AS ({ladder_expr("embeddings")}),
     c0 AS (
       SELECT cell, cvec FROM (
@@ -11361,7 +11228,7 @@ def _q212_oracle(final_select: str | None = None) -> str:
     {lloyd_v("a1", "c0", "c1")},
     {assign_v("a2", "c1", "vt")},
     {lloyd_v("a2", "c1", "c2")},
-    c2n AS (
+    c2n AS MATERIALIZED (
       SELECT cell, cvec,
              sqrt(list_sum(list_transform(cvec, x -> x * x))) AS nrm
       FROM c2
@@ -11378,16 +11245,16 @@ def _q212_oracle(final_select: str | None = None) -> str:
     {assign_c("sa2", "s1")},
     {lloyd_c("sa2", "s1", "s2")},
     {assign_c("cellsup", "s2")},
-    s2x AS (SELECT super AS cell, cvec FROM s2),
+    s2x AS MATERIALIZED (SELECT super AS cell, cvec FROM s2),
     -- routable supers only (ivf2_train mirror): Lloyd can leave a
     -- level-1 centroid with zero member cells; vectors and probes must
     -- never route to it, or the routed rows vanish from the index
-    s2e AS (
+    s2e AS MATERIALIZED (
       SELECT s2x.* FROM s2x
       WHERE s2x.cell IN (SELECT DISTINCT super FROM cellsup)
     ),
-    c2x AS (SELECT cell, cvec FROM c2),
-    vsup AS (
+    c2x AS MATERIALIZED (SELECT cell, cvec FROM c2),
+    vsup AS MATERIALIZED (
       SELECT vec_id, cell AS super FROM (
         SELECT v.vec_id, s2e.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -11395,7 +11262,7 @@ def _q212_oracle(final_select: str | None = None) -> str:
         FROM v, s2e
       ) WHERE rn = 1
     ),
-    af2 AS (
+    af2 AS MATERIALIZED (
       SELECT vec_id, cell FROM (
         SELECT v.vec_id, c2x.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -11547,4 +11414,141 @@ def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
         .orderBy("query_id")
+    )
+
+
+# (n_super_probe, n_probe) grid for q214 — shared verbatim by the
+# Spark sweep and its oracle unroll. Spans the full operating curve at
+# the gate SF (sf0.01: 8 supers / 64 cells): minimal (1,1) at mean
+# recall@10 0.28 through saturation (8,32) at 1.0; q212/q213's
+# operating point (2,3) sits in the middle at 0.42. The DOCUMENTED
+# DEFAULT is (4,16) — the smallest combo whose mean recall@10 clears
+# the 0.8 floor at the gate SF — pinned by tests/test_ivf_determinism
+# .py::test_recall_sweep_default_clears_floor (measured curve in
+# BASELINE.md round-10).
+_Q214_COMBOS: list[tuple[int, int]] = [
+    (1, 1), (2, 3), (2, 6), (4, 12), (4, 16), (6, 24), (8, 32),
+]
+_Q214_DEFAULT = (4, 16)
+_Q214_RECALL_FLOOR = 0.8
+
+
+def _q214_oracle() -> str:
+    """Recall-vs-probe-width curve of the hierarchical stack — the
+    q213 accept-gate generalized to the probe grid a deployment tunes
+    against: the unrolled q212 two-level train + corpus routing run
+    ONCE, then per-combo probe/score/top-10/recall stages, aggregated
+    to one row per (n_super_probe, n_probe)."""
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * c.nrm)"
+    )
+    cos_vc = (
+        "list_sum(list_transform(list_zip({v}.embedding, {c}.cvec),"
+        " z -> CAST(z[1] AS DOUBLE) * z[2]))"
+        " / ({v}.nrm * sqrt(list_sum(list_transform({c}.cvec, x -> x * x))))"
+    )
+    probe_super = floor_round6_sql(cos_vc.format(v="v", c="s2e"))
+    probe_cell = floor_round6_sql(cos_vc.format(v="v", c="c2x"))
+    pair_cos = (
+        "list_sum(list_transform(list_zip(q.embedding, v.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm)"
+    )
+    combo_ctes, combo_rows = [], []
+    for i, (sp, np) in enumerate(_Q214_COMBOS):
+        combo_ctes.append(f""", sp{i} AS (
+      SELECT vec_id AS query_id, cell AS super FROM (
+        SELECT v.vec_id, s2e.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {probe_super} DESC, s2e.cell DESC) AS rn
+        FROM v, s2e WHERE v.vec_id < 5
+      ) WHERE rn <= {sp}
+    ),
+    cp{i} AS (
+      SELECT query_id, cell FROM (
+        SELECT sp.query_id, c2x.cell,
+               ROW_NUMBER() OVER (PARTITION BY sp.query_id
+                                  ORDER BY {probe_cell} DESC, c2x.cell DESC) AS rn
+        FROM sp{i} sp
+        JOIN cellsup ON cellsup.super = sp.super
+        JOIN c2x ON c2x.cell = cellsup.cell
+        JOIN v ON v.vec_id = sp.query_id
+      ) WHERE rn <= {np}
+    ),
+    sc{i} AS (
+      SELECT p.query_id, v.vec_id AS neighbor_id,
+             {floor_round6_sql(pair_cos)} AS score
+      FROM cp{i} p
+      JOIN af2 ON af2.cell = p.cell
+      JOIN v ON v.vec_id = af2.vec_id AND v.vec_id <> p.query_id
+      JOIN v q ON q.vec_id = p.query_id
+    ),
+    ap{i} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM sc{i}
+      ) WHERE rank <= 10
+    ),
+    h{i} AS (
+      SELECT query_id, COUNT(*) AS n_hits
+      FROM ap{i} JOIN exact USING (query_id, neighbor_id)
+      GROUP BY query_id
+    ),
+    r{i} AS (
+      SELECT {sp} AS n_super_probe, {np} AS n_probe,
+             COALESCE(h.n_hits, 0) AS n_hits
+      FROM (SELECT vec_id FROM v WHERE vec_id < 5) qs
+      LEFT JOIN h{i} h ON h.query_id = qs.vec_id
+    )""")
+        combo_rows.append(f"SELECT * FROM r{i}")
+    tail = f""", exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {floor_round6_sql(cos)} DESC, c.vec_id ASC) AS rank
+        FROM v q, v c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ){''.join(combo_ctes)}
+    SELECT n_super_probe, n_probe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           {floor_round6_sql(
+               "CAST(SUM(n_hits) AS DOUBLE)"
+               " / (10.0 * CAST(COUNT(*) AS DOUBLE))"
+           )} AS mean_recall,
+           {floor_round6_sql("CAST(MIN(n_hits) AS DOUBLE) / 10.0")} AS min_recall
+    FROM ({' UNION ALL '.join(combo_rows)})
+    GROUP BY n_super_probe, n_probe
+    ORDER BY n_super_probe, n_probe"""
+    return _q212_oracle(final_select=tail)
+
+
+@register(
+    "q214_recall_probe_sweep",
+    _q214_oracle(),
+    "Recall-vs-probe-width curve for the hierarchical IVF stack - the "
+    "table a deployment reads to pick (n_super_probe, n_probe): one "
+    "quantizer train + one corpus routing pass (cached - the sweep's "
+    "cost is C query-side probes, not C corpus scans), then per-combo "
+    "approximate top-10 intersected with the brute-force top-10 and "
+    "aggregated to (combo, n_queries, mean_recall, min_recall). "
+    "Extends q213's single-point accept gate to the full operating "
+    "curve, oracle-unrolled end to end. Documented default: "
+    "(n_super_probe=4, n_probe=16), the smallest combo clearing mean "
+    "recall@10 >= 0.8 at the gate SF (0.80 measured; (8,32) saturates "
+    "at 1.0) - pinned by the test_recall_sweep_default_clears_floor "
+    "pytest gate",
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nc = similarity.derived_n_cells(_scalar_count(emb))
+    return similarity.ivf2_recall_sweep(
+        emb,
+        emb.where("vec_id < 5"),
+        _Q214_COMBOS,
+        k=10,
+        n_cells=nc,
+        train_where="vec_id % 16 = 0",
+        persist=lambda df: _persist(df, eager=True),
     )

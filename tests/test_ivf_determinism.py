@@ -178,3 +178,28 @@ def test_hierarchical_quantizer_invariant_under_repartitioning(spark):
             "partitioning — an order-unpinned fold crept into one of "
             "the two Lloyd levels or the cell->super argmax"
         )
+
+
+def test_recall_sweep_default_clears_floor(spark):
+    """The documented hierarchical-IVF probe default must clear the
+    stated recall floor at the GATE SF (sf0.01 — where the driver's
+    oracle comparison runs): q214's sweep row for _Q214_DEFAULT must
+    show mean recall@10 >= _Q214_RECALL_FLOOR. If a quantizer change
+    (capacity derivation, Lloyd device, routing) degrades the default
+    below the floor, this names the regression instead of a deployment
+    discovering it."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.plans.queries import (
+        _Q214_DEFAULT,
+        _Q214_RECALL_FLOOR,
+        registry,
+        release_persisted,
+    )
+
+    rows = registry()["q214_recall_probe_sweep"].fn(spark, "/root/testdata/sf0.01").collect()
+    release_persisted()
+    by_combo = {(r["n_super_probe"], r["n_probe"]): r["mean_recall"] for r in rows}
+    assert _Q214_DEFAULT in by_combo, "default combo missing from the sweep grid"
+    assert by_combo[_Q214_DEFAULT] >= _Q214_RECALL_FLOOR, (
+        f"default probe widths {_Q214_DEFAULT} fell to mean recall@10 "
+        f"{by_combo[_Q214_DEFAULT]} < {_Q214_RECALL_FLOOR} at the gate SF"
+    )

@@ -625,8 +625,9 @@ def test_filtered_ann_prefilters_with_semi_join(q):
     assert "SortMergeJoin" not in plan
 
 
-def test_length_bucketed_batches_partial_aggs(q):
-    plan = plan_text(q("q171_length_bucketed_batches"))
+def test_batch_padding_distributed_partial_aggs(q):
+    # the registered (window-free) form of length-bucketed batching
+    plan = plan_text(q("q207_batch_padding_distributed"))
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
 
@@ -702,11 +703,11 @@ def test_basket_lift_inline_pairs_no_self_join(q):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_rfm_windows_over_customer_grain(q):
-    # the three ntile windows run over the per-customer aggregate (the
-    # distributed groupBy reduces orders first); anchor broadcasts
-    plan = plan_text(q("q184_rfm_segments"))
-    assert "Window" in plan
+def test_rfm_distributed_no_window_customer_grain(q):
+    # the registered RFM form is window-free; the customer grain still
+    # partial-aggregates and the anchor/threshold sides broadcast
+    plan = plan_text(q("q206_rfm_distributed"))
+    assert "Window" not in plan
     assert "partial_count" in plan, "customer grain must partial-aggregate"
     assert "SortMergeJoin" not in plan
 
@@ -884,7 +885,8 @@ def test_cluster_canonical_partitioned_window(q):
 
 
 def test_decile_thresholds_no_window(q):
-    # q204 is the 100 TB twin of the q94/q184 global-ntile family:
+    # q204 is the registered scale-safe form of global decile banding
+    # (the ntile funnel lives in plans/funnels.py as a demonstration):
     # the entire point is that exact percentile banding runs with NO
     # window function — a refactor that sneaks a Window (or a
     # cartesian) back in silently reintroduces the single-partition
@@ -907,7 +909,8 @@ def test_rfm_distributed_no_window(q):
 
 
 def test_batch_padding_distributed_no_window(q):
-    # q207 is the window-free twin of q171's length-bucketed batching:
+    # q207 is the registered window-free form of length-bucketed
+    # batching (the ntile funnel lives in plans/funnels.py):
     # the NTILE + per-bucket row_number pipeline re-derived as interval
     # arithmetic over the bounded token-count histogram. Its contract
     # is zero window functions and broadcast-only joins — a refactor
@@ -989,21 +992,23 @@ def test_jaccard_verify_shingles_outside_lambda_lower(q):
 # Registry-wide unpartitioned-window audit. An unpartitioned window is
 # Spark's single-partition funnel — every input row through ONE task —
 # so each one in the registry must be a conscious, documented decision.
-# Two legitimate classes: (a) deliberate exact global ntile contracts
-# that carry a window-free 100 TB twin (q204/q206/q207), and (b)
-# windows whose INPUT is bounded by construction (bin vectors, top-k
-# lists, per-partition count tables), where the funnel holds a few
-# hundred rows at any corpus size. A new query sneaking a corpus-scale
-# global window in must show up here and be either fixed or allowlisted
-# with its reason.
+# The only legitimate class left is windows whose INPUT is bounded by
+# construction (bin vectors, top-k lists, per-partition count tables),
+# where the funnel holds a few hundred rows at any corpus size —
+# corpus-scale global-ntile contracts are no longer registered (their
+# scale-safe devices q204/q206/q207 are; the ntile forms are
+# demonstration twins in plans/funnels.py). A new query sneaking a
+# corpus-scale global window in must show up here and be either fixed
+# or rebuilt on the window-free devices.
 # ---------------------------------------------------------------------
 
 UNPARTITIONED_WINDOW_CARRIERS = {
-    # deliberate exact-global-ntile contracts, each naming its twin
-    "q94_balance_deciles": "exact global ntile; window-free twin q204",
-    "q171_length_bucketed_batches": "exact global ntile; window-free twin q207",
-    "q184_rfm_segments": "exact RFM ntile x3; window-free twin q206",
-    # input-bounded by construction
+    # INPUT-BOUNDED windows only. The corpus-scale global-ntile
+    # contracts that used to live here (q94/q171/q184) are no longer
+    # registered queries: their scale-safe devices (q204/q207/q206)
+    # are the registered defaults, and the ntile forms moved to
+    # plans/funnels.py as demonstration anti-patterns pinned by
+    # tests/test_funnels.py.
     "q97_dense_ids": "prefix sum over the #partitions-row counts table",
     "q164_histogram_quantiles": "quantile walk over the ~120-row bin vector",
     "q166_hybrid_rrf": "rank fusion over two bounded top-k lists",

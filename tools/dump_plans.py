@@ -65,9 +65,9 @@ HEADLINE = [
     ("q196_leakage_safe_split", "leakage-safe split: one window over the fingerprint equivalence class — no pairs, no graph, linear at any scale"),
     ("q197_span_corruption", "T5 span corruption: both rewritten streams from higher-order functions in one zero-shuffle codegen pass"),
     ("q198_ann_recall", "ANN recall@10: broadcast query batch on both paths, WindowGroupLimit partial top-k — the corpus never shuffles"),
-    ("q204_decile_thresholds", "exact decile banding with ZERO WindowExec: domain-bounded histogram refinement, every self-join broadcast — the 100 TB twin of the q94 global ntile"),
+    ("q204_decile_thresholds", "exact decile banding with ZERO WindowExec: domain-bounded histogram refinement, every self-join broadcast — the registered scale-safe form of global decile banding (ntile funnel: plans/funnels.py)"),
     ("q206_rfm_distributed", "full RFM quintile grid on the window-free threshold operator: three banded measures, no single-partition funnel anywhere"),
-    ("q207_batch_padding_distributed", "length-bucketed batch padding with ZERO WindowExec: rank-interval arithmetic over the bounded token-count histogram, broadcast-only joins — the 100 TB twin of q171's global ntile+row_number"),
+    ("q207_batch_padding_distributed", "length-bucketed batch padding with ZERO WindowExec: rank-interval arithmetic over the bounded token-count histogram, broadcast-only joins — the registered scale-safe form of length-bucketed batching (ntile funnel: plans/funnels.py)"),
     ("q208_ivf_derived_cells", "IVF with sqrt(N)-derived cell count: capacity scales with cardinality, probes broadcast, inverted lists bucket cleanly"),
     ("q209_ivfpq_recall", "IVFPQ recall@10: both rankings over broadcast queries; the corpus contributes codes, never re-shuffled vectors"),
     ("q202_source_overlap", "cross-source near-dup overlap: verify joins shuffle 60-bit shingle FINGERPRINTS (8 B each), never shingle text — pair-linear bytes at any corpus size"),
