@@ -152,10 +152,11 @@ def register(name: str, oracle: str | None, description: str = ""):
 # same base slots — led by q199 (heavy-list anchor profiled every
 # round, never value-checked externally), q156 (persisted index),
 # q57/q60/q61/q62 (§2 rows riding on local-pass only), q64, q67, q85,
-# q98/q99, q126, q163, q201, plus the heavy-list's other two
-# never-checked members (q188, q202), the skew bench pair
-# (q157/q158), q137, q131, q160, q177, q100, and the round's NEW
-# query q214 (new queries ride the window the round they land).
+# q98 (q99 is rows-only — its hashed value twin q98 carries the slot),
+# q126, q163, q201, plus the heavy-list's other two never-checked
+# members (q188, q202), the skew bench pair (q157/q158), q137, q131,
+# q160, the PQ pair q177/q178, q100, and the round's NEW query q214
+# (new queries ride the window the round they land).
 # Cumulative if green: 85 → 109.
 # Per-swap §2-family coverage (out → anchor that stays in-window):
 #   q03 (P10 → q30)          q09 (O3 → q10 top-N per key)
@@ -186,7 +187,10 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("q27_kpi_totals", "q67_knn_ivf"),
     ("q11_order_gaps", "q85_decontamination"),
     ("q32_text_quality", "q98_incremental_blocked"),
-    ("q33_lang_id", "q99_incremental_lsh"),
+    # q99 (incremental LSH) is rows-only — a window slot would waste a
+    # hash check (its value twin q98 rides this window instead);
+    # q178 completes the PQ pair with q177 below
+    ("q33_lang_id", "q178_ivfpq"),
     ("q04_join_inner_agg", "q126_bpe_train"),
     ("q25_topn_vendors", "q163_pagerank"),
     ("q26_rollup_geo", "q201_personalized_pagerank"),

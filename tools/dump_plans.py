@@ -71,6 +71,8 @@ HEADLINE = [
     ("q208_ivf_derived_cells", "IVF with sqrt(N)-derived cell count: capacity scales with cardinality, probes broadcast, inverted lists bucket cleanly"),
     ("q209_ivfpq_recall", "IVFPQ recall@10: both rankings over broadcast queries; the corpus contributes codes, never re-shuffled vectors"),
     ("q202_source_overlap", "cross-source near-dup overlap: verify joins shuffle 60-bit shingle FINGERPRINTS (8 B each), never shingle text — pair-linear bytes at any corpus size"),
+    ("q212_hierarchical_ivf", "hierarchical IVF: map-only two-level routing — broadcast supercell argmax then a per-super broadcast member fold; no corpus vector ever shuffles during assignment"),
+    ("q214_recall_probe_sweep", "recall-vs-probe curve: the inverted lists and exact baseline are cached InMemoryRelations reused by every combo — C combos cost C broadcast query-side probes, not C corpus scans"),
 ]
 
 
