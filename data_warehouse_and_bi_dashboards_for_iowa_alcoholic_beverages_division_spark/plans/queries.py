@@ -155,9 +155,9 @@ def register(name: str, oracle: str | None, description: str = ""):
 # q98 (q99 is rows-only — its hashed value twin q98 carries the slot),
 # q126, q163, q201, plus the heavy-list's other two never-checked
 # members (q188, q202), the skew bench pair (q157/q158), q137, q131,
-# q160, the PQ pair q177/q178, q100, and the round's NEW query q214
-# (new queries ride the window the round they land).
-# Cumulative if green: 85 → 109.
+# q160, the PQ pair q177/q178, q100, and the round's NEW queries
+# q214/q215 (new queries ride the window the round they land).
+# Cumulative if green: 85 → 110.
 # Per-swap §2-family coverage (out → anchor that stays in-window):
 #   q03 (P10 → q30)          q09 (O3 → q10 top-N per key)
 #   q15 (U3 → q14)           q24/q27 (A5 → q23)
@@ -202,9 +202,12 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("q44_pivot", "q131_table_diff"),
     ("q46_media_metadata", "q160_bm25_topk"),
     ("q52_grouping_sets", "q177_pq_adc"),
-    # the round's NEW query rides the window the round it lands
+    # the round's NEW queries ride the window the round they land
     ("q53_running_total", "q214_recall_probe_sweep"),
     ("q38_knn_cosine", "q100_sequence_packing"),
+    # q13's U1/U2/O4 rows accumulated driver passes in r2; its slot
+    # carries the round's second new query
+    ("q13_union", "q215_ivf2_derived_probes"),
 ]
 
 
@@ -11110,10 +11113,16 @@ def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q212_oracle(final_select: str | None = None) -> str:
+def _q212_oracle(
+    final_select: str | None = None,
+    sprobe_sql: str = "2",
+    cprobe_sql: str = "3",
+) -> str:
     """DuckDB twin of similarity.cosine_topk_ivf2 (hierarchical IVF,
     k=10, n_probe=3, n_super_probe=2, iters=2, 1/16 sampled train,
-    derived capacities): the ENTIRE two-level quantizer is unrolled —
+    derived capacities; ``sprobe_sql``/``cprobe_sql`` override the two
+    probe widths with arbitrary scalar SQL — q215 derives them from
+    the trained capacities): the ENTIRE two-level quantizer is unrolled —
     the level-2 train is the q67/q208/q211 device (sampled seeds, two
     order-pinned Lloyd steps, 6dp floors, derived nc), then the level-1
     train runs the SAME Lloyd over the level-2 centroid table itself
@@ -11283,7 +11292,7 @@ def _q212_oracle(final_select: str | None = None) -> str:
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                   ORDER BY {probe_super} DESC, s2e.cell DESC) AS rn
         FROM v, s2e WHERE v.vec_id < 5
-      ) WHERE rn <= 2
+      ) WHERE rn <= {sprobe_sql}
     ),
     cprobes AS (
       SELECT query_id, cell FROM (
@@ -11294,7 +11303,7 @@ def _q212_oracle(final_select: str | None = None) -> str:
         JOIN cellsup ON cellsup.super = sp.super
         JOIN c2x ON c2x.cell = cellsup.cell
         JOIN v ON v.vec_id = sp.query_id
-      ) WHERE rn <= 3
+      ) WHERE rn <= {cprobe_sql}
     ),
     scored AS (
       SELECT p.query_id, v.vec_id AS neighbor_id,
@@ -11423,7 +11432,7 @@ def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (n_super_probe, n_probe) grid for q214 — shared verbatim by the
 # Spark sweep and its oracle unroll. Spans the full operating curve at
-# the gate SF (sf0.01: 8 supers / 64 cells): minimal (1,1) at mean
+# the gate SF (sf0.01: 500 vectors, 8 supers / 32 cells): minimal (1,1) at mean
 # recall@10 0.28 through saturation (8,32) at 1.0; q212/q213's
 # operating point (2,3) sits in the middle at 0.42. The DOCUMENTED
 # DEFAULT is (4,16) — the smallest combo whose mean recall@10 clears
@@ -11555,4 +11564,109 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=nc,
         train_where="vec_id % 16 = 0",
         persist=lambda df: _persist(df, eager=True),
+    )
+
+
+def _q215_oracle() -> str:
+    """q213's recall gate with probe widths DERIVED from the trained
+    capacities instead of fixed: n_super_probe = ceil(n_super / 2)
+    via the sparams ladder, n_probe = ceil(n_cells / 2) via the actual
+    level-2 centroid count — the same scalar-subquery device q190 uses
+    for its plane count, so both engines derive identical widths from
+    identical cardinalities."""
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * c.nrm)"
+    )
+    tail = f""", exact AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {floor_round6_sql(cos)} DESC, c.vec_id ASC) AS rank
+        FROM v q, v c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT query_id, COUNT(*) AS n_hits
+      FROM approx JOIN exact USING (query_id, neighbor_id)
+      GROUP BY query_id
+    )
+    SELECT qs.vec_id AS query_id,
+           CAST((SELECT (x + 1) // 2 FROM sparams) AS INT) AS n_super_probe,
+           CAST((SELECT (COUNT(*) + 1) // 2 FROM c2) AS INT) AS n_probe,
+           CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+           {floor_round6_sql("CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0")} AS recall_at_10
+    FROM (SELECT vec_id FROM v WHERE vec_id < 5) qs
+    LEFT JOIN hits h ON h.query_id = qs.vec_id
+    ORDER BY qs.vec_id"""
+    return _q212_oracle(
+        final_select=tail,
+        sprobe_sql="(SELECT (x + 1) // 2 FROM sparams)",
+        cprobe_sql="(SELECT (COUNT(*) + 1) // 2 FROM c2)",
+    )
+
+
+@register(
+    "q215_ivf2_derived_probes",
+    _q215_oracle(),
+    "Hierarchical IVF with probe widths DERIVED from the trained "
+    "capacities - the q190 plane-count device applied to probing, "
+    "closing the lesson q214 measures (fixed absolute widths dilute "
+    "as derived capacity grows with the corpus): probe ceil(n_super/2) "
+    "supercells and ceil(n_cells/2) member cells, so the probed "
+    "FRACTION - and recall - stays scale-stable (measured 0.80 / 0.74 "
+    "/ 0.80 / 0.90 mean recall@10 at sf0.01/0.1/1.0/10, BASELINE.md "
+    "round-10) while per-query cost stays O(sqrt N). At the gate SF "
+    "this derives exactly q214's documented (4,16) default; at sf10 "
+    "it derives (16,256) where q214's fixed (4,16) has diluted to "
+    "0.38 recall. "
+    "Both engines derive the widths from the same cardinalities: "
+    "Spark from the driver-resident quantizer sizes, the oracle from "
+    "scalar subqueries over the unrolled sparams ladder / centroid "
+    "count. Output is the per-query recall gate with the derived "
+    "widths as value-checked columns",
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nc = similarity.derived_n_cells(_scalar_count(emb))
+    # actual level-2 capacity = min(derived cells, train-sample rows)
+    # (seeds are the lowest-id sample vectors; a tiny SF can have fewer
+    # sample rows than derived cells) — mirrored by the oracle's c2
+    # count and sparams ladder
+    n_train = _scalar_count(emb.where("vec_id % 16 = 0"))
+    l2_size = min(nc, n_train)
+    sp = (similarity.derived_n_cells(l2_size) + 1) // 2
+    np_ = (l2_size + 1) // 2
+    qs = emb.where("vec_id < 5")
+    exact = similarity.cosine_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    approx = similarity.cosine_topk_ivf2(
+        emb, qs, k=10, n_cells=nc, n_probe=np_, n_super_probe=sp,
+        train_where="vec_id % 16 = 0",
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(sp).cast("int").alias("n_super_probe"),
+            F.lit(np_).cast("int").alias("n_probe"),
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            floor_round6(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / 10.0
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
     )
