@@ -11436,9 +11436,10 @@ def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall@10 0.28 through saturation (8,32) at 1.0; q212/q213's
 # operating point (2,3) sits in the middle at 0.42. The DOCUMENTED
 # DEFAULT is (4,16) — the smallest combo whose mean recall@10 clears
-# the 0.8 floor at the gate SF — pinned by tests/test_ivf_determinism
-# .py::test_recall_sweep_default_clears_floor (measured curve in
-# BASELINE.md round-10).
+# the 0.8 floor at the gate SF — pinned (with a 0.1 testdata-regen
+# drift margin; the statistic is only 50 neighbor hits) by tests/
+# test_ivf_determinism.py::test_recall_sweep_default_clears_floor
+# (measured curve in BASELINE.md round-10).
 _Q214_COMBOS: list[tuple[int, int]] = [
     (1, 1), (2, 3), (2, 6), (4, 12), (4, 16), (6, 24), (8, 32),
 ]
