@@ -218,3 +218,36 @@ def test_recall_sweep_default_clears_floor(spark):
         f"capacity-derived probe widths fell to mean recall@10 "
         f"{mean_derived} < {bar} at the gate SF"
     )
+
+
+def test_ivf2_train_every_returned_super_is_routable(spark):
+    """ivf2_train's postcondition: the returned level-1 quantizer
+    contains ONLY supers that own at least one member cell, renumbered
+    0..len-1 (order-preserving) — the guarantee that makes it
+    impossible for a corpus vector to route somewhere with no inverted
+    list and silently vanish from the index. Checked on the real table
+    AND on a degenerate all-identical corpus, where every super argmax
+    ties to the highest super and all but one level-1 cluster starves
+    (the case the filter exists for)."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        ivf2_train,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    _, l1, c2s = ivf2_train(emb, n_cells=16, iters=2)
+    assert set(c2s.values()) == set(range(len(l1))), (
+        "cell->super map must cover exactly the returned supers, "
+        "renumbered densely"
+    )
+
+    degenerate = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> 0.5d)").alias("embedding")
+    )
+    _, l1d, c2sd = ivf2_train(degenerate, n_cells=8, iters=2)
+    assert len(l1d) >= 1
+    assert set(c2sd.values()) == set(range(len(l1d))), (
+        "memberless supers must be dropped from the routable quantizer "
+        "even when ties starve all but one level-1 cluster"
+    )
