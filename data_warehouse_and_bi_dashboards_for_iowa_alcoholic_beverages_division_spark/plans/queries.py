@@ -156,8 +156,8 @@ def register(name: str, oracle: str | None, description: str = ""):
 # q126, q163, q201, plus the heavy-list's other two never-checked
 # members (q188, q202), the skew bench pair (q157/q158), q137, q131,
 # q160, the PQ pair q177/q178, q100, and the round's NEW queries
-# q214/q215 (new queries ride the window the round they land).
-# Cumulative if green: 85 → 110.
+# q214/q215/q216 (new queries ride the window the round they land).
+# Cumulative if green: 85 → 111.
 # Per-swap §2-family coverage (out → anchor that stays in-window):
 #   q03 (P10 → q30)          q09 (O3 → q10 top-N per key)
 #   q15 (U3 → q14)           q24/q27 (A5 → q23)
@@ -208,6 +208,9 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # q13's U1/U2/O4 rows accumulated driver passes in r2; its slot
     # carries the round's second new query
     ("q13_union", "q215_ivf2_derived_probes"),
+    # q20's F4/date-dim rows accumulated driver passes in r2; its slot
+    # carries the round's third new query
+    ("q20_date_dim", "q216_mixture_plan"),
 ]
 
 
@@ -11670,4 +11673,87 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
         .orderBy("query_id")
+    )
+
+
+# =====================================================================
+# Pretraining data-mix planning — per-source token budgets → weights
+# =====================================================================
+
+def _q216_oracle() -> str:
+    """DuckDB twin of the mixture plan: identical token counting
+    (the q207 whitespace device), sqrt-temperature weights with the
+    denominator folded in source order (the q185 share-fold device),
+    and every derived double built from identically-grouped operands."""
+    sq = "sqrt(CAST(available_tokens AS DOUBLE))"
+    weight = f"({sq} / denom)"
+    target = f"({weight} * (2.0 * CAST(total_avail AS DOUBLE)))"
+    epochs = f"({target} / CAST(available_tokens AS DOUBLE))"
+    return rf"""
+    WITH tok AS (
+      SELECT source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ntok
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(SUM(ntok) AS BIGINT) AS available_tokens
+      FROM tok GROUP BY source
+    ),
+    tot AS (
+      SELECT list_sum(list(sqrt(CAST(available_tokens AS DOUBLE))
+                           ORDER BY source)) AS denom,
+             CAST(SUM(available_tokens) AS BIGINT) AS total_avail
+      FROM per_src
+    )
+    SELECT source, available_tokens,
+           {floor_round6_sql(weight)} AS weight,
+           {floor_round6_sql(target)} AS target_tokens,
+           {floor_round6_sql(epochs)} AS epochs,
+           {epochs} > 4.0 AS oversampled
+    FROM per_src CROSS JOIN tot
+    """
+
+
+@register(
+    "q216_mixture_plan",
+    _q216_oracle(),
+    "Pretraining data-mix planning table: per-source exact token "
+    "budgets -> sqrt-temperature sampling weights (tau=0.5, the "
+    "standard low-resource up-weighting device from multilingual "
+    "pretraining) -> per-source target tokens for a 2x-total-tokens "
+    "training budget -> epochs (repetition factor) with an "
+    "oversampled flag past 4 epochs - the first table a training run "
+    "is planned from, and the repetition audit that catches a source "
+    "the mix would recycle into memorization territory. Plan shape: "
+    "ONE corpus aggregate (the shuffle carries |sources| partial "
+    "sums), then a one-row broadcast of the order-pinned weight "
+    "denominator - no windows, no second corpus pass, invariant to "
+    "corpus size. Weight denominator folds sqrt(budget) in source "
+    "order on both engines (the q185 device); every derived double "
+    "divides/multiplies identically-grouped operands",
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(text.token_count_expr("text")).cast("bigint").alias("available_tokens")
+    )
+    tot = per_src.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "available_tokens"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["available_tokens"].cast("double")),
+        ).alias("denom"),
+        F.sum("available_tokens").cast("bigint").alias("total_avail"),
+    )
+    sq = F.sqrt(F.col("available_tokens").cast("double"))
+    weight = sq / F.col("denom")
+    target = weight * (F.lit(2.0) * F.col("total_avail").cast("double"))
+    epochs = target / F.col("available_tokens").cast("double")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "available_tokens",
+        floor_round6(weight).alias("weight"),
+        floor_round6(target).alias("target_tokens"),
+        floor_round6(epochs).alias("epochs"),
+        (epochs > F.lit(4.0)).alias("oversampled"),
     )
