@@ -94,17 +94,24 @@ _heavy_env = os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPS")
 HEAVY_REPS = int(_heavy_env) if _heavy_env is not None else min(HEADLINE_REPS, 3)
 
 
-def _driver_checked_ever() -> list[str]:
-    """Cumulative set of queries the external harness has ever
-    hash-verified (rows + schema + value hash green in some round's
+def _driver_checked_rounds() -> dict[str, list[int]]:
+    """Per-query list of rounds in which the external harness
+    hash-verified it (rows + schema + value hash green in that round's
     CORRECTNESS_r*.json). Emitted so the accumulation math the
     round-over-round rotation relies on is auditable from the BENCH
-    artifact alone. Rows-only entries (no oracle → hash_match null)
-    do not accumulate, matching the judge's ledger."""
-    ever: set[str] = set()
+    artifact alone — and so a green earned BEFORE a later rewrite of
+    the query/oracle pair is distinguishable from a green on current
+    code (the r10 advisor's staleness caveat): consumers can compare a
+    query's last green round against the round its implementation last
+    changed. Rows-only entries (no oracle → hash_match null) do not
+    accumulate, matching the judge's ledger."""
+    rounds: dict[str, list[int]] = {}
     for path in sorted(glob.glob(os.path.join(REPO_DIR, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else -1
         try:
-            results = json.load(open(path))
+            with open(path) as f:
+                results = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
         for name, res in results.items():
@@ -114,8 +121,8 @@ def _driver_checked_ever() -> list[str]:
                 and res.get("schema_match") is True
                 and res.get("hash_match") is True
             ):
-                ever.add(name)
-    return sorted(ever)
+                rounds.setdefault(name, []).append(rnd)
+    return {n: sorted(r) for n, r in sorted(rounds.items())}
 
 
 def main() -> None:
@@ -154,30 +161,46 @@ def main() -> None:
     heavy_stats = run_list(HEAVY, HEAVY_REPS)
     timings = {n: s["median"] for n, s in headline_stats.items()}
     heavy = {n: s["median"] for n, s in heavy_stats.items()}
-    ever = _driver_checked_ever()
+    checked_rounds = _driver_checked_rounds()
+    ever = sorted(checked_rounds)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 
     # Detail blobs → sidecar (kept out of the stdout tail on purpose).
-    with open(os.path.join(REPO_DIR, "BENCH_STATS.json"), "w") as f:
-        json.dump(
-            {
-                # per-query {median,min,max} spread behind the medians
-                "stats": {**headline_stats, **heavy_stats},
-                # the ACTIVE driver-checked window (first 50 of the
-                # rotated registration order) — recorded per-round so
-                # which queries the external hash gate verifies is
-                # auditable without reading _WINDOW_SWAPS in a commit
-                "driver_window": list(reg)[:50],
-                # cumulative driver-hash-green names across all rounds
-                "driver_checked_ever": ever,
-                "reps": {"headline": HEADLINE_REPS, "heavy": HEAVY_REPS},
-                "sf": sf,
-            },
-            f,
-            indent=1,
-        )
+    # A sidecar write failure (read-only checkout, disk full) must not
+    # lose the round's machine-readable stdout record — the compact
+    # metric line below still prints, with stats_file nulled.
+    stats_file = "BENCH_STATS.json"
+    try:
+        with open(os.path.join(REPO_DIR, stats_file), "w") as f:
+            json.dump(
+                {
+                    # per-query {median,min,max} spread behind the medians
+                    "stats": {**headline_stats, **heavy_stats},
+                    # the ACTIVE driver-checked window (first 50 of the
+                    # rotated registration order) — recorded per-round so
+                    # which queries the external hash gate verifies is
+                    # auditable without reading _WINDOW_SWAPS in a commit
+                    "driver_window": list(reg)[:50],
+                    # cumulative driver-hash-green names across all rounds
+                    "driver_checked_ever": ever,
+                    # name -> rounds green (see _driver_checked_rounds);
+                    # the rotation policy once first-time coverage of the
+                    # registry completes is oldest-green-first: re-check
+                    # the smallest max(rounds) names, because the corpus
+                    # and the query/oracle pairs both evolve after a green
+                    "driver_checked_rounds": checked_rounds,
+                    "recheck_policy": "after first-time coverage, rotate "
+                    "oldest-green-first (smallest last-green round)",
+                    "reps": {"headline": HEADLINE_REPS, "heavy": HEAVY_REPS},
+                    "sf": sf,
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        stats_file = None
 
     # Compact machine-readable record, printed LAST so it is always
     # inside the harness's stdout-tail capture.
@@ -194,7 +217,7 @@ def main() -> None:
                 "reps": {"headline": HEADLINE_REPS, "heavy": HEAVY_REPS},
                 "sf": sf,
                 "driver_checked_ever": len(ever),
-                "stats_file": "BENCH_STATS.json",
+                "stats_file": stats_file,
             }
         )
     )

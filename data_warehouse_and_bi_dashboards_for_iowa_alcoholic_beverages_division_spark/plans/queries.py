@@ -145,30 +145,34 @@ def register(name: str, oracle: str | None, description: str = ""):
 # losing SURVEY §2 coverage: every swapped-out query's §2 row is still
 # covered by another window slot (q03→q30 for P10, q09→q25 for O3,
 # q15→q14 for U3, q24→q23/q25-q28 for A5, q49→q20/q28 for F4/#6).
-# Round-10 rotation (the r09 verdict's #2 ask, aimed at the load-
-# bearing never-checked set it named): all 24 round-9 swap-ins went
-# driver-green in r9 (cumulative distinct driver-checked: 85), so all
-# of them rotate back out and 24 never-driver-checked queries take the
-# same base slots — led by q199 (heavy-list anchor profiled every
-# round, never value-checked externally), q156 (persisted index),
-# q57/q60/q61/q62 (§2 rows riding on local-pass only), q64, q67, q85,
-# q98 (q99 is rows-only — its hashed value twin q98 carries the slot),
-# q126, q163, q201, plus the heavy-list's other two never-checked
-# members (q188, q202), the skew bench pair (q157/q158), q137, q131,
-# q160, the PQ pair q177/q178, q100, and the round's NEW queries
-# q214/q215/q216 (new queries ride the window the round they land).
-# Cumulative if green: 85 → 111.
-# Per-swap §2-family coverage (out → anchor that stays in-window):
+# Round-11 rotation (the r10 verdict's #3 ask): 25 of round-10's 26
+# swap-ins went driver-green (cumulative distinct driver-checked: 110)
+# and rotate back out; the one red — q100_sequence_packing, a pure
+# oracle-portability miss (DuckDB window-SUM HUGEINT reaching the
+# output un-cast; fixed this round with terminal BIGINT casts and a
+# registry-wide DESCRIBE-based portability invariant) — KEEPS its slot
+# so the fix gets an external hash. The 25 freed slots take the
+# verdict-named never-driver-checked block with zero external hashes:
+# the LLM-pipeline text/curation set q101 q102 q103 q104 q116 q117
+# q118 q128 q134 q138 q148 q149 q155 q165 q189 q191 q192 q194 q197,
+# ANN stragglers q39 q170 q198 q200, and q75/q76 (q76 carries this
+# round's second HUGEINT oracle fix — worth an external hash). q63,
+# q68, q130 defer to r12 (their families have r9/r10 greens: q157/
+# q158 skew, q126 BPE, q188/q202 containment). Cumulative if green:
+# 110 → 135.
+# Per-swap §2-family coverage (out → anchor that stays in-window or
+# holds an r9/r10 driver green; out-slots are identical to round 10):
 #   q03 (P10 → q30)          q09 (O3 → q10 top-N per key)
 #   q15 (U3 → q14)           q24/q27 (A5 → q23)
-#   q49/q28 (F4 → q20)       q18 (P7 → q51)
+#   q49/q28 (F4 → q20 passed r2; q122 passed r9)  q18 (P7 → q51)
 #   q11 (W2 → q21; W3 → q43) q32/q33/q31 (text → q34)
 #   q04 (J1 → q05, q23)      q25 (O3/A5 → q23; q91/q143 passed r9)
-#   q26 (rollup → q55 passed r9)  q37 (Jaccard → q147 passed r9)
+#   q26 (rollup → q55 passed r9)  q37 (Jaccard → q188/q202 passed r10)
 #   q40 (near-dup → q190 passed r9)  q41 (events → q66 passed r9)
 #   q42 (F2 → q47)           q44 (pivot → q123 passed r9)
 #   q46 (multimodal → q45)   q52 (gsets → q141/q55 passed r9)
-#   q53 (W → q10, q43)       q38 (ANN → q67/q156/q199/q214 all in)
+#   q53 (W → q10, q43)       q38 (ANN → q39/q170/q198/q200 all in;
+#                                 q67/q156/q199/q214 passed r10)
 # q05 (sole J3 left-outer anchor), q06 (sole J4 anti), q07 (sole semi),
 # q08 (sole J7 cross) stay — no other window slot covers those rows.
 # The ACTIVE window is emitted in every bench run ("driver_window" in
@@ -177,40 +181,36 @@ def register(name: str, oracle: str | None, description: str = ""):
 # round without reading this file.
 # ---------------------------------------------------------------------
 _WINDOW_SWAPS: list[tuple[str, str]] = [
-    ("q03_distinct", "q199_ivf_incremental"),
-    ("q09_topn_parts", "q156_ivf_persisted"),
-    ("q15_intersect", "q57_ingest_coercion"),
-    ("q24_star_month", "q60_same_day_repair"),
-    ("q49_date_horizon", "q61_asof_grouped"),
-    ("q18_null_fill_geo", "q62_full_outer_upsert"),
-    ("q28_season", "q64_moving_window"),
-    ("q27_kpi_totals", "q67_knn_ivf"),
-    ("q11_order_gaps", "q85_decontamination"),
-    ("q32_text_quality", "q98_incremental_blocked"),
-    # q99 (incremental LSH) is rows-only — a window slot would waste a
-    # hash check (its value twin q98 rides this window instead);
-    # q178 completes the PQ pair with q177 below
-    ("q33_lang_id", "q178_ivfpq"),
-    ("q04_join_inner_agg", "q126_bpe_train"),
-    ("q25_topn_vendors", "q163_pagerank"),
-    ("q26_rollup_geo", "q201_personalized_pagerank"),
-    ("q31_token_stats", "q188_shingle_containment"),
-    ("q37_ngram_jaccard", "q202_source_overlap"),
-    ("q40_embedding_near_dup", "q137_event_asof"),
-    ("q41_events_hourly", "q157_skew_join_salted"),
-    ("q42_json_props", "q158_skew_join_aqe"),
-    ("q44_pivot", "q131_table_diff"),
-    ("q46_media_metadata", "q160_bm25_topk"),
-    ("q52_grouping_sets", "q177_pq_adc"),
-    # the round's NEW queries ride the window the round they land
-    ("q53_running_total", "q214_recall_probe_sweep"),
+    ("q03_distinct", "q101_denylist_scrub"),
+    ("q09_topn_parts", "q102_tfidf_terms"),
+    ("q15_intersect", "q103_domain_mixture"),
+    ("q24_star_month", "q104_domain_caps"),
+    ("q49_date_horizon", "q116_dataset_split"),
+    ("q18_null_fill_geo", "q117_corpus_shards"),
+    ("q28_season", "q118_repetition_filter"),
+    ("q27_kpi_totals", "q128_temperature_sampling"),
+    ("q11_order_gaps", "q134_doc_chunking"),
+    ("q32_text_quality", "q138_weighted_sample"),
+    ("q33_lang_id", "q148_doc_chunks"),
+    ("q04_join_inner_agg", "q149_bigram_coherence"),
+    ("q25_topn_vendors", "q155_bpe_batched"),
+    ("q26_rollup_geo", "q165_boilerplate_ngrams"),
+    ("q31_token_stats", "q170_filtered_ann"),
+    ("q37_ngram_jaccard", "q189_vocab_coverage"),
+    ("q40_embedding_near_dup", "q191_pii_redaction"),
+    ("q41_events_hourly", "q192_repeated_spans"),
+    ("q42_json_props", "q194_fim_transform"),
+    ("q44_pivot", "q197_span_corruption"),
+    ("q46_media_metadata", "q198_ann_recall"),
+    ("q52_grouping_sets", "q200_ivf_occupancy"),
+    ("q53_running_total", "q39_knn_lsh"),
+    # q100 was round-10's one driver-red (oracle HUGEINT, fixed this
+    # round) — it keeps its slot until an external hash confirms the fix
     ("q38_knn_cosine", "q100_sequence_packing"),
-    # q13's U1/U2/O4 rows accumulated driver passes in r2; its slot
-    # carries the round's second new query
-    ("q13_union", "q215_ivf2_derived_probes"),
-    # q20's F4/date-dim rows accumulated driver passes in r2; its slot
-    # carries the round's third new query
-    ("q20_date_dim", "q216_mixture_plan"),
+    ("q13_union", "q75_jaccard_blocked"),
+    # q76's oracle carried the same HUGEINT class (token_budget);
+    # fixed this round, so route it through the window too
+    ("q20_date_dim", "q76_corpus_curation"),
 ]
 
 
@@ -280,28 +280,33 @@ def _scalar_count(df: DataFrame) -> int:
     return df.count()
 
 
+_SCRATCH_ROOT: str | None = None
+
+
 def _scratch_index_path(prefix: str, sf_dir: str) -> str:
-    """Deterministic PER-PROCESS scratch location for queries that
-    materialize a side index (q156/q199): one directory per
-    (query, SF, pid), REUSED and overwritten on every call within the
-    process — so a bench loop's reps don't leak index copies (the old
-    per-call mkdtemp did) — but DISJOINT across processes, so a
+    """PER-PROCESS scratch location for queries that materialize a
+    side index (q156/q199): one directory per (query, SF) under a
+    process-private root, REUSED and overwritten on every call within
+    the process — so a bench loop's reps don't leak index copies (the
+    old per-call mkdtemp did) — but DISJOINT across processes, so a
     concurrent bench run and correctness sweep can no longer
     interleave overwrite-vs-read on the same index (they did when the
-    path was process-shared). The process's scratch root is created
-    0700 (not pre-creatable usefully by another user) and removed at
-    interpreter exit."""
+    path was process-shared). The root comes from tempfile.mkdtemp —
+    an unpredictable name created 0700 by THIS process (a pid-derived
+    name could be pre-created by another local user, or inherited
+    stale across pid recycling with no cleanup hook — the r10 advisor
+    finding) — cached in a module global and removed at interpreter
+    exit."""
     import atexit
-    import os
     import shutil
     import tempfile
 
-    root = f"{tempfile.gettempdir()}/spark_graft_scratch_{os.getpid()}"
-    if not os.path.isdir(root):
-        os.makedirs(root, mode=0o700, exist_ok=True)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     slug = sf_dir.strip("/").replace("/", "_")
-    return f"{root}/{prefix}_{slug}/index"
+    return f"{_SCRATCH_ROOT}/{prefix}_{slug}/index"
 
 
 def release_persisted() -> int:
@@ -2140,7 +2145,7 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s'))) AS token_budget
+           CAST(SUM(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s'))) AS BIGINT) AS token_budget
     FROM deduped
     GROUP BY lang
     """,
@@ -3199,12 +3204,17 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
       FROM documents
     ), off AS (
+      -- DuckDB's window SUM over BIGINT yields HUGEINT; cast back to
+      -- BIGINT immediately so no HUGEINT reaches arithmetic or output
+      -- (a type-aware driver hash sees HUGEINT != int64 even when the
+      -- logical values are equal — round-10's one driver-red entry)
       SELECT lang, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
       FROM toks
     )
-    SELECT lang, start_offset // 2048 AS pack_id,
+    SELECT lang, CAST(start_offset // 2048 AS BIGINT) AS pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN (start_offset + n_tokens - 1) // 2048 > start_offset // 2048
@@ -3783,10 +3793,10 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 60
                 THEN 'SLOW' ELSE 'FAST' END AS ship_speed,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'

@@ -41,11 +41,17 @@ def _plan(df) -> str:
 
 
 def _has_unpartitioned_window(plan: str) -> bool:
-    for m in re.finditer(r"windowspecdefinition\(", plan):
-        first = plan[m.end():m.end() + 200].split(",", 1)[0]
-        if first.startswith("specifiedwindowframe") or " ASC" in first or " DESC" in first:
-            return True
-    return False
+    """An unpartitioned window physically manifests as a Window node fed
+    through an ``Exchange`` whose arguments are ``SinglePartition`` —
+    match THAT, not substrings of the windowspecdefinition text (the
+    old check treated any spec whose first comma-token contained
+    ' ASC'/' DESC' as unpartitioned, which a partitioned window over a
+    sort_array/CASE partition expression could false-positive — the
+    r10 advisor finding)."""
+    return (
+        re.search(r"^\(\d+\) Window", plan, re.MULTILINE) is not None
+        and re.search(r"^Arguments: SinglePartition", plan, re.MULTILINE) is not None
+    )
 
 
 def test_funnels_demonstrate_the_unpartitioned_window(spark):

@@ -35,6 +35,54 @@ def test_every_oracle_floor_is_the_canonical_6dp_formula():
         )
 
 
+def test_oracle_output_types_are_portable():
+    # Round-10's one driver-red (q100) was pure oracle type drift:
+    # DuckDB's window SUM(BIGINT) returns HUGEINT, the un-cast
+    # `start_offset // 2048` carried it to the output, and the driver's
+    # type-aware value hash saw HUGEINT != int64 while the local
+    # value-stringified gate stayed green. DESCRIBE plans every oracle
+    # without executing it, so this audits all ~207 in seconds: no
+    # final output column may carry a type outside the portable set
+    # (HUGEINT and the unsigned family render through arrow/pandas as
+    # object/Decimal and break the driver hash even when logical values
+    # are equal). Full Spark-vs-DuckDB family comparison runs in every
+    # tools/check_correctness.py sweep; this is the Spark-free tripwire.
+    import duckdb
+
+    portable = {
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+        "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "BLOB",
+    }
+
+    def type_ok(t: str) -> bool:
+        if t in portable or re.fullmatch(r"DECIMAL\(\d+,\d+\)", t):
+            return True
+        if t.endswith("[]"):
+            return type_ok(t[:-2])
+        return False
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    bad = []
+    for name, spec in registry().items():
+        if spec.oracle is None:
+            continue
+        for col, typ, *_ in con.execute("DESCRIBE " + spec.oracle).fetchall():
+            if not type_ok(typ):
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, (
+        "oracle output columns with non-portable DuckDB types (add an "
+        "explicit CAST at the final SELECT — and inside any CTE whose "
+        "window-SUM feeds arithmetic):\n" + "\n".join(bad)
+    )
+
+
 def test_names_are_well_formed_and_descriptions_present():
     reg = registry()
     assert len(reg) == len({s.name for s in reg.values()})

@@ -34,6 +34,57 @@ TABLES = (
 )
 
 
+# Cross-engine type FAMILIES (shared with tools/audit_oracle_types.py).
+# The round-10 driver window proved the external value hash is
+# type-aware across FAMILIES but not widths: q145's TINYINT hamming and
+# q143's BIGINT rank (vs Spark int) were driver-green, while q100's
+# HUGEINT pack_id was the round's only hash-red (rows+schema green).
+# So the gate checks: same family on both sides, DuckDB side never
+# outside the portable set (HUGEINT / unsigned types render through
+# arrow/pandas as object/Decimal and break the driver hash even when
+# the stringified values are equal — the class this value-stringified
+# gate was blind to before round 11).
+SPARK_FAMILY = {
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float", "float": "float",
+    "string": "str", "boolean": "bool", "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bin",
+}
+DUCK_FAMILY = {
+    "BIGINT": "int", "INTEGER": "int", "SMALLINT": "int", "TINYINT": "int",
+    "DOUBLE": "float", "FLOAT": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "ts", "BLOB": "bin",
+}
+
+
+def _type_family_ok(spark_t: str, duck_t: str) -> bool:
+    import re as _re
+
+    sf, df_ = SPARK_FAMILY.get(spark_t), DUCK_FAMILY.get(duck_t)
+    if sf is not None or df_ is not None:
+        return sf is not None and sf == df_
+    m = _re.match(r"decimal\((\d+),(\d+)\)", spark_t)
+    if m:
+        return duck_t == f"DECIMAL({m.group(1)},{m.group(2)})"
+    m = _re.match(r"array<(.+)>", spark_t)
+    if m:
+        return duck_t.endswith("[]") and _type_family_ok(m.group(1), duck_t[:-2])
+    return False
+
+
+def type_mismatches(spark_dtypes, duck_described) -> list[str]:
+    """Family-level cross-engine type check; returns human-readable
+    mismatch strings (empty = portable)."""
+    duck_types = {r[0]: r[1] for r in duck_described}
+    out = []
+    for col, st in spark_dtypes:
+        dt = duck_types.get(col)
+        if dt is not None and not _type_family_ok(st, dt):
+            out.append(f"{col}: spark={st} duck={dt}")
+    return out
+
+
 def norm_val(v):
     if v is None:
         return "NULL"
@@ -77,6 +128,7 @@ def run_gate(spark, con, sf_dir, qs, oracles, names) -> int:
         try:
             sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = sdf.collect()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
@@ -96,8 +148,12 @@ def run_gate(spark, con, sf_dir, qs, oracles, names) -> int:
             failures += 1
             continue
         ok = True
+        mism = type_mismatches(sdtypes, con.execute("DESCRIBE " + oracles[name]).fetchall())
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        elif mism:
+            print(f"FAIL {name}: type families diverge: {mism}")
             ok = False
         elif len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
