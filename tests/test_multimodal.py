@@ -77,3 +77,91 @@ def test_sample_frames_deterministic_flatmap(spark):
     assert len(a) > 30, "flat-map must expand rows (several frames per doc)"
     # every-2 sampling: only even frame indices survive
     assert all(r["frame_idx"] % 2 == 0 for r in a)
+
+
+# ---------------------------------------------------------------------
+# Real codec: binary PPM (P6) — the one format this container can
+# decode for real (pure Python, no codec libraries). These pin the
+# parser against hand-built payloads, including the poison cases the
+# NULL-feature contract exists for.
+# ---------------------------------------------------------------------
+
+def test_decode_ppm_roundtrip():
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rgb = bytes(range(48))  # 4x4 RGB
+    feats = decode_ppm(encode_ppm(4, 4, rgb))
+    assert feats == {"width": 4, "height": 4, "n_frames": 1, "pixel_sum": sum(range(48))}
+    # non-square, wide header numbers
+    rgb2 = bytes([200] * (12 * 1 * 3))
+    feats2 = decode_ppm(encode_ppm(12, 1, rgb2))
+    assert (feats2["width"], feats2["height"], feats2["pixel_sum"]) == (12, 1, 200 * 36)
+
+
+def test_decode_ppm_rejects_poison_payloads():
+    import pytest as _pytest
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    good = encode_ppm(4, 4, bytes(48))
+    for bad in (
+        b"P3\n4 4\n255\n" + bytes(48),  # ascii PPM, not P6
+        b"JFIF....",                     # not a PPM at all
+        good[:-1],                       # truncated pixel block
+        good + b"\x00",                  # trailing junk
+        b"P6\n4 4\n65535\n" + bytes(96),  # 16-bit maxval unsupported
+        b"P6\n4 x\n255\n" + bytes(48),   # malformed dimension token
+        b"P6\n4 4\n255",                 # header only, no pixel block
+    ):
+        with _pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_render_ppm_payloads_are_real_and_sql_parity_holds(spark):
+    """The rendered payloads must be REAL P6 files (decodable by the
+    real parser), and pixel_sum must equal the codepoint formula the
+    q217 oracle uses — the cross-engine contract."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_features,
+        render_ppm_from_text,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(25)
+    media = render_ppm_from_text(docs)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for mid, payload in payloads.items():
+        assert payload[:2] == b"P6"
+        feats = decode_ppm(payload)  # must not raise: the file is real
+        s = texts[mid] or ""
+        base = [min(ord(c), 255) for c in s[:48]] or [0]
+        want = sum(base[i % len(base)] for i in range(48))
+        assert feats["pixel_sum"] == want, mid
+    out = {r["media_id"]: r for r in ppm_features(media).collect()}
+    assert all(out[m]["pixel_sum"] == decode_ppm(p)["pixel_sum"] for m, p in payloads.items())
+    assert all((out[m]["width"], out[m]["height"]) == (4, 4) for m in payloads)
+
+
+def test_ppm_features_isolates_poison_rows(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        encode_ppm,
+        ppm_features,
+    )
+
+    rows = [
+        (1, bytearray(encode_ppm(4, 4, bytes(48)))),
+        (2, bytearray(b"not a ppm")),
+        (3, bytearray(encode_ppm(4, 4, bytes(48))[:-5])),  # truncated
+    ]
+    media = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+    out = {r["media_id"]: r for r in ppm_features(media).collect()}
+    assert out[1]["pixel_sum"] == 0 and out[1]["width"] == 4
+    assert out[2]["pixel_sum"] is None and out[2]["width"] is None
+    assert out[3]["pixel_sum"] is None

@@ -1026,6 +1026,7 @@ PYTHON_EVAL_CARRIERS = {
     "q45_media_features": "Arrow mapInPandas media feature extraction (codec work is Python by nature)",
     "q70_frame_sample": "Arrow mapInPandas frame sampling",
     "q71_media_resize": "Arrow mapInPandas payload resize",
+    "q217_ppm_decode": "Arrow mapInPandas PPM render + REAL pure-Python P6 decode",
 }
 
 _PY_NODES = (
