@@ -887,15 +887,25 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_cells: int = 8,
     iters: int = 2,
+    train_where: str | None = None,
 ) -> list[list[float]]:
     """Persist an IVF index: train the coarse quantizer once, write the
     corpus as inverted lists ``partitionBy("cell")``, and store the
     centroids as a tiny sidecar table. At 100 TB this is the point of
     IVF — the expensive corpus pass happens once; every later query
     batch reads only its probed cells' files (partition pruning), never
-    rescanning or reshuffling the corpus."""
+    rescanning or reshuffling the corpus.
+
+    ``train_where`` restricts the QUANTIZER TRAIN (seeds + Lloyd
+    passes) to a deterministic subset while the inverted lists still
+    cover the whole corpus — the cosine_topk_ivf/q211 train-on-sample
+    economics applied to the persisted build: Lloyd is O(|train| x
+    n_cells) per iteration, so sampling removes ``iters`` full-corpus
+    scoring passes and leaves the final list-writing assignment as the
+    only O(N x n_cells) stage."""
     spark = corpus.sparkSession
-    centroids = ivf_train_centroids(corpus, id_col, vec_col, n_cells, iters)
+    train = corpus.where(train_where) if train_where else corpus
+    centroids = ivf_train_centroids(train, id_col, vec_col, n_cells, iters)
     # widen the scan before the corpus-wide scoring fold (the
     # cosine_topk_ivf note: single-split embedding scans serialize it)
     with_assigned_cell(

@@ -10057,18 +10057,23 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q199_ivf_incremental",
-    _q67_oracle(train_pred="vec_id % 10 <> 0"),
+    _q67_oracle(train_pred="vec_id % 10 <> 0 AND vec_id % 16 = 0"),
     "Incremental IVF index maintenance: the quantizer trains once on "
-    "the existing corpus (90% slice), the arriving batch (vec_id%10=0) "
-    "is assigned under the FROZEN centroids and appended as new "
-    "inverted-list files - existing cells' files untouched, marginal "
-    "cost O(|batch|) whatever the index size - then queries probe the "
-    "merged index. The oracle unrolls the subset-trained quantizer "
-    "(q67's device with a train predicate) and inverted-lists ALL "
-    "vectors under it, value-checking build -> append -> query across "
-    "the parquet round trip. The daily-arrivals pattern for a 100 TB "
-    "vector corpus; distribution drift triggering a full retrain is "
-    "the separate, rarer rebuild",
+    "a deterministic 1/16 sample of the existing corpus (the q211 "
+    "faiss-style train-on-sample economics — Lloyd is O(|train| x "
+    "n_cells)/iter, and the r10/r11 A/B showed the two full-corpus "
+    "Lloyd passes dominated this query's wall), the existing 90% "
+    "slice is inverted-listed under the trained centroids, the "
+    "arriving batch (vec_id%10=0) is assigned under the FROZEN "
+    "centroids and appended as new inverted-list files - existing "
+    "cells' files untouched, marginal cost O(|batch|) whatever the "
+    "index size - then queries probe the merged index. The oracle "
+    "unrolls the sample-trained quantizer (q67's device with a train "
+    "predicate) and inverted-lists ALL vectors under it, "
+    "value-checking build -> append -> query across the parquet round "
+    "trip. The daily-arrivals pattern for a 100 TB vector corpus; "
+    "distribution drift triggering a full retrain is the separate, "
+    "rarer rebuild",
 )
 def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -10077,7 +10082,9 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-SF path (the q156 leak note): build OVERWRITES,
     # so the append applies to a fresh subset index on every call
     path = _scratch_index_path("ivf_inc", sf_dir)
-    similarity.build_ivf_index(train, path, n_cells=8, iters=2)
+    similarity.build_ivf_index(
+        train, path, n_cells=8, iters=2, train_where="vec_id % 16 = 0"
+    )
     similarity.append_to_ivf_index(arriving, path)
     return similarity.query_ivf_index(emb.where("vec_id < 5"), path, k=10, n_probe=3)
 
