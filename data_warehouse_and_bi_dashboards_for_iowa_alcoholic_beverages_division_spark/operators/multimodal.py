@@ -271,3 +271,125 @@ def extract_features(
             yield out
 
     return media.select("media_id", "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Real codec #2: WAV (RIFF / PCM 16-bit mono) — pure-Python
+# encode/decode, no deps. Integer samples make every decoded stat
+# integer-exact, so the SQL oracle parity is by construction.
+# ---------------------------------------------------------------------
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM (format 1), mono, 16-bit."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decoder for RIFF/WAVE PCM: validate the RIFF/WAVE magic and
+    declared size, walk the chunk list (skipping unknown chunks — LIST/
+    INFO metadata is legal WAV), require fmt = PCM/mono/16-bit, and
+    compute sample stats from the raw int16 data. Raises ``ValueError``
+    on anything malformed — the poison-payload NULL-row contract."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    declared = struct.unpack("<I", payload[4:8])[0]
+    if declared != len(payload) - 8:
+        raise ValueError(f"RIFF size {declared} != payload size {len(payload) - 8}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        chunk = payload[pos + 8 : pos + 8 + clen]
+        if len(chunk) != clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
+    audio_format, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"unsupported encoding (format={audio_format}, channels={channels}, bits={bits})"
+        )
+    if len(data) % 2:
+        raise ValueError("odd data-chunk length for 16-bit samples")
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": len(samples),
+        "peak": max((abs(s) for s in samples), default=0),
+        "amp_sum": sum(abs(s) for s in samples),
+    }
+
+
+WAV_N_SAMPLES = 64
+WAV_SAMPLE_RATE = 8000
+
+
+def render_wav_from_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_samples: int = WAV_N_SAMPLES, sample_rate: int = WAV_SAMPLE_RATE,
+) -> DataFrame:
+    """Deterministically render a text column into REAL WAV payloads:
+    sample i is ``clamp_codepoint * 129 - 16384`` (range fits int16)
+    over the first ``n_samples`` characters cycled — codepoint-based
+    like ``render_ppm_from_text`` so a plain-SQL oracle reproduces the
+    decoded stats exactly; empty text renders silence."""
+
+    def _render(batches):
+        for pdf in batches:
+            payloads = []
+            for s in pdf[text_col]:
+                s = s or ""
+                if s:
+                    base = [min(ord(c), 255) * 129 - 16384 for c in s[:n_samples]]
+                    samples = [base[i % len(base)] for i in range(n_samples)]
+                else:
+                    samples = [0] * n_samples
+                payloads.append(encode_wav(sample_rate, samples))
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _render, "media_id BIGINT, payload BINARY"
+    )
+
+
+WAV_FEATURE_SCHEMA = (
+    "media_id BIGINT, sample_rate INT, n_samples INT, peak INT, amp_sum BIGINT"
+)
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Decode real WAV payloads and emit per-clip sample stats; a
+    malformed payload yields NULL features, never a task failure."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    f = decode_wav(bytes(payload))
+                    rows.append(
+                        (mid, f["sample_rate"], f["n_samples"], f["peak"], f["amp_sum"])
+                    )
+                except ValueError:
+                    rows.append((mid, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "peak", "amp_sum"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_extract, WAV_FEATURE_SCHEMA)

@@ -211,9 +211,10 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # q76's oracle carried the same HUGEINT class (token_budget);
     # fixed this round, so route it through the window too
     ("q20_date_dim", "q76_corpus_curation"),
-    # the round's NEW query rides the window the round it lands
-    # (q48's F5 row holds an r10 driver green)
+    # the round's NEW queries ride the window the round they land
+    # (q48's F5 row and q54's S10/S12 rows hold r10 driver greens)
     ("q48_wkt_point", "q217_ppm_decode"),
+    ("q54_unknown_member", "q218_wav_decode"),
 ]
 
 
@@ -11812,3 +11813,38 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.render_ppm_from_text(_t(spark, sf_dir, "documents"))
     return multimodal.ppm_features(media)
+
+
+@register(
+    "q218_wav_decode",
+    r"""
+    WITH smp AS (
+      SELECT doc_id,
+             CASE WHEN len(text) = 0 THEN 0
+                  ELSE LEAST(unicode(substr(text, (i % LEAST(len(text), 64)) + 1, 1)), 255) * 129 - 16384
+             END AS s
+      FROM documents, generate_series(0, 63) AS t(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(64 AS INT) AS n_samples,
+           CAST(MAX(ABS(s)) AS INT) AS peak,
+           CAST(SUM(ABS(s)) AS BIGINT) AS amp_sum
+    FROM smp GROUP BY doc_id
+    """,
+    "REAL audio decode through the multimodal binary pipeline — the "
+    "q217 device for the second modality: documents are rendered into "
+    "genuine RIFF/WAVE payloads (PCM 16-bit mono, the dependency-free "
+    "audio format), then a real pure-Python parser (operators/"
+    "multimodal.decode_wav) validates the RIFF magic and declared "
+    "size, walks the chunk list (skipping legal unknown chunks), "
+    "requires PCM/mono/16-bit, and computes per-clip sample stats "
+    "from the raw int16 data — both stages Arrow mapInPandas, "
+    "scan-partitioned, poison payloads isolate to NULL rows. Samples "
+    "are an affine map of clamped text codepoints, so peak and "
+    "amp_sum are integer-exact cross-engine by construction "
+    "(no float audio arithmetic to drift)",
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.render_wav_from_text(_t(spark, sf_dir, "documents"))
+    return multimodal.wav_features(media)

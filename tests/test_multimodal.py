@@ -165,3 +165,114 @@ def test_ppm_features_isolates_poison_rows(spark):
     assert out[1]["pixel_sum"] == 0 and out[1]["width"] == 4
     assert out[2]["pixel_sum"] is None and out[2]["width"] is None
     assert out[3]["pixel_sum"] is None
+
+
+# ---------------------------------------------------------------------
+# Real codec #2: WAV (RIFF / PCM 16-bit mono)
+# ---------------------------------------------------------------------
+
+def test_decode_wav_roundtrip():
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 100, -32768, 32767, -1]
+    feats = decode_wav(encode_wav(8000, samples))
+    assert feats == {
+        "sample_rate": 8000,
+        "n_samples": 5,
+        "peak": 32768,
+        "amp_sum": 0 + 100 + 32768 + 32767 + 1,
+    }
+    assert decode_wav(encode_wav(44100, []))["n_samples"] == 0
+    assert decode_wav(encode_wav(44100, []))["peak"] == 0
+
+
+def test_decode_wav_skips_unknown_chunks():
+    # LIST/INFO metadata chunks are legal WAV; the walker must skip
+    # them (word-aligned) and still find fmt/data
+    import struct
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    base = encode_wav(8000, [7, -7, 9])
+    # splice an odd-length LIST chunk (with pad byte) after "WAVE"
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = base[:12] + extra + base[12:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    feats = decode_wav(spliced)
+    assert (feats["n_samples"], feats["peak"], feats["amp_sum"]) == (3, 9, 23)
+
+
+def test_decode_wav_rejects_poison_payloads():
+    import struct
+
+    import pytest as _pytest
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    good = encode_wav(8000, [1, 2, 3, 4])
+    stereo = good[:22] + struct.pack("<H", 2) + good[24:]
+    eightbit = good[34:36]  # bits field lives at offset 34
+    eight = good[:34] + struct.pack("<H", 8) + good[36:]
+    assert eightbit == struct.pack("<H", 16)
+    for bad in (
+        b"OggS....",                                  # not RIFF
+        good[:4] + struct.pack("<I", 999) + good[8:],  # size lies
+        good[:-3],                                     # truncated data chunk (and size lies)
+        good[:8] + b"AVI " + good[12:],                # RIFF but not WAVE
+        stereo,                                        # 2-channel unsupported
+        eight,                                         # 8-bit unsupported
+        encode_wav(8000, [])[:36],                     # fmt only, no data chunk
+    ):
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_render_wav_payloads_are_real_and_sql_parity_holds(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_wav,
+        render_wav_from_text,
+        wav_features,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(25)
+    media = render_wav_from_text(docs)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for mid, payload in payloads.items():
+        assert payload[:4] == b"RIFF"
+        feats = decode_wav(payload)  # must not raise: the file is real
+        s = texts[mid] or ""
+        base = [min(ord(c), 255) * 129 - 16384 for c in s[:64]] or [0]
+        want = [base[i % len(base)] for i in range(64)]
+        assert feats["amp_sum"] == sum(abs(x) for x in want), mid
+        assert feats["peak"] == max(abs(x) for x in want), mid
+        assert (feats["sample_rate"], feats["n_samples"]) == (8000, 64)
+    out = {r["media_id"]: r for r in wav_features(media).collect()}
+    assert all(
+        out[m]["amp_sum"] == decode_wav(p)["amp_sum"] for m, p in payloads.items()
+    )
+
+
+def test_wav_features_isolates_poison_rows(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        encode_wav,
+        wav_features,
+    )
+
+    rows = [
+        (1, bytearray(encode_wav(8000, [5, -5]))),
+        (2, bytearray(b"not audio")),
+    ]
+    media = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+    out = {r["media_id"]: r for r in wav_features(media).collect()}
+    assert out[1]["amp_sum"] == 10 and out[1]["n_samples"] == 2
+    assert out[2]["amp_sum"] is None and out[2]["sample_rate"] is None

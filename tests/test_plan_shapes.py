@@ -1027,6 +1027,7 @@ PYTHON_EVAL_CARRIERS = {
     "q70_frame_sample": "Arrow mapInPandas frame sampling",
     "q71_media_resize": "Arrow mapInPandas payload resize",
     "q217_ppm_decode": "Arrow mapInPandas PPM render + REAL pure-Python P6 decode",
+    "q218_wav_decode": "Arrow mapInPandas WAV render + REAL pure-Python RIFF/PCM decode",
 }
 
 _PY_NODES = (
