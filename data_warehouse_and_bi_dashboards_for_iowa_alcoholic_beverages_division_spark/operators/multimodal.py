@@ -72,27 +72,26 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """REAL decoder for binary PPM (P6): parse the magic, dimensions
-    and maxval from the header, validate the pixel payload length, and
-    compute image stats from the raw RGB bytes. Raises ``ValueError``
-    on anything malformed — ``extract_features``/``ppm_features``
-    convert that to NULL feature columns (poison-payload isolation)."""
-    if payload[:2] != b"P6":
+def _decode_ppm_at(payload: bytes, start: int) -> tuple[dict, int]:
+    """Parse ONE P6 image beginning at ``start``; return its stats and
+    the offset one past its pixel block (the prefix-decoder a
+    concatenated-frame stream needs — frame boundaries are DISCOVERED
+    by parsing each header, never assumed from a fixed stride)."""
+    if payload[start : start + 2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
     # header = magic, width, height, maxval as whitespace-separated
     # ASCII tokens; a single whitespace byte then separates the header
     # from the raw RGB block. (Comment lines are legal PPM; this
     # encoder never emits them and the decoder rejects them rather
     # than guessing.)
-    pos, fields = 2, []
+    pos, fields = start + 2, []
     while len(fields) < 3 and pos < len(payload):
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
-        start = pos
+        tok_start = pos
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
-        tok = payload[start:pos]
+        tok = payload[tok_start:pos]
         if not tok.isdigit():
             raise ValueError(f"malformed PPM header token {tok!r}")
         fields.append(int(tok))
@@ -102,17 +101,45 @@ def decode_ppm(payload: bytes) -> dict:
     width, height, maxval = fields
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
-    rgb = payload[pos:]
+    end = pos + width * height * 3
+    rgb = payload[pos:end]
     if len(rgb) != width * height * 3:
         raise ValueError(
             f"pixel block is {len(rgb)} bytes, want {width * height * 3}"
         )
-    return {
-        "width": width,
-        "height": height,
-        "n_frames": 1,
-        "pixel_sum": sum(rgb),
-    }
+    return (
+        {"width": width, "height": height, "n_frames": 1, "pixel_sum": sum(rgb)},
+        end,
+    )
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL decoder for a single binary PPM (P6): parse the magic,
+    dimensions and maxval from the header, validate the pixel payload
+    length (trailing junk rejected), and compute image stats from the
+    raw RGB bytes. Raises ``ValueError`` on anything malformed —
+    ``extract_features``/``ppm_features`` convert that to NULL feature
+    columns (poison-payload isolation)."""
+    feats, end = _decode_ppm_at(payload, 0)
+    if end != len(payload):
+        raise ValueError(f"{len(payload) - end} trailing bytes after pixel block")
+    return feats
+
+
+def decode_ppm_stream(payload: bytes) -> list[dict]:
+    """REAL decoder for a concatenated-P6 stream (the netpbm
+    convention for multi-image files — the dependency-free stand-in
+    for a video container): parse frame after frame, each boundary
+    discovered from its own header, until the payload is exactly
+    consumed. At least one frame is required; a malformed or
+    trailing-junk payload raises ``ValueError``."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        feats, pos = _decode_ppm_at(payload, pos)
+        frames.append(feats)
+    if not frames:
+        raise ValueError("empty stream")
+    return frames
 
 
 def render_ppm_from_text(
@@ -146,6 +173,75 @@ def render_ppm_from_text(
     return df.select(id_col, text_col).mapInPandas(
         _render, "media_id BIGINT, payload BINARY"
     )
+
+
+def render_ppm_stream_from_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    width: int = 4, height: int = 4,
+) -> DataFrame:
+    """Render each text into a REAL multi-frame P6 stream
+    (``len(text) % 4 + 1`` concatenated frames): frame ``f``'s pixel
+    ``i`` is ``base[(i + f) % len(base)]`` where ``base`` is the
+    clamped-codepoint window ``render_ppm_from_text`` uses — a
+    per-frame phase shift, so consecutive frames differ and the SQL
+    oracle reproduces every frame's stats from the same formula."""
+    n_px = width * height * 3
+
+    def _render(batches):
+        for pdf in batches:
+            payloads = []
+            for s in pdf[text_col]:
+                s = s or ""
+                base = [min(ord(c), 255) for c in s[:n_px]] or [0]
+                n_frames = len(s) % 4 + 1
+                stream = b"".join(
+                    encode_ppm(
+                        width, height,
+                        bytes(base[(i + f) % len(base)] for i in range(n_px)),
+                    )
+                    for f in range(n_frames)
+                )
+                payloads.append(stream)
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _render, "media_id BIGINT, payload BINARY"
+    )
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id BIGINT, frame_idx INT, width INT, height INT, pixel_sum BIGINT"
+)
+
+
+def sample_ppm_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling over concatenated-P6 streams: decode every
+    frame boundary (headers, not strides), keep each ``every``-th
+    frame's stats — the flat-map shape (output batch LONGER than the
+    input batch) a real ffmpeg frame sampler needs, with real
+    container parsing instead of q70's fixed-chop stand-in. A
+    malformed stream contributes one NULL-feature row (frame_idx
+    NULL), preserving per-media accountability without killing the
+    task."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_ppm_stream(bytes(payload))
+                except ValueError:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                for idx in range(0, len(frames), every):
+                    f = frames[idx]
+                    rows.append((mid, idx, f["width"], f["height"], f["pixel_sum"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "pixel_sum"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
 
 
 PPM_FEATURE_SCHEMA = "media_id BIGINT, width INT, height INT, pixel_sum BIGINT"

@@ -212,9 +212,11 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # fixed this round, so route it through the window too
     ("q20_date_dim", "q76_corpus_curation"),
     # the round's NEW queries ride the window the round they land
-    # (q48's F5 row and q54's S10/S12 rows hold r10 driver greens)
+    # (q48's F5, q54's S10/S12, and q29's S8/#3 rows hold r10 driver
+    # greens; SCD stays anchored in-window by q21/q22)
     ("q48_wkt_point", "q217_ppm_decode"),
     ("q54_unknown_member", "q218_wav_decode"),
+    ("q29_scd_merge_insert", "q219_ppm_frame_sample"),
 ]
 
 
@@ -11848,3 +11850,41 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.render_wav_from_text(_t(spark, sf_dir, "documents"))
     return multimodal.wav_features(media)
+
+
+@register(
+    "q219_ppm_frame_sample",
+    r"""
+    WITH px AS (
+      SELECT doc_id, f.f AS frame_idx,
+             CASE WHEN len(text) = 0 THEN 0
+                  ELSE LEAST(unicode(substr(text, ((i.i + f.f) % LEAST(len(text), 48)) + 1, 1)), 255)
+             END AS b
+      FROM documents,
+           -- constant bounds + filter: DuckDB 1.0's generate_series
+           -- cannot take lateral column parameters
+           generate_series(0, 3) AS f(f),
+           generate_series(0, 47) AS i(i)
+      WHERE f.f % 2 = 0 AND f.f <= len(text) % 4
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(SUM(b) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+    "REAL frame sampling over a real multi-image container — the "
+    "third modality (video plumbing) through the q217/q218 device: "
+    "documents render into concatenated-P6 streams (the netpbm "
+    "multi-image convention; 1-4 phase-shifted frames per doc), and "
+    "operators/multimodal.decode_ppm_stream parses frame after frame, "
+    "each boundary DISCOVERED from its own header (never a fixed "
+    "stride), keeping every 2nd frame's stats — the flat-map "
+    "mapInPandas shape a real ffmpeg sampler needs (output batch "
+    "longer than input), replacing q70's fixed-chop stand-in with "
+    "format-real container parsing. Frame pixels are phase-shifted "
+    "clamped codepoints, so the oracle reproduces every sampled "
+    "frame's pixel_sum from a lateral generate_series",
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.render_ppm_stream_from_text(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_ppm_frames(media, every=2)

@@ -276,3 +276,86 @@ def test_wav_features_isolates_poison_rows(spark):
     out = {r["media_id"]: r for r in wav_features(media).collect()}
     assert out[1]["amp_sum"] == 10 and out[1]["n_samples"] == 2
     assert out[2]["amp_sum"] is None and out[2]["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------
+# Real container: concatenated-P6 stream (multi-frame)
+# ---------------------------------------------------------------------
+
+def test_decode_ppm_stream_parses_heterogeneous_frames():
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_ppm_stream,
+        encode_ppm,
+    )
+
+    # frame boundaries must come from HEADERS: mix frame sizes so any
+    # fixed-stride assumption breaks
+    stream = (
+        encode_ppm(4, 4, bytes(48))
+        + encode_ppm(2, 1, bytes([9] * 6))
+        + encode_ppm(1, 1, bytes([1, 2, 3]))
+    )
+    frames = decode_ppm_stream(stream)
+    assert [(f["width"], f["height"], f["pixel_sum"]) for f in frames] == [
+        (4, 4, 0), (2, 1, 54), (1, 1, 6),
+    ]
+
+
+def test_decode_ppm_stream_rejects_malformed():
+    import pytest as _pytest
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_ppm_stream,
+        encode_ppm,
+    )
+
+    good = encode_ppm(2, 2, bytes(12))
+    for bad in (b"", good + b"JUNK..", good + good[:-3], good[:-1]):
+        with _pytest.raises(ValueError):
+            decode_ppm_stream(bad)
+
+
+def test_sample_ppm_frames_flatmap_and_parity(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_ppm_stream,
+        render_ppm_stream_from_text,
+        sample_ppm_frames,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    media = render_ppm_stream_from_text(docs)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = sample_ppm_frames(media, every=2).collect()
+    assert len(out) >= len(payloads), "flat-map must not shrink the media set"
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, payload in payloads.items():
+        frames = decode_ppm_stream(payload)  # streams must be real
+        s = texts[mid] or ""
+        assert len(frames) == len(s) % 4 + 1
+        base = [min(ord(c), 255) for c in s[:48]] or [0]
+        sampled = sorted(by_media[mid], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in sampled] == list(range(0, len(frames), 2))
+        for r in sampled:
+            want = sum(base[(i + r["frame_idx"]) % len(base)] for i in range(48))
+            assert r["pixel_sum"] == want, (mid, r["frame_idx"])
+
+
+def test_sample_ppm_frames_isolates_poison_streams(spark):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        encode_ppm,
+        sample_ppm_frames,
+    )
+
+    rows = [
+        (1, bytearray(encode_ppm(4, 4, bytes(48)) * 3)),
+        (2, bytearray(b"not a stream")),
+    ]
+    media = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+    out = sample_ppm_frames(media, every=2).collect()
+    good = sorted(r["frame_idx"] for r in out if r["media_id"] == 1)
+    bad = [r for r in out if r["media_id"] == 2]
+    assert good == [0, 2]
+    assert len(bad) == 1 and bad[0]["frame_idx"] is None and bad[0]["pixel_sum"] is None

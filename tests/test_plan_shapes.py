@@ -1028,6 +1028,7 @@ PYTHON_EVAL_CARRIERS = {
     "q71_media_resize": "Arrow mapInPandas payload resize",
     "q217_ppm_decode": "Arrow mapInPandas PPM render + REAL pure-Python P6 decode",
     "q218_wav_decode": "Arrow mapInPandas WAV render + REAL pure-Python RIFF/PCM decode",
+    "q219_ppm_frame_sample": "Arrow mapInPandas P6-stream render + REAL frame-boundary parsing",
 }
 
 _PY_NODES = (
