@@ -74,6 +74,8 @@ HEADLINE = [
     ("q212_hierarchical_ivf", "hierarchical IVF: map-only two-level routing — broadcast supercell argmax then a per-super broadcast member fold; no corpus vector ever shuffles during assignment"),
     ("q214_recall_probe_sweep", "recall-vs-probe curve: the inverted lists and exact baseline are cached InMemoryRelations reused by every combo — C combos cost C broadcast query-side probes, not C corpus scans"),
     ("q215_ivf2_derived_probes", "capacity-derived probing: widths are plan literals derived from the trained quantizer sizes — the probed fraction (and the plan shape) is scale-invariant"),
+    ("q217_ppm_decode", "REAL image decode: render + parse as two scan-partitioned Arrow MapInPandas stages — zero exchanges, embarrassingly parallel at any corpus size"),
+    ("q219_ppm_frame_sample", "REAL container frame sampling: flat-map MapInPandas (1 stream → N frames) with header-discovered boundaries — zero exchanges"),
 ]
 
 
