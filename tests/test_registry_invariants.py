@@ -383,3 +383,37 @@ def test_q190_plane_count_derivation_matches_oracle_ladder():
         d = -(-n // _Q190_TARGET_OCCUPANCY)
         if 4 <= want < _Q190_MAX_PLANES:
             assert 2**want >= d and (want == 4 or 2 ** (want - 1) < d)
+
+
+def test_token_count_device_parity_on_edge_strings():
+    # The verdict-r10 ask #2(b) audit, pinned: the whitespace
+    # token-count device (text.token_count_expr vs the oracles'
+    # len(regexp_split_to_array(trim(x), '\s+'))) agrees on EVERY edge
+    # class — empty, whitespace-only (trim strips only 0x20 in BOTH
+    # engines, so tabs/newlines survive and split into empty tokens
+    # identically), single-token, and multi-whitespace runs. The
+    # driver regenerates the corpus between rounds; if it ever emits
+    # one of these classes, parity must already hold rather than be
+    # discovered as a q100/q216 hash mismatch.
+    import duckdb
+
+    import pyspark.sql.functions as F  # noqa: F401
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.text import (
+        token_count_expr,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark()
+    edges = ["", " ", "  \t\n ", "a", " a ", "a b", " a  b\tc \n", "\n\n", "x y  z"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(edges)], "id INT, text STRING"
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", token_count_expr().alias("n")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(edges):
+        want = con.execute(
+            "SELECT len(regexp_split_to_array(trim(?), '\\s+'))", [s]
+        ).fetchone()[0]
+        assert got[i] == want, (repr(s), got[i], want)
