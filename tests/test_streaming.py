@@ -803,3 +803,47 @@ def test_chained_incremental_pipeline_with_restart(spark, tmp_path):
         for r in full_dim.collect()
     }
     assert got_dim == want_dim
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """The REAL multimodal decode stage (Arrow mapInPandas over binary
+    payloads — q217's ppm_features) is a stateless per-batch transform,
+    so it must run unchanged inside Structured Streaming: a parquet
+    stream of rendered P6 payloads drained availableNow through the
+    SAME decode function equals the batch decode of the same files —
+    the arriving-media pattern (new image files land, features append)
+    with exactly-once semantics and zero state store."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        ppm_features,
+        render_ppm_from_text,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.stream_ops import (
+        run_available_now,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media_dir = str(tmp_path / "media")
+    render_ppm_from_text(docs).write.parquet(media_dir)
+
+    media_stream = (
+        spark.readStream.schema("media_id BIGINT, payload BINARY")
+        .option("maxFilesPerTrigger", 1)  # several micro-batches, not one
+        .parquet(media_dir)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(
+        ppm_features(media_stream), ckpt, "media_feats_out", output_mode="append"
+    )
+    got = {
+        (r["media_id"], r["width"], r["height"], r["pixel_sum"])
+        for r in spark.sql("SELECT * FROM media_feats_out").collect()
+    }
+    want = {
+        (r["media_id"], r["width"], r["height"], r["pixel_sum"])
+        for r in ppm_features(spark.read.parquet(media_dir)).collect()
+    }
+    assert got == want
+    assert len(got) == 50
