@@ -158,8 +158,9 @@ def register(name: str, oracle: str | None, description: str = ""):
 # ANN stragglers q39 q170 q198 q200, and q75/q76 (q76 carries this
 # round's second HUGEINT oracle fix — worth an external hash). q63,
 # q68, q130 defer to r12 (their families have r9/r10 greens: q157/
-# q158 skew, q126 BPE, q188/q202 containment). Cumulative if green:
-# 110 → 135.
+# q158 skew, q126 BPE, q188/q202 containment). The round's three NEW
+# real-codec queries (q217/q218/q219) ride the window the round they
+# land, per policy. Cumulative if green: 110 → 139.
 # Per-swap §2-family coverage (out → anchor that stays in-window or
 # holds an r9/r10 driver green; out-slots are identical to round 10):
 #   q03 (P10 → q30)          q09 (O3 → q10 top-N per key)
