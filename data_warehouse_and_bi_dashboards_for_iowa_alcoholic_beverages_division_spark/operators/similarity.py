@@ -222,6 +222,79 @@ def _py_norm(vec: list[float]) -> float:
     return math.sqrt(acc)
 
 
+def _py_floor_round6(x: float) -> float:
+    """The canonical 6dp floor-rounding formula in Python — evaluates
+    to the identical double as the JVM/SQL forms (functions/rounding.py)."""
+    return math.floor(x * 1000000 + 0.5) / 1000000.0
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """``dot_expr`` replicated in Python: strictly left-to-right double
+    accumulation in element order — bit-identical to the JVM fold."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _py_assign_cell(
+    vec: list[float], centroids: list[list[float]], norms: list[float]
+) -> int:
+    """``with_assigned_cell``'s argmax replicated in Python: score =
+    floor_round6(dot / (row_norm * centroid_norm)) with the identical
+    operand grouping, ties to the highest cell id (the struct
+    ``array_max`` order). Bit-identical because every IEEE op is
+    correctly rounded in both runtimes and the fold orders match."""
+    nv = _py_norm(vec)
+    best = None
+    for i, (cent, nc) in enumerate(zip(centroids, norms)):
+        s = _py_floor_round6(_py_dot(vec, cent) / (nv * nc))
+        if best is None or (s, i) > best:
+            best = (s, i)
+    return best[1]
+
+
+def ivf_train_centroids_local(
+    rows: list[tuple[int, list[float]]], n_cells: int, iters: int
+) -> list[list[float]]:
+    """:func:`ivf_train_centroids` replicated driver-side for a
+    DRIVER-RESIDENT vector table (the hierarchical quantizer's level-1
+    train runs Lloyd over the level-2 CENTROIDS — at most 4096 rows
+    that already live on the driver): seeds are the ``n_cells``
+    lowest-id rows, each iteration assigns by the exact
+    :func:`_py_assign_cell` argmax and re-means per dimension with the
+    exact ``_lloyd_dim_means`` fold (contributions accumulate
+    left-to-right in id order, mean rounded by the canonical 6dp
+    floor; empty cells keep their previous centroid). Bit-identical to
+    the distributed train over the same rows — pinned by
+    tests/test_ivf_determinism.py — while spending ZERO Spark actions
+    (the distributed form costs 3 sequential collects, ~1 s each of
+    pure session latency for a table this small: the q199 anatomy in
+    BASELINE.md round 11)."""
+    rows = sorted(rows, key=lambda r: r[0])
+    centroids = [[float(x) for x in v] for _, v in rows[:n_cells]]
+    for _ in range(iters):
+        norms = [_py_norm(c) for c in centroids]
+        members: dict[int, list[list[float]]] = {}
+        for _rid, v in rows:  # id order — the _lloyd_dim_means fold order
+            members.setdefault(_py_assign_cell(v, centroids, norms), []).append(v)
+        new = []
+        for i in range(n_cells):
+            mem = members.get(i)
+            if not mem:
+                new.append(centroids[i])
+                continue
+            cent = []
+            for p in range(len(mem[0])):
+                acc = 0.0
+                for v in mem:
+                    acc += float(v[p])
+                cent.append(_py_floor_round6(acc / len(mem)))
+            new.append(cent)
+        centroids = new
+    return centroids
+
+
 def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     """Cell id with the highest cosine to ``vec_col``, as a pure JVM
     expression: an array of (score, cell) structs reduced by
@@ -627,18 +700,18 @@ def ivf2_train(
     supercell boundary may land in a different cell than the flat
     argmax would pick. The oracle mirrors the SAME two-level rule, so
     the approximation is value-checked, not hand-waved."""
-    spark = corpus.sparkSession
     train = corpus.where(train_where) if train_where else corpus
     l2 = ivf_train_centroids(train, id_col, vec_col, n_cells, iters)
     n_super = derived_n_cells(len(l2))
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(l2)], "vec_id INT, embedding ARRAY<DOUBLE>"
-    )
-    l1 = ivf_train_centroids(cent_df, "vec_id", "embedding", n_super, iters)
-    cell2super = {
-        r["vec_id"]: r["cell"]
-        for r in with_assigned_cell(cent_df, "embedding", l1).select("vec_id", "cell").collect()
-    }
+    # The level-1 train clusters the DRIVER-RESIDENT level-2 centroid
+    # table (<= 4096 rows) — run the bit-identical local Lloyd instead
+    # of shipping it back through 4 distributed actions of pure session
+    # latency (seeds + 2 mean collects + the assignment collect; the
+    # distributed twin is pinned equivalent in test_ivf_determinism).
+    cent_rows = list(enumerate(l2))
+    l1 = ivf_train_centroids_local(cent_rows, n_super, iters)
+    l1_norms = [_py_norm(c) for c in l1]
+    cell2super = {i: _py_assign_cell(v, l1, l1_norms) for i, v in cent_rows}
     # Routing must only ever target supers that own at least one member
     # cell: Lloyd can leave a level-1 centroid with zero assigned cells
     # (empty cluster kept at its seed), and a corpus vector whose best

@@ -251,3 +251,47 @@ def test_ivf2_train_every_returned_super_is_routable(spark):
         "memberless supers must be dropped from the routable quantizer "
         "even when ties starve all but one level-1 cluster"
     )
+
+
+def test_local_lloyd_is_bit_identical_to_distributed(spark):
+    """ivf_train_centroids_local (the zero-action level-1 train) must
+    reproduce the distributed ivf_train_centroids BIT-FOR-BIT over the
+    same rows — seeds, argmax tiebreaks, fold order, 6dp floors, and
+    empty-cell carry-over all match — because every IVF2 oracle unrolls
+    the distributed device and the local form silently substitutes for
+    it inside ivf2_train. Checked on a REAL centroid table (the level-2
+    output for sf0.001, the exact input the level-1 train sees) and on
+    a degenerate all-identical table where every argmax ties (the
+    empty-cluster carry-over path)."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        _py_assign_cell,
+        _py_norm,
+        derived_n_cells,
+        ivf_train_centroids,
+        ivf_train_centroids_local,
+        with_assigned_cell,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    l2 = ivf_train_centroids(emb.where("vec_id % 16 = 0"), n_cells=32, iters=2)
+    cases = [
+        [(i, c) for i, c in enumerate(l2)],
+        [(i, [1.0] * 8) for i in range(20)],  # all ties → empty clusters
+    ]
+    for rows in cases:
+        n_cells = derived_n_cells(len(rows))
+        cent_df = spark.createDataFrame(
+            rows, "vec_id INT, embedding ARRAY<DOUBLE>"
+        )
+        dist = ivf_train_centroids(cent_df, "vec_id", "embedding", n_cells, iters=2)
+        local = ivf_train_centroids_local(rows, n_cells, 2)
+        assert local == dist  # exact float equality — bit parity
+        norms = [_py_norm(c) for c in local]
+        dist_assign = {
+            r["vec_id"]: r["cell"]
+            for r in with_assigned_cell(cent_df, "embedding", dist)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        local_assign = {i: _py_assign_cell(v, local, norms) for i, v in rows}
+        assert local_assign == dist_assign
