@@ -873,6 +873,75 @@ def cosine_topk_ivf2(
     return _ivf2_score_topk(q, c, k)
 
 
+def build_ivf2_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    train_where: str | None = None,
+) -> tuple[list[list[float]], list[list[float]], dict[int, int]]:
+    """Persist a HIERARCHICAL IVF index — :func:`build_ivf_index`'s
+    contract at the two-level scale path: train the two-level quantizer
+    (:func:`ivf2_train` — sampled level-2 Lloyd, driver-local level-1),
+    route every corpus row supercell -> best member cell (map-only),
+    write the inverted lists ``partitionBy("cell")`` with the row norm
+    precomputed, and store both centroid levels + the cell->supercell
+    map as tiny sidecars. At 10^9 vectors this is the layout a serving
+    tier wants: the expensive corpus pass happens once, per-row routing
+    cost is O(sqrt n_cells), and every query batch reads only its
+    probed cells' files via partition pruning."""
+    spark = corpus.sparkSession
+    l2, l1, cell2super = ivf2_train(corpus, id_col, vec_col, n_cells, iters, train_where)
+    members = _member_table_df(spark, l2, cell2super)
+    _ivf2_corpus_lists(corpus, members, l1, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    spark.createDataFrame(
+        [(i, c, cell2super[i]) for i, c in enumerate(l2)],
+        "cell INT, centroid ARRAY<DOUBLE>, supercell INT",
+    ).write.mode("overwrite").parquet(path + "_centroids")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(l1)], "supercell INT, centroid ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(path + "_supers")
+    return l2, l1, cell2super
+
+
+def query_ivf2_index(
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 3,
+    n_super_probe: int = 2,
+) -> DataFrame:
+    """Top-k against a persisted hierarchical index: rebuild the
+    (driver-resident) quantizer from the sidecars, probe
+    ``n_super_probe`` supercells -> ``n_probe`` member cells per query
+    (the exact :func:`_ivf2_probe_cells` ranking), and read ONLY the
+    probed cells' files (static partition filter on the inverted-list
+    scan — the q156 pruning device on the two-level layout). Values are
+    identical to the in-plan :func:`cosine_topk_ivf2` because the
+    persisted lists carry the same (c_vec, cn) and the probe/score
+    devices are shared verbatim."""
+    spark = queries.sparkSession
+    crows = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    l2 = [[float(x) for x in r["centroid"]] for r in crows]
+    cell2super = {r["cell"]: r["supercell"] for r in crows}
+    srows = spark.read.parquet(path + "_supers").orderBy("supercell").collect()
+    l1 = [[float(x) for x in r["centroid"]] for r in srows]
+    members = _member_table_df(spark, l2, cell2super)
+    q = _ivf2_probe_cells(queries, members, l1, id_col, vec_col, n_super_probe, n_probe)
+    # q is consumed twice (probed-cell collect, then the broadcast
+    # join); checkpoint so the probe ranking runs once
+    q = q.localCheckpoint(eager=True)
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    c = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    return _ivf2_score_topk(q, c, k)
+
+
 def ivf2_recall_sweep(
     corpus: DataFrame,
     queries: DataFrame,

@@ -158,9 +158,10 @@ def register(name: str, oracle: str | None, description: str = ""):
 # ANN stragglers q39 q170 q198 q200, and q75/q76 (q76 carries this
 # round's second HUGEINT oracle fix — worth an external hash). q63,
 # q68, q130 defer to r12 (their families have r9/r10 greens: q157/
-# q158 skew, q126 BPE, q188/q202 containment). The round's three NEW
-# real-codec queries (q217/q218/q219) ride the window the round they
-# land, per policy. Cumulative if green: 110 → 139.
+# q158 skew, q126 BPE, q188/q202 containment). The round's four NEW
+# queries (real codecs q217/q218/q219 + persisted hierarchical index
+# q220) ride the window the round they land, per policy. Cumulative
+# if green: 110 → 140.
 # Per-swap §2-family coverage (out → anchor that stays in-window or
 # holds an r9/r10 driver green; out-slots are identical to round 10):
 #   q03 (P10 → q30)          q09 (O3 → q10 top-N per key)
@@ -218,6 +219,9 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("q48_wkt_point", "q217_ppm_decode"),
     ("q54_unknown_member", "q218_wav_decode"),
     ("q29_scd_merge_insert", "q219_ppm_frame_sample"),
+    # (q45's multimodal row is re-anchored by q217/q218/q219, all
+    # in-window; q45 itself holds an r10 driver green)
+    ("q45_media_features", "q220_ivf2_persisted"),
 ]
 
 
@@ -11889,3 +11893,36 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.render_ppm_stream_from_text(_t(spark, sf_dir, "documents"))
     return multimodal.sample_ppm_frames(media, every=2)
+
+
+@register(
+    "q220_ivf2_persisted",
+    _q212_oracle(),
+    "Persisted HIERARCHICAL IVF index - q156's persisted-index "
+    "contract lifted to the two-level scale path (q212's routing): "
+    "build trains the two-level quantizer (sampled level-2 Lloyd, "
+    "driver-local level-1), routes every vector supercell -> best "
+    "member cell map-only, and writes the inverted lists "
+    "partitionBy(cell) with centroid/supercell sidecars; query "
+    "rebuilds the driver-resident quantizer from the sidecars, probes "
+    "2 supers -> 3 member cells, and reads ONLY the probed cells' "
+    "files (static PartitionFilters on the list scan). At 10^9 "
+    "vectors this is the serving layout: one corpus pass at build, "
+    "O(sqrt n_cells) routing, query I/O proportional to the probed "
+    "fraction. The oracle is q212's verbatim (the parquet round trip "
+    "preserves every vector and precomputed norm bit-for-bit, and the "
+    "probe/score devices are shared), so build -> persist -> query is "
+    "value-checked end-to-end across the file boundary",
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nc = similarity.derived_n_cells(_scalar_count(emb))
+    # deterministic per-SF path (the q156 leak note): build OVERWRITES,
+    # so every call queries a freshly written index
+    path = _scratch_index_path("ivf2", sf_dir)
+    similarity.build_ivf2_index(
+        emb, path, n_cells=nc, iters=2, train_where="vec_id % 16 = 0"
+    )
+    return similarity.query_ivf2_index(
+        emb.where("vec_id < 5"), path, k=10, n_probe=3, n_super_probe=2
+    )

@@ -1100,3 +1100,34 @@ def test_registry_python_eval_only_in_media_queries(registry_plans):
         "with built-in Column expressions (the JVM path):\n" + "\n".join(offenders)
     )
     assert not stale, f"allowlist entries no longer using Python eval: {stale}"
+
+
+def test_ivf2_persisted_query_scan_is_partition_pruned(spark, tmp_path):
+    # q220: the two-level persisted index must keep q156's pruning
+    # contract — the probed member-cell ids land as a static PARTITION
+    # filter on the hierarchical inverted-list scan — and the persisted
+    # result must equal the in-plan cosine_topk_ivf2 with identical
+    # parameters (the parquet round trip is value-exact: same c_vec,
+    # same precomputed cn, shared probe/score devices).
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        build_ivf2_index,
+        cosine_topk_ivf2,
+        query_ivf2_index,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "index2")
+    build_ivf2_index(emb, path, n_cells=32, iters=2, train_where="vec_id % 16 = 0")
+    qs = emb.where("vec_id < 5")
+    out = query_ivf2_index(qs, path, k=10, n_probe=3, n_super_probe=2)
+    plan = plan_text(out)
+    seg = plan.split("PartitionFilters: [")
+    assert len(seg) > 1, "hierarchical inverted-list scan lost its partition filter"
+    assert "cell" in seg[1].split("]")[0]
+    inplan = cosine_topk_ivf2(
+        emb, qs, k=10, n_cells=32, n_probe=3, n_super_probe=2,
+        train_where="vec_id % 16 = 0",
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+    assert sorted(map(key, out.collect())) == sorted(map(key, inplan.collect()))
