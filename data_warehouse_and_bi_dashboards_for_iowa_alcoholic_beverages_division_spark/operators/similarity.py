@@ -273,6 +273,7 @@ def ivf_train_centroids_local(
     BASELINE.md round 11)."""
     rows = sorted(rows, key=lambda r: r[0])
     centroids = [[float(x) for x in v] for _, v in rows[:n_cells]]
+    n_cells = min(n_cells, len(centroids))  # the distributed clamp, mirrored
     for _ in range(iters):
         norms = [_py_norm(c) for c in centroids]
         members: dict[int, list[list[float]]] = {}
@@ -546,6 +547,11 @@ def ivf_train_centroids(
     """
     seeds = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
+    # effective capacity clamps to the seed count when the training
+    # subset is smaller than the requested n_cells (a sampled train
+    # predicate at a tiny SF) — the oracle's c0 CTE self-clamps the
+    # same way (ROW_NUMBER over the train rows cannot exceed them)
+    n_cells = min(n_cells, len(centroids))
     # widen the scan if narrow: an embeddings table is few BYTES per
     # FLOP (sf0.1 = one 15 MB parquet split), so the scan gives the
     # fold-heavy assignment pass 1 task and AQE won't widen it; at
@@ -906,6 +912,44 @@ def build_ivf2_index(
         [(i, c) for i, c in enumerate(l1)], "supercell INT, centroid ARRAY<DOUBLE>"
     ).write.mode("overwrite").parquet(path + "_supers")
     return l2, l1, cell2super
+
+
+def append_to_ivf2_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skip_existing_ids: bool = True,
+    batch_token: str | None = None,
+) -> None:
+    """Incremental maintenance for the HIERARCHICAL index —
+    :func:`append_to_ivf_index`'s contract (frozen quantizer, append
+    only the batch's inverted-list rows, same two idempotency guards
+    with the same cost contracts and failure semantics) on the
+    two-level layout: the batch routes supercell -> best member cell
+    under the sidecar quantizer, O(sqrt n_cells) per row instead of
+    the flat append's O(n_cells)."""
+    spark = new_vectors.sparkSession
+    if batch_token is not None:
+        if _count_batch_token(spark, path + "_batches", batch_token):
+            return
+    crows = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    l2 = [[float(x) for x in r["centroid"]] for r in crows]
+    cell2super = {r["cell"]: r["supercell"] for r in crows}
+    srows = spark.read.parquet(path + "_supers").orderBy("supercell").collect()
+    l1 = [[float(x) for x in r["centroid"]] for r in srows]
+    members = _member_table_df(spark, l2, cell2super)
+    batch = new_vectors
+    if skip_existing_ids:
+        existing = spark.read.parquet(path).select(F.col("neighbor_id").alias(id_col))
+        batch = batch.join(existing, on=id_col, how="left_anti")
+    _ivf2_corpus_lists(batch, members, l1, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+    if batch_token is not None:
+        spark.createDataFrame([(batch_token,)], "token STRING").write.mode(
+            "append"
+        ).parquet(path + "_batches")
 
 
 def query_ivf2_index(

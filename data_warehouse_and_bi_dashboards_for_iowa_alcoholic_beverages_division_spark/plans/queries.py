@@ -158,10 +158,10 @@ def register(name: str, oracle: str | None, description: str = ""):
 # ANN stragglers q39 q170 q198 q200, and q75/q76 (q76 carries this
 # round's second HUGEINT oracle fix — worth an external hash). q63,
 # q68, q130 defer to r12 (their families have r9/r10 greens: q157/
-# q158 skew, q126 BPE, q188/q202 containment). The round's four NEW
-# queries (real codecs q217/q218/q219 + persisted hierarchical index
-# q220) ride the window the round they land, per policy. Cumulative
-# if green: 110 → 140.
+# q158 skew, q126 BPE, q188/q202 containment). The round's five NEW
+# queries (real codecs q217/q218/q219 + the persisted/incremental
+# hierarchical index pair q220/q221) ride the window the round they
+# land, per policy. Cumulative if green: 110 → 141.
 # Per-swap §2-family coverage (out → anchor that stays in-window or
 # holds an r9/r10 driver green; out-slots are identical to round 10):
 #   q03 (P10 → q30)          q09 (O3 → q10 top-N per key)
@@ -222,6 +222,8 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     # (q45's multimodal row is re-anchored by q217/q218/q219, all
     # in-window; q45 itself holds an r10 driver green)
     ("q45_media_features", "q220_ivf2_persisted"),
+    # (U3 keeps r10/r6 driver greens via q14/q15 themselves)
+    ("q14_except_all", "q221_ivf2_incremental"),
 ]
 
 
@@ -11148,6 +11150,7 @@ def _q212_oracle(
     final_select: str | None = None,
     sprobe_sql: str = "2",
     cprobe_sql: str = "3",
+    train_pred: str = "vec_id % 16 = 0",
 ) -> str:
     """DuckDB twin of similarity.cosine_topk_ivf2 (hierarchical IVF,
     k=10, n_probe=3, n_super_probe=2, iters=2, 1/16 sampled train,
@@ -11166,7 +11169,9 @@ def _q212_oracle(
     DESC), neighbors (score DESC, neighbor ASC)."""
     from ..operators.similarity import _IVF_MAX_CELLS_EXP
 
-    train_pred = "vec_id % 16 = 0"
+    # ``train_pred`` restricts SEEDS and Lloyd folds; the inverted
+    # lists still cover every vector (q221 passes the incremental
+    # existing-slice sample; the default is q212's 1/16)
     cos_vc = (
         "list_sum(list_transform(list_zip({v}.embedding, {c}.cvec),"
         " z -> CAST(z[1] AS DOUBLE) * z[2]))"
@@ -11923,6 +11928,41 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.build_ivf2_index(
         emb, path, n_cells=nc, iters=2, train_where="vec_id % 16 = 0"
     )
+    return similarity.query_ivf2_index(
+        emb.where("vec_id < 5"), path, k=10, n_probe=3, n_super_probe=2
+    )
+
+
+@register(
+    "q221_ivf2_incremental",
+    _q212_oracle(train_pred="vec_id % 10 <> 0 AND vec_id % 16 = 0"),
+    "Incremental maintenance for the HIERARCHICAL index - q199's "
+    "daily-arrivals contract on the two-level layout, completing the "
+    "flat/hierarchical x persisted/incremental matrix: the two-level "
+    "quantizer trains once on a 1/16 sample of the EXISTING corpus "
+    "(capacity still derived from the full corpus the index must "
+    "serve), the existing 90% slice is inverted-listed at build, the "
+    "arriving batch (vec_id%10=0) routes supercell -> best member "
+    "cell under the FROZEN sidecar quantizer at O(sqrt n_cells) per "
+    "row - the flat append's O(n_cells) assignment is exactly the "
+    "term hierarchical routing exists to remove, so maintenance cost "
+    "stays sub-linear in index capacity as the corpus grows - and "
+    "queries probe the merged index with two-level partition pruning. "
+    "The oracle is q212's verbatim unroll under the incremental train "
+    "predicate (build-listed + frozen-appended rows together equal "
+    "all vectors routed under the final quantizer), so "
+    "build -> append -> query is hash-checked across the file boundary",
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nc = similarity.derived_n_cells(_scalar_count(emb))
+    existing = emb.where("vec_id % 10 != 0")
+    arriving = emb.where("vec_id % 10 = 0")
+    path = _scratch_index_path("ivf2_inc", sf_dir)
+    similarity.build_ivf2_index(
+        existing, path, n_cells=nc, iters=2, train_where="vec_id % 16 = 0"
+    )
+    similarity.append_to_ivf2_index(arriving, path)
     return similarity.query_ivf2_index(
         emb.where("vec_id < 5"), path, k=10, n_probe=3, n_super_probe=2
     )

@@ -295,3 +295,62 @@ def test_local_lloyd_is_bit_identical_to_distributed(spark):
         }
         local_assign = {i: _py_assign_cell(v, local, norms) for i, v in rows}
         assert local_assign == dist_assign
+
+
+def test_ivf2_append_equals_fresh_full_build(spark, tmp_path):
+    """The hierarchical frozen-quantizer append contract: building on
+    the existing slice then appending the arrivals must query
+    IDENTICALLY to the in-plan cosine_topk_ivf2 over the FULL corpus
+    with the same (existing-slice) train predicate — because routing
+    the appended batch under the frozen sidecar quantizer is the same
+    map as routing it at build time. Also pins the idempotency guard:
+    a blind re-append of the same batch adds zero rows."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        append_to_ivf2_index,
+        build_ivf2_index,
+        cosine_topk_ivf2,
+        query_ivf2_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "inc2")
+    build_ivf2_index(
+        emb.where("vec_id % 10 != 0"), path, n_cells=32, iters=2,
+        train_where="vec_id % 16 = 0",
+    )
+    arriving = emb.where("vec_id % 10 = 0")
+    append_to_ivf2_index(arriving, path)
+    n_after = spark.read.parquet(path).count()
+    append_to_ivf2_index(arriving, path)  # retry: anti-join guard
+    assert spark.read.parquet(path).count() == n_after
+    qs = emb.where("vec_id < 5")
+    got = query_ivf2_index(qs, path, k=10, n_probe=3, n_super_probe=2)
+    want = cosine_topk_ivf2(
+        emb, qs, k=10, n_cells=32, n_probe=3, n_super_probe=2,
+        train_where="vec_id % 10 != 0 AND vec_id % 16 = 0",
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_train_clamps_to_seed_count_when_sample_is_tiny(spark):
+    """A sampled train predicate at a tiny SF can yield fewer rows than
+    the derived capacity; the train must clamp to the seed count (the
+    oracle's c0 CTE self-clamps identically) instead of raising
+    IndexError on the empty-cell carry — exercised for real by q221 at
+    sf0.001 (25 sample rows < 32 derived cells)."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        ivf_train_centroids,
+        ivf_train_centroids_local,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    tiny = emb.where("vec_id < 5")  # 5 rows << 16 requested cells
+    cents = ivf_train_centroids(tiny, n_cells=16, iters=2)
+    assert len(cents) == 5
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]]) for r in tiny.collect()
+    ]
+    assert ivf_train_centroids_local(rows, 16, 2) == cents
