@@ -901,9 +901,18 @@ def build_ivf2_index(
     spark = corpus.sparkSession
     l2, l1, cell2super = ivf2_train(corpus, id_col, vec_col, n_cells, iters, train_where)
     members = _member_table_df(spark, l2, cell2super)
-    _ivf2_corpus_lists(corpus, members, l1, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
+    # repartition ON the partition column before the partitioned write:
+    # with derived capacities the cell count is large (2048 at 2M
+    # vectors), and a direct partitionBy write fans every assignment
+    # task across every cell — tasks x cells files (65k at sf10; at
+    # cluster scale, executors x cells — a metadata explosion the
+    # serving tier pays on every probe). One corpus shuffle at build
+    # buys ~one file per cell; the flat build keeps the direct write
+    # (n_cells is a small constant there, so tasks x cells stays
+    # bounded).
+    _ivf2_corpus_lists(corpus, members, l1, id_col, vec_col).repartition(
+        F.col("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
     spark.createDataFrame(
         [(i, c, cell2super[i]) for i, c in enumerate(l2)],
         "cell INT, centroid ARRAY<DOUBLE>, supercell INT",
