@@ -359,3 +359,117 @@ def test_sample_ppm_frames_isolates_poison_streams(spark):
     bad = [r for r in out if r["media_id"] == 2]
     assert good == [0, 2]
     assert len(bad) == 1 and bad[0]["frame_idx"] is None and bad[0]["pixel_sum"] is None
+
+
+# ---------------------------------------------------------------------
+# Property-based codec round-trips (hypothesis): any encodable image/
+# clip decodes back to its exact stats, and ANY truncation of a valid
+# payload raises instead of returning garbage.
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    data=st.data(),
+)
+def test_ppm_roundtrip_property(w, h, data):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    feats = decode_ppm(encode_ppm(w, h, rgb))
+    assert feats == {
+        "width": w, "height": h, "n_frames": 1, "pixel_sum": sum(rgb)
+    }
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    cut=st.integers(min_value=1, max_value=10_000),
+)
+def test_ppm_any_truncation_raises(w, h, cut):
+    import pytest as _pytest
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    payload = encode_ppm(w, h, bytes(range(256))[: w * h * 3].ljust(w * h * 3, b"\x07"))
+    cut = cut % len(payload)  # every proper prefix, including empty
+    with _pytest.raises(ValueError):
+        decode_ppm(payload[:cut])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=192_000),
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+)
+def test_wav_roundtrip_property(rate, samples):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    feats = decode_wav(encode_wav(rate, samples))
+    assert feats == {
+        "sample_rate": rate,
+        "n_samples": len(samples),
+        "peak": max((abs(s) for s in samples), default=0),
+        "amp_sum": sum(abs(s) for s in samples),
+    }
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=16),
+    cut=st.integers(min_value=1, max_value=10_000),
+)
+def test_wav_any_truncation_raises(samples, cut):
+    import pytest as _pytest
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    payload = encode_wav(8000, samples)
+    cut = cut % len(payload)
+    with _pytest.raises(ValueError):
+        decode_wav(payload[:cut])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    frames=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 4)), min_size=1, max_size=5
+    ),
+)
+def test_ppm_stream_roundtrip_property(frames):
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        decode_ppm_stream,
+        encode_ppm,
+    )
+
+    stream = b"".join(
+        encode_ppm(w, h, bytes((i * 37 + j) % 256 for j in range(w * h * 3)))
+        for i, (w, h) in enumerate(frames)
+    )
+    got = decode_ppm_stream(stream)
+    assert [(f["width"], f["height"]) for f in got] == frames
