@@ -158,10 +158,11 @@ def register(name: str, oracle: str | None, description: str = ""):
 # ANN stragglers q39 q170 q198 q200, and q75/q76 (q76 carries this
 # round's second HUGEINT oracle fix — worth an external hash). q63,
 # q68, q130 defer to r12 (their families have r9/r10 greens: q157/
-# q158 skew, q126 BPE, q188/q202 containment). The round's five NEW
-# queries (real codecs q217/q218/q219 + the persisted/incremental
-# hierarchical index pair q220/q221) ride the window the round they
-# land, per policy. Cumulative if green: 110 → 141.
+# q158 skew, q126 BPE, q188/q202 containment). The round's six NEW
+# queries (real codecs q217/q218/q219, the persisted/incremental
+# hierarchical index pair q220/q221, and the composed multimodal
+# curation q222) ride the window the round they land, per policy.
+# Cumulative if green: 110 → 142.
 # Per-swap §2-family coverage (out → anchor that stays in-window or
 # holds an r9/r10 driver green; out-slots are identical to round 10):
 #   q03 (P10 → q30)          q09 (O3 → q10 top-N per key)
@@ -224,6 +225,8 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("q45_media_features", "q220_ivf2_persisted"),
     # (U3 keeps r10/r6 driver greens via q14/q15 themselves)
     ("q14_except_all", "q221_ivf2_incremental"),
+    # (A2 keeps its r10 driver green via q16 itself)
+    ("q16_count_distinct", "q222_multimodal_curation"),
 ]
 
 
@@ -11965,4 +11968,70 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.append_to_ivf2_index(arriving, path)
     return similarity.query_ivf2_index(
         emb.where("vec_id < 5"), path, k=10, n_probe=3, n_super_probe=2
+    )
+
+
+@register(
+    "q222_multimodal_curation",
+    r"""
+    WITH px AS (
+      SELECT doc_id,
+             CASE WHEN len(text) = 0 THEN 0
+                  ELSE LEAST(unicode(substr(text, (i % LEAST(len(text), 48)) + 1, 1)), 255)
+             END AS b
+      FROM documents, generate_series(0, 47) AS t(i)
+    ),
+    feats AS (
+      SELECT doc_id, CAST(SUM(b) AS BIGINT) AS pixel_sum FROM px GROUP BY doc_id
+    ),
+    d AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    kept AS (
+      SELECT d.source, d.n_tokens, feats.pixel_sum
+      FROM d JOIN feats USING (doc_id)
+      WHERE d.n_tokens >= 5 AND feats.pixel_sum / 48.0 >= 64.0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           FLOOR((CAST(SUM(pixel_sum) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000.0 AS avg_pixel_sum
+    FROM kept GROUP BY source
+    """,
+    "Composed MULTIMODAL curation - the q76 pipeline discipline with a "
+    "real decoded-media gate in the loop: documents render to genuine "
+    "P6 payloads, the real parser (q217's mapInPandas stage) extracts "
+    "per-image pixel stats, and the per-source training budget keeps "
+    "only docs passing BOTH the text bar (>= 5 tokens) AND the image "
+    "bar (mean pixel >= 64) - the text+image joint filter every "
+    "multimodal pretraining corpus needs (caption length x image "
+    "validity). One equi join on doc_id (co-keyed at scale; the "
+    "decode stage is scan-partitioned so features arrive without a "
+    "shuffle), then one per-source aggregate. avg_pixel_sum divides "
+    "the exact integer SUM by COUNT - order-free, no float "
+    "accumulation to drift cross-engine",
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.ppm_features(
+        multimodal.render_ppm_from_text(docs)
+    ).select("media_id", "pixel_sum")
+    d = docs.select(
+        "doc_id", "source", text.token_count_expr().cast("long").alias("n_tokens")
+    )
+    kept = (
+        d.join(feats, d.doc_id == feats.media_id)
+        .where(
+            (F.col("n_tokens") >= 5)
+            & (F.col("pixel_sum") / F.lit(48.0) >= F.lit(64.0))
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        floor_round6(
+            F.sum("pixel_sum").cast("double") / F.count(F.lit(1))
+        ).alias("avg_pixel_sum"),
     )

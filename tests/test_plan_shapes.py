@@ -1029,6 +1029,7 @@ PYTHON_EVAL_CARRIERS = {
     "q217_ppm_decode": "Arrow mapInPandas PPM render + REAL pure-Python P6 decode",
     "q218_wav_decode": "Arrow mapInPandas WAV render + REAL pure-Python RIFF/PCM decode",
     "q219_ppm_frame_sample": "Arrow mapInPandas P6-stream render + REAL frame-boundary parsing",
+    "q222_multimodal_curation": "Arrow mapInPandas real P6 decode feeding the text+image curation join",
 }
 
 _PY_NODES = (
