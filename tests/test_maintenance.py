@@ -166,3 +166,34 @@ def test_ivf_append_empty_token_sidecar_recovers(spark, tmp_path):
         batch, path, skip_existing_ids=False, batch_token="drop-2026-08-17"
     )
     assert spark.read.parquet(path).count() == before + batch.count()
+
+
+def test_ivf2_append_batch_token_skips_retry_in_constant_work(spark, tmp_path):
+    """The hierarchical append inherits the flat append's token
+    contract verbatim: a retry presenting a recorded token is a no-op
+    with the id-anti-join guard disabled, and a new token with
+    disjoint ids appends normally."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf2_tok")
+    similarity.build_ivf2_index(
+        emb.where("vec_id % 10 != 0"), path, n_cells=16, iters=1,
+        train_where="vec_id % 16 = 0",
+    )
+    batch = emb.where("vec_id % 10 = 0")
+    similarity.append_to_ivf2_index(
+        batch, path, skip_existing_ids=False, batch_token="drop-2026-08-15"
+    )
+    once = spark.read.parquet(path).count()
+    similarity.append_to_ivf2_index(
+        batch, path, skip_existing_ids=False, batch_token="drop-2026-08-15"
+    )
+    assert spark.read.parquet(path).count() == once
+    batch2 = emb.where("vec_id % 10 = 1")
+    similarity.append_to_ivf2_index(
+        batch2, path, skip_existing_ids=False, batch_token="drop-2026-08-16"
+    )
+    assert spark.read.parquet(path).count() == once + batch2.count()
