@@ -162,7 +162,13 @@ def main() -> None:
     timings = {n: s["median"] for n, s in headline_stats.items()}
     heavy = {n: s["median"] for n, s in heavy_stats.items()}
     checked_rounds = _driver_checked_rounds()
-    ever = sorted(checked_rounds)
+    ever_raw = sorted(checked_rounds)
+    # The compact coverage count reports |ever ∩ current registry|:
+    # a query that went driver-green and was later DEREGISTERED
+    # (q184_rfm_segments, r10) must not inflate current-registry
+    # coverage (the r11 verdict's ledger-overstatement finding). The
+    # raw history stays in the sidecar for auditability.
+    ever = [n for n in ever_raw if n in reg]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -171,9 +177,14 @@ def main() -> None:
     # A sidecar write failure (read-only checkout, disk full) must not
     # lose the round's machine-readable stdout record — the compact
     # metric line below still prints, with stats_file nulled.
+    # Atomic sidecar write (temp file + os.replace): a failure mid-dump
+    # (disk full) must never leave a truncated BENCH_STATS.json behind
+    # for the next round's tooling to choke on — either the previous
+    # intact sidecar survives, or the new one lands whole.
     stats_file = "BENCH_STATS.json"
+    stats_tmp = os.path.join(REPO_DIR, stats_file + ".tmp")
     try:
-        with open(os.path.join(REPO_DIR, stats_file), "w") as f:
+        with open(stats_tmp, "w") as f:
             json.dump(
                 {
                     # per-query {median,min,max} spread behind the medians
@@ -183,8 +194,11 @@ def main() -> None:
                     # which queries the external hash gate verifies is
                     # auditable without reading _WINDOW_SWAPS in a commit
                     "driver_window": list(reg)[:50],
-                    # cumulative driver-hash-green names across all rounds
+                    # cumulative driver-hash-green names, current registry
+                    # only (the compact line's count = len of this list)
                     "driver_checked_ever": ever,
+                    # raw history incl. since-deregistered names (audit)
+                    "driver_checked_ever_raw": ever_raw,
                     # name -> rounds green (see _driver_checked_rounds);
                     # the rotation policy once first-time coverage of the
                     # registry completes is oldest-green-first: re-check
@@ -199,8 +213,13 @@ def main() -> None:
                 f,
                 indent=1,
             )
+        os.replace(stats_tmp, os.path.join(REPO_DIR, stats_file))
     except OSError:
         stats_file = None
+        try:
+            os.unlink(stats_tmp)
+        except OSError:
+            pass
 
     # Compact machine-readable record, printed LAST so it is always
     # inside the harness's stdout-tail capture.

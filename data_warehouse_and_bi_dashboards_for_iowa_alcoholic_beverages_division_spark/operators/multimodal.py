@@ -99,6 +99,12 @@ def _decode_ppm_at(payload: bytes, start: int) -> tuple[dict, int]:
         raise ValueError("truncated PPM header")
     pos += 1  # the single whitespace after maxval
     width, height, maxval = fields
+    # netpbm requires positive dimensions; accepting 0x0 "images" would
+    # let a tiny crafted stream of zero-pixel headers inflate the
+    # flat-map output (one frame row per ~11 bytes) instead of
+    # isolating to a NULL poison row (r11 advisor finding)
+    if width < 1 or height < 1:
+        raise ValueError(f"non-positive PPM dimensions {width}x{height}")
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
     end = pos + width * height * 3

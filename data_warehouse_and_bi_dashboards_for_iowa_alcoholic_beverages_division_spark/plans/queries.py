@@ -11798,12 +11798,18 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q217_ppm_decode",
     r"""
-    WITH px AS (
+    WITH src AS (
+      -- COALESCE: a NULL text must take the same zero-fill path as the
+      -- renderer's `s = s or ""` (r11 advisor NULL-guard; corpus
+      -- regeneration is the threat model)
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+    ),
+    px AS (
       SELECT doc_id,
              CASE WHEN len(text) = 0 THEN 0
                   ELSE LEAST(unicode(substr(text, (i % LEAST(len(text), 48)) + 1, 1)), 255)
              END AS b
-      FROM documents, generate_series(0, 47) AS t(i)
+      FROM src, generate_series(0, 47) AS t(i)
     )
     SELECT doc_id AS media_id,
            CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
@@ -11833,12 +11839,16 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q218_wav_decode",
     r"""
-    WITH smp AS (
+    WITH src AS (
+      -- COALESCE: NULL text = zero-fill, matching the renderer (r11)
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+    ),
+    smp AS (
       SELECT doc_id,
              CASE WHEN len(text) = 0 THEN 0
                   ELSE LEAST(unicode(substr(text, (i % LEAST(len(text), 64)) + 1, 1)), 255) * 129 - 16384
              END AS s
-      FROM documents, generate_series(0, 63) AS t(i)
+      FROM src, generate_series(0, 63) AS t(i)
     )
     SELECT doc_id AS media_id,
            CAST(8000 AS INT) AS sample_rate,
@@ -11868,12 +11878,17 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q219_ppm_frame_sample",
     r"""
-    WITH px AS (
+    WITH src AS (
+      -- COALESCE: NULL text = zero-fill AND frame count len('')%4,
+      -- matching the renderer's `s = s or ""` (r11 advisor)
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+    ),
+    px AS (
       SELECT doc_id, f.f AS frame_idx,
              CASE WHEN len(text) = 0 THEN 0
                   ELSE LEAST(unicode(substr(text, ((i.i + f.f) % LEAST(len(text), 48)) + 1, 1)), 255)
              END AS b
-      FROM documents,
+      FROM src,
            -- constant bounds + filter: DuckDB 1.0's generate_series
            -- cannot take lateral column parameters
            generate_series(0, 3) AS f(f),
@@ -11974,12 +11989,16 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q222_multimodal_curation",
     r"""
-    WITH px AS (
+    WITH src AS (
+      -- COALESCE: NULL text = zero-fill, matching the renderer (r11)
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+    ),
+    px AS (
       SELECT doc_id,
              CASE WHEN len(text) = 0 THEN 0
                   ELSE LEAST(unicode(substr(text, (i % LEAST(len(text), 48)) + 1, 1)), 255)
              END AS b
-      FROM documents, generate_series(0, 47) AS t(i)
+      FROM src, generate_series(0, 47) AS t(i)
     ),
     feats AS (
       SELECT doc_id, CAST(SUM(b) AS BIGINT) AS pixel_sum FROM px GROUP BY doc_id

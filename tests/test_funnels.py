@@ -40,18 +40,85 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+_TREE_NODE = re.compile(
+    r"^(?P<prefix>[\s:+|-]*)\*?\s*(?P<name>[A-Za-z][\w ]*?)\s*\((?P<id>\d+)\)\s*$"
+)
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """(indent, node name, id) for each line of the formatted plan's
+    tree section. Detail headers like ``(3) Exchange`` start with a
+    parenthesis so the name-first regex skips them."""
+    out = []
+    for line in plan.splitlines():
+        m = _TREE_NODE.match(line)
+        if m:
+            out.append((len(m.group("prefix")), m.group("name").strip(), int(m.group("id"))))
+    return out
+
+
+def _exchange_is_single_partition(plan: str, node_id: int) -> bool:
+    for block in plan.split("\n\n"):
+        lines = block.strip().splitlines()
+        if lines and lines[0].strip().startswith(f"({node_id}) Exchange"):
+            return any(
+                ln.startswith("Arguments:") and "SinglePartition" in ln
+                for ln in lines
+            )
+    return False
+
+
 def _has_unpartitioned_window(plan: str) -> bool:
-    """An unpartitioned window physically manifests as a Window node fed
-    through an ``Exchange`` whose arguments are ``SinglePartition`` —
-    match THAT, not substrings of the windowspecdefinition text (the
-    old check treated any spec whose first comma-token contained
-    ' ASC'/' DESC' as unpartitioned, which a partitioned window over a
-    sort_array/CASE partition expression could false-positive — the
-    r10 advisor finding)."""
-    return (
-        re.search(r"^\(\d+\) Window", plan, re.MULTILINE) is not None
-        and re.search(r"^Arguments: SinglePartition", plan, re.MULTILINE) is not None
+    """An unpartitioned window physically manifests as a Window node
+    whose OWN child exchange is SinglePartition. The r10 rewrite
+    matched '^(N) Window' and '^Arguments: SinglePartition' as two
+    independent regexes over the whole plan text, so a properly
+    partitioned window plus an unrelated SinglePartition exchange
+    elsewhere (a global sort/limit, a scalar aggregate) false-positived
+    (the r11 advisor finding). This version ties the two structurally:
+    for each Window node in the tree, walk its single-child chain
+    (Sort/Project pass-throughs, depth +3 per level in the formatted
+    rendering) to the first Exchange and check THAT exchange's
+    arguments."""
+    nodes = _tree_nodes(plan)
+    for i, (depth, name, _) in enumerate(nodes):
+        if name != "Window":
+            continue
+        want = depth + 3
+        for d, n, nid in nodes[i + 1 :]:
+            if d != want:
+                break  # left the window's single-child chain
+            if n.startswith("Exchange"):
+                if _exchange_is_single_partition(plan, nid):
+                    return True
+                break  # this window's partitioning is set; next window
+            if n.startswith("Window") or n.startswith(("Sort", "Project", "Filter")):
+                want += 3  # narrow pass-through; keep descending
+                continue
+            break  # scan/join/aggregate: no SinglePartition feed
+    return False
+
+
+def test_partitioned_window_plus_global_sort_is_not_flagged(spark):
+    """The r11 advisor's false-positive shape: a PARTITIONED window
+    followed by a global orderBy. The plan contains both a Window node
+    and a rangepartitioning exchange (and a scalar-agg variant would
+    contain Exchange SinglePartition) — the structural matcher must
+    tie the check to the window's OWN child exchange and say no."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    windowed = d.select(
+        "c_custkey", "c_nationkey", F.row_number().over(w).alias("rn")
     )
+    # global sort variant (Exchange rangepartitioning downstream)
+    assert not _has_unpartitioned_window(_plan(windowed.orderBy("c_custkey")))
+    # scalar-aggregate variant (Exchange SinglePartition downstream of
+    # the window, but NOT feeding it)
+    scalar = windowed.agg(F.sum("rn").alias("s"))
+    assert not _has_unpartitioned_window(_plan(scalar))
 
 
 def test_funnels_demonstrate_the_unpartitioned_window(spark):
