@@ -259,8 +259,9 @@ def ivf_train_centroids_local(
 ) -> list[list[float]]:
     """:func:`ivf_train_centroids` replicated driver-side for a
     DRIVER-RESIDENT vector table (the hierarchical quantizer's level-1
-    train runs Lloyd over the level-2 CENTROIDS — at most 4096 rows
-    that already live on the driver): seeds are the ``n_cells``
+    train over the ≤4096 level-2 centroids, and — since the round-12
+    faiss-style train cap — every capped train that fits under
+    ``_IVF_LOCAL_TRAIN_MAX`` rows): seeds are the ``n_cells``
     lowest-id rows, each iteration assigns by the exact
     :func:`_py_assign_cell` argmax and re-means per dimension with the
     exact ``_lloyd_dim_means`` fold (contributions accumulate
@@ -270,28 +271,56 @@ def ivf_train_centroids_local(
     tests/test_ivf_determinism.py — while spending ZERO Spark actions
     (the distributed form costs 3 sequential collects, ~1 s each of
     pure session latency for a table this small: the q199 anatomy in
-    BASELINE.md round 11)."""
+    BASELINE.md round 11).
+
+    Internals are numpy with PINNED FOLD ORDER — every reduction is a
+    loop over one axis of elementwise vector ops, so each element's
+    accumulation sequence is the same left-to-right chain of correctly
+    rounded IEEE doubles as the scalar helpers and the JVM folds:
+    dots/norms accumulate dim-by-dim across all rows at once, means
+    accumulate row-by-row (id order) across all dims at once. A
+    np.sum/np.dot would be ~10x faster but uses pairwise/BLAS
+    summation — a DIFFERENT rounding sequence, which would break the
+    cross-engine bit-parity the oracles depend on."""
+    import numpy as np
+
     rows = sorted(rows, key=lambda r: r[0])
     centroids = [[float(x) for x in v] for _, v in rows[:n_cells]]
     n_cells = min(n_cells, len(centroids))  # the distributed clamp, mirrored
+    if not rows:
+        return centroids
+    V = np.array([v for _, v in rows], dtype=np.float64)
+    n, dim = V.shape
+    # row norms: acc += x*x in dim order (the _py_norm chain, vectorized
+    # across rows — each row's sequence is unchanged)
+    nv = np.zeros(n)
+    for p in range(dim):
+        nv += V[:, p] * V[:, p]
+    nv = np.sqrt(nv)
     for _ in range(iters):
-        norms = [_py_norm(c) for c in centroids]
-        members: dict[int, list[list[float]]] = {}
-        for _rid, v in rows:  # id order — the _lloyd_dim_means fold order
-            members.setdefault(_py_assign_cell(v, centroids, norms), []).append(v)
+        best_s = np.full(n, -np.inf)
+        best_i = np.zeros(n, dtype=np.int64)
+        for i in range(n_cells):
+            c = centroids[i]
+            nc = _py_norm(c)
+            dot = np.zeros(n)
+            for p in range(dim):  # dim order — the _py_dot chain
+                dot += V[:, p] * c[p]
+            s = np.floor((dot / (nv * nc)) * 1000000 + 0.5) / 1000000.0
+            upd = s >= best_s  # ties -> highest cell id, i ascending
+            best_s[upd] = s[upd]
+            best_i[upd] = i
         new = []
         for i in range(n_cells):
-            mem = members.get(i)
-            if not mem:
+            mem = V[best_i == i]
+            if mem.shape[0] == 0:
                 new.append(centroids[i])
                 continue
-            cent = []
-            for p in range(len(mem[0])):
-                acc = 0.0
-                for v in mem:
-                    acc += float(v[p])
-                cent.append(_py_floor_round6(acc / len(mem)))
-            new.append(cent)
+            acc = np.zeros(dim)
+            for r in mem:  # id order — the _lloyd_dim_means fold order
+                acc += r
+            m = np.floor((acc / mem.shape[0]) * 1000000 + 0.5) / 1000000.0
+            new.append([float(x) for x in m])
         centroids = new
     return centroids
 
@@ -527,6 +556,23 @@ def derived_n_cells(n: int, cap_exp: int = _IVF_MAX_CELLS_EXP) -> int:
     return min(1 << cap_exp, max(4, 1 << ((blen + 1) // 2)))
 
 
+# faiss-standard train-set cap: k-means needs ~O(100) points per
+# centroid to place it; past that, extra train points cost
+# O(points x n_cells) per Lloyd pass and move centroids < 1 ulp of
+# useful signal. faiss's max_points_per_centroid default is 256 —
+# adopted verbatim, so the train term is O(min(|train|, 256*n_cells))
+# whatever the corpus grows to (at 100 TB a 1/16 predicate alone still
+# samples O(N) rows — this cap is what bounds the train-side scan).
+_IVF_TRAIN_PER_CELL = 256
+
+# Capped trains at or under this row count collect to the driver once
+# and run the zero-action local Lloyd (ivf_train_centroids_local, bit-
+# parity pinned): 32768 rows x 64 dims x 8 B = 16 MB on the driver,
+# and the fold-order-pinned numpy Lloyd handles it in well under a
+# second. Past this, Lloyd stays distributed over the (capped) train.
+_IVF_LOCAL_TRAIN_MAX = 32768
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -536,16 +582,47 @@ def ivf_train_centroids(
 ) -> list[list[float]]:
     """Deterministic k-means-lite coarse quantizer: seed centroids are
     the ``n_cells`` lowest-id vectors, refined by ``iters`` Lloyd
-    steps. Each step is one distributed pass: JVM-side cell assignment,
-    then a per-dimension mean via ``posexplode`` + groupBy — shuffle
-    keys are (cell, dim_pos), never the vectors themselves. Centroid
-    components are rounded to 6 decimals so float summation order
-    cannot leak into assignments (same index on every cluster shape).
+    steps over the TRAIN SET = the ``min(|corpus|, 256 * n_cells)``
+    lowest-id rows (the faiss ``max_points_per_centroid`` bound; the
+    oracles mirror it with a ROW_NUMBER-over-vec_id rank cap). When
+    the capped train fits ``_IVF_LOCAL_TRAIN_MAX`` rows it is
+    collected ONCE (a bounded TakeOrdered) and Lloyd runs driver-local
+    with zero further actions — the q212 level-1 device generalized,
+    which is what cut q199's sequential-action floor (r11 verdict ask
+    #5). Otherwise each step is one distributed pass: JVM-side cell
+    assignment, then a per-dimension mean via ``posexplode`` + groupBy
+    — shuffle keys are (cell, dim_pos), never the vectors themselves.
+    Centroid components are rounded to 6 decimals so float summation
+    order cannot leak into assignments, and the local and distributed
+    paths are bit-identical (tests/test_ivf_determinism.py).
 
     Centroids (n_cells x dim floats) are driver-resident by design —
     an IVF coarse quantizer is tiny regardless of corpus size.
     """
-    seeds = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    cap = _IVF_TRAIN_PER_CELL * n_cells
+    probe = min(cap, _IVF_LOCAL_TRAIN_MAX)
+    # ONE bounded action: the lowest (probe+1) ids tell us whether the
+    # capped train is driver-sized without a separate count
+    head = corpus.select(id_col, vec_col).orderBy(id_col).limit(probe + 1).collect()
+    if cap <= _IVF_LOCAL_TRAIN_MAX or len(head) <= probe:
+        rows = [(r[0], [float(x) for x in r[1]]) for r in head[:cap]]
+        return ivf_train_centroids_local(rows, n_cells, iters)
+    # capped train too large for the driver: distributed Lloyd. Apply
+    # the rank cap only when it binds (never at the gate SFs — it
+    # starts binding past ~16.7M vectors for derived capacities); the
+    # orderBy+limit funnel is ONE bounded pass of <= cap rows
+    # (<= 1M x 64 dims = 512 MB through the global limit), then
+    # localCheckpoint truncates lineage so the Lloyd passes iterate
+    # over the materialized train, not the sort
+    work = corpus
+    if corpus.count() > cap:
+        work = (
+            corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(cap)
+            .localCheckpoint(eager=True)
+        )
+    seeds = work.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
     # effective capacity clamps to the seed count when the training
     # subset is smaller than the requested n_cells (a sampled train
@@ -558,7 +635,7 @@ def ivf_train_centroids(
     # real scale the scan is already wide and the shuffle is skipped
     from .dedup import _spread_narrow_scan
 
-    work = _spread_narrow_scan(corpus, id_col)
+    work = _spread_narrow_scan(work, id_col)
     for _ in range(iters):
         assigned = with_assigned_cell(
             work.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),

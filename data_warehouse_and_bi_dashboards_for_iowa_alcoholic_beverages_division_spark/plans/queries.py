@@ -5821,16 +5821,20 @@ def _q67_oracle(
         "list_sum(list_transform(list_zip(q.embedding, v.embedding),"
         " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) / (q.nrm * v.nrm)"
     )
+    from ..operators.similarity import _IVF_TRAIN_PER_CELL
+
     if derived_cells:
         from ..operators.similarity import _IVF_MAX_CELLS_EXP
 
         ladder = " + ".join(f"(CASE WHEN n > {1 << j} THEN 1 ELSE 0 END)" for j in range(44))
-        c0 = f"""params AS (
+        params = f"""params AS (
       SELECT LEAST({1 << _IVF_MAX_CELLS_EXP},
                    GREATEST(4, (CAST(1 AS BIGINT) << ((({ladder}) + 1) // 2)))) AS nc
       FROM (SELECT COUNT(*) AS n FROM embeddings WHERE {derive_pred or train_pred})
     ),
-    c0 AS (
+    """
+        cap_sql = f"{_IVF_TRAIN_PER_CELL} * (SELECT nc FROM params)"
+        c0 = f"""c0 AS (
       SELECT cell, cvec FROM (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -5838,6 +5842,8 @@ def _q67_oracle(
       ) WHERE cell < (SELECT nc FROM params)
     ),"""
     else:
+        params = ""
+        cap_sql = str(_IVF_TRAIN_PER_CELL * 8)
         c0 = f"""c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -5850,7 +5856,14 @@ def _q67_oracle(
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
     ),
-    vt AS MATERIALIZED (SELECT * FROM v WHERE {train_pred}),
+    {params}vt AS MATERIALIZED (
+      -- faiss train cap mirror (similarity._IVF_TRAIN_PER_CELL): the
+      -- train set is the min(|train|, 256*n_cells) LOWEST-ID rows
+      SELECT vec_id, embedding, nrm FROM (
+        SELECT v.*, ROW_NUMBER() OVER (ORDER BY vec_id) AS trn
+        FROM v WHERE {train_pred}
+      ) WHERE trn <= {cap_sql}
+    ),
     {c0}
     {assign("a1", "c0", "vt")},
     {lloyd("a1", "c0", "c1")},
@@ -7985,23 +7998,23 @@ def _q178_oracle(tail: str | None = None) -> str:
     comma) — q209 appends exact/approx/hits CTEs for the recall
     evaluation over the same unrolled pipeline."""
     cos_c = (
-        "list_sum(list_transform(list_zip(v.embedding, {c}.cvec),"
+        "list_sum(list_transform(list_zip({v}.embedding, {c}.cvec),"
         " z -> CAST(z[1] AS DOUBLE) * z[2]))"
-        " / (v.nrm * sqrt(list_sum(list_transform({c}.cvec, x -> x * x))))"
+        " / ({v}.nrm * sqrt(list_sum(list_transform({c}.cvec, x -> x * x))))"
     )
     l2 = (
         "list_sum(list_transform(list_zip({a}, {b}),"
         " z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])))"
     )
 
-    def cos_assign(name: str, cents: str) -> str:
-        scored = floor_round6_sql(cos_c.format(c=cents))
+    def cos_assign(name: str, cents: str, src: str = "v") -> str:
+        scored = floor_round6_sql(cos_c.format(v=src, c=cents))
         return f"""{name} AS (
       SELECT vec_id, cell FROM (
-        SELECT v.vec_id, {cents}.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        SELECT {src}.vec_id, {cents}.cell,
+               ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
                                   ORDER BY {scored} DESC, {cents}.cell DESC) AS rn
-        FROM v, {cents}
+        FROM {src}, {cents}
       ) WHERE rn = 1
     )"""
 
@@ -8009,7 +8022,7 @@ def _q178_oracle(tail: str | None = None) -> str:
         return f"""{new}_m AS (
       SELECT {a}.cell, vec_id, generate_subscripts(v.embedding, 1) AS pos,
              unnest(v.embedding) AS x
-      FROM {a} JOIN v USING (vec_id)
+      FROM {a} JOIN vtr v USING (vec_id)
     ),
     {new}_c AS (
       SELECT cell, list(mn ORDER BY pos) AS cvec FROM (
@@ -8061,22 +8074,31 @@ def _q178_oracle(tail: str | None = None) -> str:
       FROM {prev} LEFT JOIN {new}_c USING (cell)
     )"""
 
-    probe_score = floor_round6_sql(cos_c.format(c="c2"))
+    from ..operators.similarity import _IVF_TRAIN_PER_CELL
+
+    probe_score = floor_round6_sql(cos_c.format(v="v", c="c2"))
     blocks = [
-        """v AS (
+        f"""v AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
+    ),
+    vtr AS MATERIALIZED (
+      -- faiss train cap mirror: the IVF coarse quantizer trains on the
+      -- min(N, 256*8) lowest-id rows (similarity._IVF_TRAIN_PER_CELL)
+      SELECT vec_id, embedding, nrm FROM (
+        SELECT v.*, ROW_NUMBER() OVER (ORDER BY vec_id) AS trn FROM v
+      ) WHERE trn <= {_IVF_TRAIN_PER_CELL * 8}
     ),
     c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
       FROM embeddings ORDER BY vec_id LIMIT 8
     )""",
-        cos_assign("a1", "c0"),
+        cos_assign("a1", "c0", "vtr"),
         cos_lloyd("a1", "c0", "c1"),
-        cos_assign("a2", "c1"),
+        cos_assign("a2", "c1", "vtr"),
         cos_lloyd("a2", "c1", "c2"),
         cos_assign("af", "c2"),
         f"""probes AS (
@@ -11170,7 +11192,7 @@ def _q212_oracle(
     cells. Every tiebreak matches the Spark structs: assignment
     (score DESC, super/cell DESC), probes (score DESC, super/cell
     DESC), neighbors (score DESC, neighbor ASC)."""
-    from ..operators.similarity import _IVF_MAX_CELLS_EXP
+    from ..operators.similarity import _IVF_MAX_CELLS_EXP, _IVF_TRAIN_PER_CELL
 
     # ``train_pred`` restricts SEEDS and Lloyd folds; the inverted
     # lists still cover every vector (q221 passes the incremental
@@ -11267,8 +11289,15 @@ def _q212_oracle(
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
     ),
-    vt AS MATERIALIZED (SELECT * FROM v WHERE {train_pred}),
     params AS ({ladder_expr("embeddings")}),
+    vt AS MATERIALIZED (
+      -- faiss train cap mirror (similarity._IVF_TRAIN_PER_CELL): the
+      -- level-2 train is the min(|train|, 256*nc) LOWEST-ID rows
+      SELECT vec_id, embedding, nrm FROM (
+        SELECT v.*, ROW_NUMBER() OVER (ORDER BY vec_id) AS trn
+        FROM v WHERE {train_pred}
+      ) WHERE trn <= {_IVF_TRAIN_PER_CELL} * (SELECT x FROM params)
+    ),
     c0 AS (
       SELECT cell, cvec FROM (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,

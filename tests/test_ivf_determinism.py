@@ -253,7 +253,7 @@ def test_ivf2_train_every_returned_super_is_routable(spark):
     )
 
 
-def test_local_lloyd_is_bit_identical_to_distributed(spark):
+def test_local_lloyd_is_bit_identical_to_distributed(spark, monkeypatch):
     """ivf_train_centroids_local (the zero-action level-1 train) must
     reproduce the distributed ivf_train_centroids BIT-FOR-BIT over the
     same rows — seeds, argmax tiebreaks, fold order, 6dp floors, and
@@ -271,6 +271,15 @@ def test_local_lloyd_is_bit_identical_to_distributed(spark):
         ivf_train_centroids_local,
         with_assigned_cell,
     )
+
+    # since round 12 ivf_train_centroids silently dispatches small
+    # trains to the LOCAL path — force the distributed branch so this
+    # test keeps comparing two genuinely different implementations
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+        similarity as _sim,
+    )
+
+    monkeypatch.setattr(_sim, "_IVF_LOCAL_TRAIN_MAX", 0)
 
     emb = load_table(spark, SF_DIR, "embeddings")
     l2 = ivf_train_centroids(emb.where("vec_id % 16 = 0"), n_cells=32, iters=2)
@@ -354,3 +363,35 @@ def test_train_clamps_to_seed_count_when_sample_is_tiny(spark):
         (r["vec_id"], [float(x) for x in r["embedding"]]) for r in tiny.collect()
     ]
     assert ivf_train_centroids_local(rows, 16, 2) == cents
+
+
+def test_faiss_train_cap_binds_identically_on_both_paths(spark, monkeypatch):
+    """The round-12 faiss train cap (min(|train|, 256*n_cells)
+    LOWEST-ID rows — _IVF_TRAIN_PER_CELL, shrunk here so it binds at
+    sf0.001): (1) the local path must train on exactly the capped
+    prefix, and (2) the forced-distributed path's orderBy+limit+
+    localCheckpoint funnel must reproduce the local result
+    BIT-FOR-BIT — the oracles mirror the cap with a ROW_NUMBER rank
+    over vec_id, so both engine paths must agree on which rows train
+    and on every fold over them."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+        similarity,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = sorted(
+        (
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.select("vec_id", "embedding").collect()
+        ),
+        key=lambda r: r[0],
+    )
+    assert len(rows) > 64, "cap must bind for this test to mean anything"
+    monkeypatch.setattr(similarity, "_IVF_TRAIN_PER_CELL", 8)  # cap = 64
+    expected = similarity.ivf_train_centroids_local(rows[:64], 8, 2)
+    assert similarity.ivf_train_centroids(emb, n_cells=8, iters=2) == expected
+    # now force the distributed branch: probe collapses to 0 rows, the
+    # count() sees the cap bind, and Lloyd runs over the rank-capped
+    # checkpointed train
+    monkeypatch.setattr(similarity, "_IVF_LOCAL_TRAIN_MAX", 0)
+    assert similarity.ivf_train_centroids(emb, n_cells=8, iters=2) == expected
