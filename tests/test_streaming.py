@@ -847,3 +847,92 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 50
+
+
+def test_streaming_wav_decode_matches_batch(spark, tmp_path):
+    """The q218 RIFF/WAV decode under the same streaming contract as
+    the PPM twin above: drain a parquet stream of rendered WAV payloads
+    availableNow through the UNCHANGED decode stage and require
+    equality with the batch decode — the streaming contract covers
+    every real codec, not just the first one (r11 verdict ask #6)."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        render_wav_from_text,
+        wav_features,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.stream_ops import (
+        run_available_now,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media_dir = str(tmp_path / "wav_media")
+    render_wav_from_text(docs).write.parquet(media_dir)
+
+    media_stream = (
+        spark.readStream.schema("media_id BIGINT, payload BINARY")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(media_dir)
+    )
+    ckpt = str(tmp_path / "ckpt_wav")
+    run_available_now(
+        wav_features(media_stream), ckpt, "wav_feats_out", output_mode="append"
+    )
+    got = {
+        (r["media_id"], r["sample_rate"], r["n_samples"], r["peak"], r["amp_sum"])
+        for r in spark.sql("SELECT * FROM wav_feats_out").collect()
+    }
+    want = {
+        (r["media_id"], r["sample_rate"], r["n_samples"], r["peak"], r["amp_sum"])
+        for r in wav_features(spark.read.parquet(media_dir)).collect()
+    }
+    assert got == want
+    assert len(got) == 50
+
+
+def test_streaming_frame_sample_matches_batch(spark, tmp_path):
+    """The q219 multi-frame container sampler streamed availableNow:
+    the FLAT-MAP decode shape (output batch longer than input — one row
+    per sampled frame) must also hold inside Structured Streaming, so
+    arriving video containers can be frame-sampled with exactly-once
+    semantics. Frame counts vary per doc (len(text) % 4 + 1, every 2nd
+    kept), so row-set equality here also pins the per-header boundary
+    discovery across the micro-batch slicing."""
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.multimodal import (
+        render_ppm_stream_from_text,
+        sample_ppm_frames,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+        load_table,
+    )
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.streaming.stream_ops import (
+        run_available_now,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media_dir = str(tmp_path / "stream_media")
+    render_ppm_stream_from_text(docs).write.parquet(media_dir)
+
+    media_stream = (
+        spark.readStream.schema("media_id BIGINT, payload BINARY")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(media_dir)
+    )
+    ckpt = str(tmp_path / "ckpt_frames")
+    run_available_now(
+        sample_ppm_frames(media_stream, every=2),
+        ckpt,
+        "frame_sample_out",
+        output_mode="append",
+    )
+    got = {
+        (r["media_id"], r["frame_idx"], r["width"], r["height"], r["pixel_sum"])
+        for r in spark.sql("SELECT * FROM frame_sample_out").collect()
+    }
+    want = {
+        (r["media_id"], r["frame_idx"], r["width"], r["height"], r["pixel_sum"])
+        for r in sample_ppm_frames(spark.read.parquet(media_dir), every=2).collect()
+    }
+    assert got == want
+    assert len(got) >= 50  # flat-map: at least one kept frame per doc
