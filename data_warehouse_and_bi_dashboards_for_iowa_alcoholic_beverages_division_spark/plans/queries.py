@@ -145,88 +145,84 @@ def register(name: str, oracle: str | None, description: str = ""):
 # losing SURVEY §2 coverage: every swapped-out query's §2 row is still
 # covered by another window slot (q03→q30 for P10, q09→q25 for O3,
 # q15→q14 for U3, q24→q23/q25-q28 for A5, q49→q20/q28 for F4/#6).
-# Round-11 rotation (the r10 verdict's #3 ask): 25 of round-10's 26
-# swap-ins went driver-green (cumulative distinct driver-checked: 110)
-# and rotate back out; the one red — q100_sequence_packing, a pure
-# oracle-portability miss (DuckDB window-SUM HUGEINT reaching the
-# output un-cast; fixed this round with terminal BIGINT casts and a
-# registry-wide DESCRIBE-based portability invariant) — KEEPS its slot
-# so the fix gets an external hash. The 25 freed slots take the
-# verdict-named never-driver-checked block with zero external hashes:
-# the LLM-pipeline text/curation set q101 q102 q103 q104 q116 q117
-# q118 q128 q134 q138 q148 q149 q155 q165 q189 q191 q192 q194 q197,
-# ANN stragglers q39 q170 q198 q200, and q75/q76 (q76 carries this
-# round's second HUGEINT oracle fix — worth an external hash). q63,
-# q68, q130 defer to r12 (their families have r9/r10 greens: q157/
-# q158 skew, q126 BPE, q188/q202 containment). The round's six NEW
-# queries (real codecs q217/q218/q219, the persisted/incremental
-# hierarchical index pair q220/q221, and the composed multimodal
-# curation q222) ride the window the round they land, per policy.
-# Cumulative if green: 110 → 142.
-# Per-swap §2-family coverage (out → anchor that stays in-window or
-# holds an r9/r10 driver green; out-slots are identical to round 10):
-#   q03 (P10 → q30)          q09 (O3 → q10 top-N per key)
-#   q15 (U3 → q14)           q24/q27 (A5 → q23)
-#   q49/q28 (F4 → q20 passed r2; q122 passed r9)  q18 (P7 → q51)
-#   q11 (W2 → q21; W3 → q43) q32/q33/q31 (text → q34)
-#   q04 (J1 → q05, q23)      q25 (O3/A5 → q23; q91/q143 passed r9)
-#   q26 (rollup → q55 passed r9)  q37 (Jaccard → q188/q202 passed r10)
-#   q40 (near-dup → q190 passed r9)  q41 (events → q66 passed r9)
-#   q42 (F2 → q47)           q44 (pivot → q123 passed r9)
-#   q46 (multimodal → q45)   q52 (gsets → q141/q55 passed r9)
-#   q53 (W → q10, q43)       q38 (ANN → q39/q170/q198/q200 all in;
-#                                 q67/q156/q199/q214 passed r10)
-# q05 (sole J3 left-outer anchor), q06 (sole J4 anti), q07 (sole semi),
-# q08 (sole J7 cross) stay — no other window slot covers those rows.
+# Round-12 rotation (the r11 verdict's asks #1 and #2): all 34 of
+# round-11's window rode to driver-green (cumulative current-registry
+# coverage 141/218), so the whole r11 swap set rotates out. The 50
+# slots are allocated three ways this round:
+#   (a) SOLE ANCHORS stay, as every round: q05 (sole J3 left-outer),
+#       q06 (sole J4 anti), q07 (sole semi), q08 (sole J7 cross) — no
+#       other window slot covers those §2 rows.
+#   (b) STALE-GREEN RE-CHECKS (verdict #2, the recorded
+#       oldest-green-first recheck_policy in BENCH_STATS.json): the
+#       r6-era greens q03 q09 q15 q24 q49, the r7-era q18 q27 q28, and
+#       the r8-era q04 q25 q26 return to the window — the driver
+#       corpus has been regenerated several times since they last held
+#       an external hash. All eleven live in the raw first-50, so they
+#       return simply by NOT being swapped out this round.
+#   (c) FIRST-TIME COVERAGE (verdict #1): the remaining 35 slots take
+#       never-driver-checked queries in the verdict's priority order —
+#       the r11-deferred trio q63 (salted skew join) q68 (BPE token
+#       count) q130 (prefix-filtered similarity self-join); the sketch
+#       family q150 q153 q154 q161 q162 (HLL portable/merge, count-min
+#       heavy hitters, KMV distinct/Jaccard; q56 approx_distinct is
+#       rows-only by design — approx_count_distinct is not
+#       oracle-hashable — so q113 takes its intended slot); the
+#       TPC-H-shaped analytics block q79-q93 q95-q97 q105-q113; and
+#       layout/CDC q119 (z-order) q121 (range join) q124 (CDC
+#       compaction).
+# Every swapped-out name holds an r10 or r11 driver green (34 of the
+# 35 are r11; q16 is r10), so no §2 row loses external evidence.
+# Post-r11 note: the faiss train-cap change (ivf_train_centroids,
+# commit 83c8d5e) does NOT bind at sf0.01 (500-row embeddings → 1/16
+# sample ≪ 256·n_cells), so the IVF family's r10/r11 driver hashes
+# remain valid for the driver SF; the cap and its oracle mirror are
+# gated by the tri-SF local sweep and tests/test_ivf_determinism.py.
+# Cumulative if green: 141 → 176.
 # The ACTIVE window is emitted in every bench run ("driver_window" in
 # BENCH_STATS.json) alongside the cumulative driver_checked_ever list,
 # so externally-reported verification coverage is auditable round over
 # round without reading this file.
 # ---------------------------------------------------------------------
 _WINDOW_SWAPS: list[tuple[str, str]] = [
-    ("q03_distinct", "q101_denylist_scrub"),
-    ("q09_topn_parts", "q102_tfidf_terms"),
-    ("q15_intersect", "q103_domain_mixture"),
-    ("q24_star_month", "q104_domain_caps"),
-    ("q49_date_horizon", "q116_dataset_split"),
-    ("q18_null_fill_geo", "q117_corpus_shards"),
-    ("q28_season", "q118_repetition_filter"),
-    ("q27_kpi_totals", "q128_temperature_sampling"),
-    ("q11_order_gaps", "q134_doc_chunking"),
-    ("q32_text_quality", "q138_weighted_sample"),
-    ("q33_lang_id", "q148_doc_chunks"),
-    ("q04_join_inner_agg", "q149_bigram_coherence"),
-    ("q25_topn_vendors", "q155_bpe_batched"),
-    ("q26_rollup_geo", "q165_boilerplate_ngrams"),
-    ("q31_token_stats", "q170_filtered_ann"),
-    ("q37_ngram_jaccard", "q189_vocab_coverage"),
-    ("q40_embedding_near_dup", "q191_pii_redaction"),
-    ("q41_events_hourly", "q192_repeated_spans"),
-    ("q42_json_props", "q194_fim_transform"),
-    ("q44_pivot", "q197_span_corruption"),
-    ("q46_media_metadata", "q198_ann_recall"),
-    ("q52_grouping_sets", "q200_ivf_occupancy"),
-    ("q53_running_total", "q39_knn_lsh"),
-    # q100 was round-10's one driver-red (oracle HUGEINT, fixed this
-    # round) — it keeps its slot until an external hash confirms the fix
-    ("q38_knn_cosine", "q100_sequence_packing"),
-    ("q13_union", "q75_jaccard_blocked"),
-    # q76's oracle carried the same HUGEINT class (token_budget);
-    # fixed this round, so route it through the window too
-    ("q20_date_dim", "q76_corpus_curation"),
-    # the round's NEW queries ride the window the round they land
-    # (q48's F5, q54's S10/S12, and q29's S8/#3 rows hold r10 driver
-    # greens; SCD stays anchored in-window by q21/q22)
-    ("q48_wkt_point", "q217_ppm_decode"),
-    ("q54_unknown_member", "q218_wav_decode"),
-    ("q29_scd_merge_insert", "q219_ppm_frame_sample"),
-    # (q45's multimodal row is re-anchored by q217/q218/q219, all
-    # in-window; q45 itself holds an r10 driver green)
-    ("q45_media_features", "q220_ivf2_persisted"),
-    # (U3 keeps r10/r6 driver greens via q14/q15 themselves)
-    ("q14_except_all", "q221_ivf2_incremental"),
-    # (A2 keeps its r10 driver green via q16 itself)
-    ("q16_count_distinct", "q222_multimodal_curation"),
+    # r11-deferred trio
+    ("q01_pricing_summary", "q63_salted_join"),
+    ("q02_filter_project", "q68_bpe_tokens"),
+    ("q17_case_bucket", "q130_ssjoin_prefix"),
+    # sketch family
+    ("q19_derived_measures", "q150_hll_portable"),
+    ("q16_count_distinct", "q153_hll_merge"),
+    ("q10_top_orders_per_customer", "q154_countmin_heavy_hitters"),
+    ("q11_order_gaps", "q161_kmv_distinct"),
+    ("q12_watermark", "q162_kmv_jaccard"),
+    # analytics block (TPC-H-shaped dashboards over the warehouse star)
+    ("q13_union", "q79_shipping_priority"),
+    ("q14_except_all", "q80_local_supplier_volume"),
+    ("q20_date_dim", "q81_returned_items"),
+    ("q23_star_weekday", "q82_order_priority"),
+    ("q21_scd_build", "q83_disjunctive_filter"),
+    ("q22_scd_as_of", "q86_funnel"),
+    ("q29_scd_merge_insert", "q87_retention_cohorts"),
+    ("q30_dedup_exact", "q88_customer_distribution"),
+    ("q31_token_stats", "q89_small_quantity_revenue"),
+    ("q32_text_quality", "q90_large_orders"),
+    ("q33_lang_id", "q92_balance_opportunity"),
+    ("q34_fingerprint", "q93_waiting_suppliers"),
+    ("q37_ngram_jaccard", "q95_label_centroids"),
+    ("q38_knn_cosine", "q96_segment_percentiles"),
+    ("q40_embedding_near_dup", "q97_dense_ids"),
+    ("q41_events_hourly", "q105_embedding_quantize"),
+    ("q42_json_props", "q106_forecast_revenue"),
+    ("q43_sessionization", "q107_volume_shipping"),
+    ("q44_pivot", "q108_market_share"),
+    ("q45_media_features", "q109_promo_effect"),
+    ("q46_media_metadata", "q110_min_cost_supplier"),
+    ("q47_degenerate_invoice", "q111_product_type_profit"),
+    ("q48_wkt_point", "q112_shipping_modes"),
+    ("q51_null_repair", "q113_important_parts"),
+    # layout / CDC
+    ("q52_grouping_sets", "q119_zorder_curve"),
+    ("q53_running_total", "q121_range_join"),
+    ("q54_unknown_member", "q124_cdc_compaction"),
 ]
 
 
