@@ -170,8 +170,15 @@ def register(name: str, oracle: str | None, description: str = ""):
 #       TPC-H-shaped analytics block q79-q93 q95-q97 q105-q113; and
 #       layout/CDC q119 (z-order) q121 (range join) q124 (CDC
 #       compaction).
-# Every swapped-out name holds an r10 or r11 driver green (34 of the
-# 35 are r11; q16 is r10), so no §2 row loses external evidence.
+# Every swapped-out name holds a driver green (so no §2 row loses
+# external evidence), but NOT all are fresh: 17 are r10/r11 greens,
+# while the rest were already out-of-window in r11 and keep their
+# older hashes — q11 q32 q33 (r7), q31 q37 q38 q40 q41 q42 q44 q46
+# q52 q53 (r8), q13 q20 (r9). Those 15 are the head of the
+# oldest-green-first re-check queue for r13, after (or interleaved
+# with) the 42 remaining never-checked names — the verdict's #1/#2
+# priority order put first-time coverage and the r6-era re-checks
+# ahead of them this round; 50 slots cannot hold all three sets.
 # Post-r11 note: the faiss train-cap change (ivf_train_centroids,
 # commit 83c8d5e) does NOT bind at sf0.01 (500-row embeddings → 1/16
 # sample ≪ 256·n_cells), so the IVF family's r10/r11 driver hashes
