@@ -155,10 +155,15 @@ def register(name: str, oracle: str | None, description: str = ""):
 #   (b) STALE-GREEN RE-CHECKS (verdict #2, the recorded
 #       oldest-green-first recheck_policy in BENCH_STATS.json): the
 #       r6-era greens q03 q09 q15 q24 q49, the r7-era q18 q27 q28, and
-#       the r8-era q04 q25 q26 return to the window — the driver
-#       corpus has been regenerated several times since they last held
-#       an external hash. All eleven live in the raw first-50, so they
-#       return simply by NOT being swapped out this round.
+#       the r8-era q25 q26 return to the window — the driver corpus
+#       has been regenerated several times since they last held an
+#       external hash. All ten live in the raw first-50, so they
+#       return simply by NOT being swapped out this round. (q04, the
+#       eleventh verdict-named re-check, yields its slot to the
+#       round's one NEW query q223 — new queries ride the window the
+#       round they land, and q04's J1 row stays anchored by the
+#       in-window q05/q23-green family; its r8 re-check heads the r13
+#       queue with the other r7-r9 holdovers below.)
 #   (c) FIRST-TIME COVERAGE (verdict #1): the remaining 35 slots take
 #       never-driver-checked queries in the verdict's priority order —
 #       the r11-deferred trio q63 (salted skew join) q68 (BPE token
@@ -184,7 +189,7 @@ def register(name: str, oracle: str | None, description: str = ""):
 # sample ≪ 256·n_cells), so the IVF family's r10/r11 driver hashes
 # remain valid for the driver SF; the cap and its oracle mirror are
 # gated by the tri-SF local sweep and tests/test_ivf_determinism.py.
-# Cumulative if green: 141 → 176.
+# Cumulative if green: 141 → 177 (36 first-timers incl. q223).
 # The ACTIVE window is emitted in every bench run ("driver_window" in
 # BENCH_STATS.json) alongside the cumulative driver_checked_ever list,
 # so externally-reported verification coverage is auditable round over
@@ -230,6 +235,8 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("q52_grouping_sets", "q119_zorder_curve"),
     ("q53_running_total", "q121_range_join"),
     ("q54_unknown_member", "q124_cdc_compaction"),
+    # the round's NEW query rides the window the round it lands
+    ("q04_join_inner_agg", "q223_ivf_cell_split"),
 ]
 
 
@@ -10176,6 +10183,218 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_round6(mx * ncells / total).alias("skew_factor"),
         (mx * ncells > F.lit(2.0) * total).alias("needs_rebalance"),
     ).orderBy("cell")
+
+
+def _q223_oracle() -> str:
+    """DuckDB twin of the hot-cell split: q67's unrolled-train CTEs
+    (``af`` assignments, ``v`` norms) feed a deterministic 2-seed
+    farthest-point partition of every over-mean cell. All float
+    comparisons go through the 6dp floor (seed-b argmin, nearer-seed
+    assignment) with vec_id tiebreaks, so the split is bit-identical
+    cross-engine; the hot predicate is integer-exact (n * n_cells >
+    total — no float mean). The nested WITH rides inside a subquery
+    because ``final_select`` splices after the q67 CTE list."""
+    pair = (
+        "list_sum(list_transform(list_zip({m}.embedding, {s}_vec),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+        " / ({m}.nrm * {s}_nrm)"
+    )
+    cos_a = floor_round6_sql(pair.format(m="m", s="a"))
+    cos_b = floor_round6_sql(pair.format(m="d", s="b"))
+    split = f"""SELECT * FROM (
+      WITH occ AS (SELECT cell, COUNT(*) AS n FROM af GROUP BY cell),
+      tot AS (SELECT SUM(n) AS total, COUNT(*) AS ncells FROM occ),
+      hot AS (SELECT cell FROM occ, tot WHERE n * ncells > total),
+      members AS (
+        SELECT af.cell, v.vec_id, v.embedding, v.nrm
+        FROM af JOIN hot USING (cell) JOIN v USING (vec_id)
+      ),
+      sa AS (
+        SELECT s.cell, v.embedding AS a_vec, v.nrm AS a_nrm
+        FROM (SELECT cell, MIN(vec_id) AS a_id FROM members GROUP BY cell) s
+        JOIN v ON v.vec_id = s.a_id
+      ),
+      d AS (
+        SELECT m.cell, m.vec_id, m.embedding, m.nrm, {cos_a} AS cos_a
+        FROM members m JOIN sa USING (cell)
+      ),
+      sb AS (
+        SELECT b.cell, v.embedding AS b_vec, v.nrm AS b_nrm
+        FROM (
+          SELECT cell, vec_id FROM (
+            SELECT cell, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                                      ORDER BY cos_a ASC, vec_id ASC) AS rn
+            FROM d
+          ) WHERE rn = 1
+        ) b JOIN v ON v.vec_id = b.vec_id
+      ),
+      halves AS (
+        SELECT d.cell,
+               CASE WHEN d.cos_a >= {cos_b} THEN 'a' ELSE 'b' END AS sub
+        FROM d JOIN sb USING (cell)
+      ),
+      newocc AS (
+        SELECT CAST(cell AS VARCHAR) || '/' || sub AS new_cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS was_split
+        FROM halves GROUP BY cell, sub
+        UNION ALL
+        SELECT CAST(occ.cell AS VARCHAR), CAST(occ.n AS BIGINT), FALSE
+        FROM occ ANTI JOIN hot USING (cell)
+      )
+      SELECT new_cell, n_vectors, was_split,
+             {floor_round6_sql(
+                 "CAST(n_vectors AS DOUBLE)"
+                 " / CAST(SUM(n_vectors) OVER () AS DOUBLE)"
+             )} AS share,
+             {floor_round6_sql(
+                 "CAST(MAX(n_vectors) OVER () AS DOUBLE)"
+                 " * CAST(COUNT(*) OVER () AS DOUBLE)"
+                 " / CAST(SUM(n_vectors) OVER () AS DOUBLE)"
+             )} AS skew_factor_after
+      FROM newocc
+    ) ORDER BY new_cell"""
+    return _q67_oracle(final_select=split)
+
+
+@register(
+    "q223_ivf_cell_split",
+    _q223_oracle(),
+    "IVF hot-cell split - the index REPAIR that q200's needs_rebalance "
+    "flag triggers, completing the lifecycle (build q67 -> persist "
+    "q156/q220 -> append q199/q221 -> audit q200 -> repair here) "
+    "without the full retrain: every over-mean cell (integer-exact "
+    "predicate n * n_cells > total, no float threshold) is split by a "
+    "deterministic 2-seed farthest-point partition - seed A is the "
+    "cell's lowest vec_id, seed B its farthest member by 6dp-rounded "
+    "cosine (vec_id tiebreak), members join the nearer seed (ties to "
+    "A) - the one-pass analog of faiss's re-train-on-imbalance, "
+    "oracle-expressible because it needs no Lloyd iteration. Scale "
+    "shape: cold cells never move (their inverted-list files are "
+    "untouched at 100 TB - only hot partitions rewrite), seeds are "
+    "<= 2 x n_cells broadcast rows, and the member pass is one "
+    "filtered map-only scan (two dots + a norm per row, no shuffle); "
+    "the output is the post-split occupancy table with the new skew "
+    "factor, which feeds back into q200's audit",
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    # eager persist (q202's device): the assignment pass feeds THREE
+    # consumers (occupancy, the member restriction, and — through d —
+    # both split passes); un-cached, each re-runs the interpreted
+    # argmax fold over the whole corpus (measured at sf10: 46.7 s
+    # un-persisted vs one materialized pass)
+    assigned = _persist(
+        emb.select(
+            "vec_id",
+            "embedding",
+            similarity._argmax_cell_expr("embedding", centroids).alias("cell"),
+        ),
+        eager=True,
+    )
+    w = Window.partitionBy()  # bounded: n_cells rows
+    occ = (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "cell",
+            "n",
+            F.sum("n").over(w).alias("total"),
+            F.count("*").over(w).alias("ncells"),
+        )
+    )
+    hot = occ.where(F.col("n") * F.col("ncells") > F.col("total")).select("cell")
+    cold = (
+        occ.join(hot, "cell", "left_anti")
+        .select(
+            F.col("cell").cast("string").alias("new_cell"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.lit(False).alias("was_split"),
+        )
+    )
+    members = assigned.join(F.broadcast(hot), "cell").withColumn(
+        "nrm", similarity.norm_expr(F.col("embedding"))
+    )
+    sa = (
+        members.groupBy("cell")
+        .agg(F.min("vec_id").alias("a_id"))
+        .join(
+            emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")),
+            "a_id",
+        )
+        .select(
+            "cell", "a_vec", similarity.norm_expr(F.col("a_vec")).alias("a_nrm")
+        )
+    )
+    # persisted for the same reason: d feeds the seed-b argmin AND the
+    # final half-assignment — one cos_a pass, not two
+    d = _persist(
+        members.join(F.broadcast(sa), "cell").select(
+            "cell",
+            "vec_id",
+            "embedding",
+            "nrm",
+            floor_round6(
+                similarity.dot_expr(F.col("embedding"), F.col("a_vec"))
+                / (F.col("nrm") * F.col("a_nrm"))
+            ).alias("cos_a"),
+        ),
+        eager=True,
+    )
+    sb = (
+        d.groupBy("cell")
+        # min(struct) = lowest rounded cosine (farthest), vec_id tiebreak
+        .agg(F.min(F.struct("cos_a", "vec_id")).alias("m"))
+        .select("cell", F.col("m.vec_id").alias("b_id"))
+        .join(
+            emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")),
+            "b_id",
+        )
+        .select(
+            "cell", "b_vec", similarity.norm_expr(F.col("b_vec")).alias("b_nrm")
+        )
+    )
+    halves = d.join(F.broadcast(sb), "cell").select(
+        "cell",
+        F.when(
+            F.col("cos_a")
+            >= floor_round6(
+                similarity.dot_expr(F.col("embedding"), F.col("b_vec"))
+                / (F.col("nrm") * F.col("b_nrm"))
+            ),
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("sub"),
+    )
+    split_occ = (
+        halves.groupBy("cell", "sub")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .select(
+            F.concat(F.col("cell").cast("string"), F.lit("/"), F.col("sub")).alias(
+                "new_cell"
+            ),
+            "n_vectors",
+            F.lit(True).alias("was_split"),
+        )
+    )
+    out = cold.unionByName(split_occ)
+    w2 = Window.partitionBy()  # bounded: <= 2 x n_cells rows
+    return out.select(
+        "new_cell",
+        "n_vectors",
+        "was_split",
+        floor_round6(
+            F.col("n_vectors").cast("double")
+            / F.sum("n_vectors").over(w2).cast("double")
+        ).alias("share"),
+        floor_round6(
+            F.max("n_vectors").over(w2).cast("double")
+            * F.count("*").over(w2).cast("double")
+            / F.sum("n_vectors").over(w2).cast("double")
+        ).alias("skew_factor_after"),
+    ).orderBy("new_cell")
 
 
 def _q201_oracle(n_iter: int = 3) -> str:

@@ -1016,6 +1016,8 @@ UNPARTITIONED_WINDOW_CARRIERS = {
     "q176_zipf_fit": "rank over the vocabulary table (vocab-bounded)",
     "q91_top_supplier": "scalar MAX window over the small aggregate",
     "q200_ivf_occupancy": "shares/skew over the n_cells-row cell table",
+    "q223_ivf_cell_split": "hot predicate + post-split shares/skew over "
+    "the n_cells-row occupancy table and the <= 2 x n_cells split table",
 }
 
 
