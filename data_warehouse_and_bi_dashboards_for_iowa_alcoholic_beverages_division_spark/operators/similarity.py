@@ -1383,6 +1383,184 @@ def query_ivf_index(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """In-place hot-cell split of a persisted IVF index — the
+    production form of the q223 plan-level split, and the repair step
+    q200's ``needs_rebalance`` audit triggers without a full retrain.
+
+    Every over-mean cell (integer-exact predicate ``n * n_cells >
+    total``) is split by the deterministic 2-seed farthest-point rule
+    (seed A = lowest id, seed B = farthest member by 6dp-rounded
+    cosine with id tiebreak, members join the nearer seed, ties to A).
+    The 'a' half keeps the old cell id; each non-empty 'b' half gets a
+    fresh id above the current max. Both halves' centroids are
+    recomputed as the order-pinned per-dimension member mean
+    (``_lloyd_dim_means`` — the Lloyd-step fold), so probing quality
+    reflects the new boundaries; the sidecar is rewritten to match.
+
+    Scale contract (what makes this cheap at 100 TB):
+
+    - occupancy is one column-pruned pass collecting n_cells rows;
+    - ONLY hot cells' partitions are read (partition-pruned scan) and
+      ONLY hot + new partitions are rewritten (dynamic partition
+      overwrite) — cold cells' inverted-list files are never touched;
+    - seeds are <= 2 x n_cells broadcast rows; the member table is
+      localCheckpointed once and feeds the split, the centroid means,
+      and the rewrite without re-reading the files being replaced.
+
+    Returns a stats dict (hot cells, cell counts, max occupancy
+    before/after). No-op (nothing written) when no cell is over-mean.
+    """
+    idx = spark.read.parquet(path)
+    occ = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = {int(r["cell"]): int(r["n"]) for r in occ}
+    total, ncells = sum(counts.values()), len(counts)
+    hot = sorted(c for c, n in counts.items() if n * ncells > total)
+    stats = {
+        "hot_cells": hot,
+        "n_cells_before": ncells,
+        "max_before": max(counts.values(), default=0),
+    }
+    if not hot:
+        stats.update(n_cells_after=ncells, max_after=stats["max_before"])
+        return stats
+
+    members = (
+        idx.where(F.col("cell").isin(hot))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm_expr(F.col(vec_col)).alias("nrm"),
+        )
+        # materialized once: feeds the seed lookups, the split, the
+        # centroid means, and the rewrite — and breaks lineage to the
+        # files the dynamic overwrite below will replace
+        .localCheckpoint(eager=True)
+    )
+    sa = (
+        members.groupBy("cell")
+        .agg(F.min("id").alias("a_id"))
+        .join(
+            members.select(
+                F.col("id").alias("a_id"),
+                F.col("v").alias("a_vec"),
+                F.col("nrm").alias("a_nrm"),
+            ),
+            "a_id",
+        )
+        .select("cell", "a_vec", "a_nrm")
+    )
+    d = (
+        members.join(F.broadcast(sa), "cell")
+        .select(
+            "cell",
+            "id",
+            "v",
+            "nrm",
+            floor_round6(
+                dot_expr(F.col("v"), F.col("a_vec")) / (F.col("nrm") * F.col("a_nrm"))
+            ).alias("cos_a"),
+        )
+        .localCheckpoint(eager=True)  # consumed by seed-b argmin AND assignment
+    )
+    sb = (
+        d.groupBy("cell")
+        .agg(F.min(F.struct("cos_a", "id")).alias("m"))
+        .select("cell", F.col("m.id").alias("b_id"))
+        .join(
+            members.select(
+                F.col("id").alias("b_id"),
+                F.col("v").alias("b_vec"),
+                F.col("nrm").alias("b_nrm"),
+            ),
+            "b_id",
+        )
+        .select("cell", "b_vec", "b_nrm")
+    )
+    halves = d.join(F.broadcast(sb), "cell").select(
+        "cell",
+        "id",
+        "v",
+        F.when(
+            F.col("cos_a")
+            >= floor_round6(
+                dot_expr(F.col("v"), F.col("b_vec")) / (F.col("nrm") * F.col("b_nrm"))
+            ),
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("sub"),
+    )
+    # fresh ids above the current max for every non-empty 'b' half
+    # (a single-member or all-tied hot cell yields no 'b' rows and
+    # allocates no id)
+    b_cells = sorted(
+        int(r["cell"])
+        for r in halves.where(F.col("sub") == "b").select("cell").distinct().collect()
+    )
+    base = max(counts) + 1
+    new_id = {c: base + i for i, c in enumerate(b_cells)}
+    mapping = F.create_map(*[F.lit(x) for c in b_cells for x in (c, new_id[c])])
+    relabeled = halves.select(
+        F.when(F.col("sub") == "b", mapping[F.col("cell")])
+        .otherwise(F.col("cell"))
+        .alias("cell"),
+        "id",
+        "v",
+    ).localCheckpoint(eager=True)
+
+    # order-pinned per-dimension means for BOTH halves (the Lloyd fold)
+    means = _lloyd_dim_means(relabeled.select("id", "cell", "v"))
+    split_cents = {
+        int(r["cell"]): [
+            math.floor(float(dd["m"]) * 1000000 + 0.5) / 1000000.0 for dd in r["dims"]
+        ]
+        for r in means
+    }
+    old = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    sidecar = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in old}
+    sidecar.update(split_cents)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            relabeled.select(
+                F.col("id").alias(id_col), F.col("v").alias(vec_col), "cell"
+            )
+            # ~one file per rewritten cell (the q220 tasks x cells lesson)
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    spark.createDataFrame(
+        sorted(sidecar.items()), "cell INT, centroid ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(path + "_centroids")
+
+    after = {
+        int(r["cell"]): int(r["n"])
+        for r in relabeled.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    stats.update(
+        n_cells_after=ncells + len(b_cells),
+        max_after=max(
+            [n for c, n in counts.items() if c not in hot] + list(after.values()),
+            default=0,
+        ),
+        new_cells=sorted(new_id.values()),
+    )
+    return stats
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -1,0 +1,133 @@
+"""rebalance_ivf_index: in-place hot-cell split of a persisted IVF
+index (the q223 split applied to the on-disk layout).
+
+Pins the scale contract, not just the arithmetic: cold cells' files
+must be byte-identical after the repair (only hot + new partitions
+rewrite), row/id sets are preserved, the sidecar matches the new
+partition set, and the index stays queryable."""
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+    build_ivf_index,
+    query_ivf_index,
+    rebalance_ivf_index,
+)
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.sources.tables import (
+    load_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _occupancy(spark, path):
+    return {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def _cell_files(path, cell):
+    return {
+        os.path.basename(f): os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, f"cell={cell}", "*.parquet"))
+    }
+
+
+def test_rebalance_splits_hot_cells_and_leaves_cold_files_untouched(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, n_cells=8, iters=2)
+
+    occ_before = _occupancy(spark, path)
+    total, ncells = sum(occ_before.values()), len(occ_before)
+    hot = {c for c, n in occ_before.items() if n * ncells > total}
+    cold = set(occ_before) - hot
+    assert hot, "fixture must have at least one over-mean cell"
+    ids_before = {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    cold_files_before = {c: _cell_files(path, c) for c in cold}
+
+    stats = rebalance_ivf_index(spark, path)
+
+    assert sorted(stats["hot_cells"]) == sorted(hot)
+    occ_after = _occupancy(spark, path)
+    # row conservation: the split moves vectors, never drops or copies
+    assert sum(occ_after.values()) == total
+    ids_after = {
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    assert ids_after == ids_before
+    # every hot cell's 'a' half keeps its id; cold cells keep theirs
+    assert set(occ_after) >= set(occ_before)
+    # max occupancy cannot grow (split only subdivides)
+    assert max(occ_after.values()) <= max(occ_before.values())
+    assert stats["max_after"] == max(occ_after.values())
+    assert stats["n_cells_after"] == len(occ_after)
+    # cold partitions: byte-identical file inventory (never rewritten)
+    for c in cold:
+        assert _cell_files(path, c) == cold_files_before[c], (
+            f"cold cell {c} was rewritten"
+        )
+    # sidecar matches the new partition set exactly
+    cents = spark.read.parquet(path + "_centroids").collect()
+    assert {int(r["cell"]) for r in cents} == set(occ_after)
+    assert all(len(r["centroid"]) == 64 for r in cents)
+    # the repaired index is still queryable with full k per query
+    res = query_ivf_index(emb.where("vec_id < 3"), path, k=5, n_probe=3)
+    per_query = {
+        r["query_id"]: r["n"]
+        for r in res.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_query == {0: 5, 1: 5, 2: 5}
+
+
+def test_rebalance_is_deterministic(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    p1, p2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_ivf_index(emb, p1, n_cells=8, iters=2)
+    build_ivf_index(emb, p2, n_cells=8, iters=2)
+    s1 = rebalance_ivf_index(spark, p1)
+    s2 = rebalance_ivf_index(spark, p2)
+    assert s1 == s2
+    rows1 = sorted(
+        (int(r["cell"]), int(r["vec_id"]))
+        for r in spark.read.parquet(p1).select("cell", "vec_id").collect()
+    )
+    rows2 = sorted(
+        (int(r["cell"]), int(r["vec_id"]))
+        for r in spark.read.parquet(p2).select("cell", "vec_id").collect()
+    )
+    assert rows1 == rows2
+    c1 = sorted(
+        (int(r["cell"]), tuple(r["centroid"]))
+        for r in spark.read.parquet(p1 + "_centroids").collect()
+    )
+    c2 = sorted(
+        (int(r["cell"]), tuple(r["centroid"]))
+        for r in spark.read.parquet(p2 + "_centroids").collect()
+    )
+    assert c1 == c2
+
+
+def test_rebalance_noop_on_uniform_occupancy(spark, tmp_path):
+    # 8 vectors -> 8 cells of exactly one member each: no cell is
+    # over-mean, so the repair must write NOTHING
+    emb = load_table(spark, SF_DIR, "embeddings").where("vec_id < 8")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, n_cells=8, iters=2)
+    occ = _occupancy(spark, path)
+    assert all(n == 1 for n in occ.values()), "fixture must be uniform"
+    files_before = {c: _cell_files(path, c) for c in occ}
+    stats = rebalance_ivf_index(spark, path)
+    assert stats["hot_cells"] == []
+    assert stats["n_cells_after"] == stats["n_cells_before"]
+    for c in occ:
+        assert _cell_files(path, c) == files_before[c]
