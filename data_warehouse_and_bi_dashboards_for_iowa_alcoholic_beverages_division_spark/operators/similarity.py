@@ -1506,14 +1506,19 @@ def rebalance_ivf_index(
     )
     base = max(counts) + 1
     new_id = {c: base + i for i, c in enumerate(b_cells)}
-    mapping = F.create_map(*[F.lit(x) for c in b_cells for x in (c, new_id[c])])
-    relabeled = halves.select(
-        F.when(F.col("sub") == "b", mapping[F.col("cell")])
-        .otherwise(F.col("cell"))
-        .alias("cell"),
-        "id",
-        "v",
-    ).localCheckpoint(eager=True)
+    if b_cells:
+        mapping = F.create_map(*[F.lit(x) for c in b_cells for x in (c, new_id[c])])
+        cell_out = (
+            F.when(F.col("sub") == "b", mapping[F.col("cell")])
+            .otherwise(F.col("cell"))
+            .alias("cell")
+        )
+    else:
+        # every hot cell tied entirely to seed A (e.g. all-identical
+        # members): nothing relabels, but the halves' centroids still
+        # recompute to the member means below
+        cell_out = F.col("cell").alias("cell")
+    relabeled = halves.select(cell_out, "id", "v").localCheckpoint(eager=True)
 
     # order-pinned per-dimension means for BOTH halves (the Lloyd fold)
     means = _lloyd_dim_means(relabeled.select("id", "cell", "v"))
@@ -1527,6 +1532,16 @@ def rebalance_ivf_index(
     sidecar = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in old}
     sidecar.update(split_cents)
 
+    # Sidecar FIRST, data second. A crash between the two then leaves
+    # centroids for cells that hold no data yet — queries probe an
+    # empty partition, harmless — and a re-run recomputes the identical
+    # split from the (unchanged) data and converges. The reverse order
+    # would strand the 'b' halves unreachable (rows in partitions no
+    # centroid ever probes) with no self-healing re-run: occupancy
+    # would read the new layout while the sidecar lags it.
+    spark.createDataFrame(
+        sorted(sidecar.items()), "cell INT, centroid ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(path + "_centroids")
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -1542,9 +1557,6 @@ def rebalance_ivf_index(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    spark.createDataFrame(
-        sorted(sidecar.items()), "cell INT, centroid ARRAY<DOUBLE>"
-    ).write.mode("overwrite").parquet(path + "_centroids")
 
     after = {
         int(r["cell"]): int(r["n"])
