@@ -297,6 +297,19 @@ def ivf_train_centroids_local(
     for p in range(dim):
         nv += V[:, p] * V[:, p]
     nv = np.sqrt(nv)
+    # fail LOUD on zero-norm vectors (the scalar predecessor raised
+    # ZeroDivisionError here): silently continuing would put NaN
+    # scores in play, and NaN ordering DIVERGES across the three
+    # engines (numpy `>=` never updates, Spark struct array_max ranks
+    # NaN above every double, DuckDB 0/0 is NULL and sorts last) — a
+    # cross-engine hash break the corpus contract is supposed to
+    # exclude, surfaced here as an error instead of corrupt centroids
+    if not nv.all():
+        bad = [rows[i][0] for i in np.flatnonzero(nv == 0.0)[:5]]
+        raise ValueError(
+            f"zero-norm vector(s) in IVF train (ids {bad}): cosine "
+            "assignment is undefined — filter them before indexing"
+        )
     for _ in range(iters):
         best_s = np.full(n, -np.inf)
         best_i = np.zeros(n, dtype=np.int64)
@@ -608,14 +621,19 @@ def ivf_train_centroids(
         rows = [(r[0], [float(x) for x in r[1]]) for r in head[:cap]]
         return ivf_train_centroids_local(rows, n_cells, iters)
     # capped train too large for the driver: distributed Lloyd. Apply
-    # the rank cap only when it binds (never at the gate SFs — it
-    # starts binding past ~16.7M vectors for derived capacities); the
-    # orderBy+limit funnel is ONE bounded pass of <= cap rows
-    # (<= 1M x 64 dims = 512 MB through the global limit), then
+    # the rank cap only when it binds — never at the gate SFs; for
+    # SAMPLED trains (q211/q212-family, 1/16) it starts binding past
+    # ~16.7M corpus vectors, but an UNSAMPLED derived-capacity train
+    # (q208's shape) binds from ~131k vectors (N > 256 * n_cells(N)),
+    # i.e. already at sf10. The existence probe is limit(cap+1) — a
+    # bounded early-stopping action, NOT corpus.count(): a full count
+    # is an O(N) scan at 100 TB spent only to learn "more than cap".
+    # The orderBy+limit funnel is then ONE bounded pass of <= cap rows
+    # (<= 1M x 64 dims = 512 MB through the global limit), and
     # localCheckpoint truncates lineage so the Lloyd passes iterate
     # over the materialized train, not the sort
     work = corpus
-    if corpus.count() > cap:
+    if corpus.limit(cap + 1).count() > cap:
         work = (
             corpus.select(id_col, vec_col)
             .orderBy(id_col)
@@ -1383,6 +1401,75 @@ def query_ivf_index(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def split_hot_cells(members: DataFrame, materialize=None) -> DataFrame:
+    """The deterministic 2-seed farthest-point split shared by the
+    oracle-checked plan (q223_ivf_cell_split) and the persisted repair
+    (:func:`rebalance_ivf_index`) — ONE implementation so the seed
+    rules, the ``min(struct(cos_a, id))`` argmin, the ``>=`` tie-to-A
+    assignment, and the 6dp flooring can never de-synchronize between
+    the plan the driver value-checks and the repair it validates.
+
+    ``members``: (cell, id, v, nrm) rows of the hot cells only.
+    Returns (cell, id, v, sub) with sub in ('a', 'b'): seed A is the
+    cell's lowest id, seed B its farthest member by 6dp-rounded cosine
+    (id tiebreak), members join the nearer seed with ties to A.
+    ``materialize`` (optional) is applied to the cos_a member table,
+    which feeds BOTH the seed-B argmin and the final assignment — pass
+    an eager persist/checkpoint hook so that pass runs once."""
+    sa = (
+        members.groupBy("cell")
+        .agg(F.min("id").alias("a_id"))
+        .join(
+            members.select(
+                F.col("id").alias("a_id"),
+                F.col("v").alias("a_vec"),
+                F.col("nrm").alias("a_nrm"),
+            ),
+            "a_id",
+        )
+        .select("cell", "a_vec", "a_nrm")
+    )
+    d = members.join(F.broadcast(sa), "cell").select(
+        "cell",
+        "id",
+        "v",
+        "nrm",
+        floor_round6(
+            dot_expr(F.col("v"), F.col("a_vec")) / (F.col("nrm") * F.col("a_nrm"))
+        ).alias("cos_a"),
+    )
+    if materialize is not None:
+        d = materialize(d)
+    sb = (
+        d.groupBy("cell")
+        .agg(F.min(F.struct("cos_a", "id")).alias("m"))
+        .select("cell", F.col("m.id").alias("b_id"))
+        .join(
+            members.select(
+                F.col("id").alias("b_id"),
+                F.col("v").alias("b_vec"),
+                F.col("nrm").alias("b_nrm"),
+            ),
+            "b_id",
+        )
+        .select("cell", "b_vec", "b_nrm")
+    )
+    return d.join(F.broadcast(sb), "cell").select(
+        "cell",
+        "id",
+        "v",
+        F.when(
+            F.col("cos_a")
+            >= floor_round6(
+                dot_expr(F.col("v"), F.col("b_vec")) / (F.col("nrm") * F.col("b_nrm"))
+            ),
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("sub"),
+    )
+
+
 def rebalance_ivf_index(
     spark,
     path: str,
@@ -1415,6 +1502,20 @@ def rebalance_ivf_index(
 
     Returns a stats dict (hot cells, cell counts, max occupancy
     before/after). No-op (nothing written) when no cell is over-mean.
+
+    Crash windows (same honesty contract as ``append_to_ivf_index``):
+    the sidecar is written BEFORE the data, so a crash between the two
+    leaves centroids that probe a not-yet-rewritten partition —
+    queries stay correct on the old rows, and a re-run recomputes the
+    identical split from the unchanged data and converges. What this
+    function does NOT protect against is a crash DURING the dynamic
+    partition overwrite's job commit itself: Hive-style overwrite
+    deletes a hot cell's old directory before moving the staged files
+    in, so a driver kill inside that commit can lose the cell's rows
+    with no self-healing re-run. At production scale run the repair
+    under an orchestrator retry with the index snapshotted (or on a
+    transactional table format — Delta/Iceberg commit atomically);
+    this parquet layout keeps the window small but cannot close it.
     """
     idx = spark.read.parquet(path)
     occ = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -1427,7 +1528,9 @@ def rebalance_ivf_index(
         "max_before": max(counts.values(), default=0),
     }
     if not hot:
-        stats.update(n_cells_after=ncells, max_after=stats["max_before"])
+        stats.update(
+            n_cells_after=ncells, max_after=stats["max_before"], new_cells=[]
+        )
         return stats
 
     members = (
@@ -1443,59 +1546,8 @@ def rebalance_ivf_index(
         # files the dynamic overwrite below will replace
         .localCheckpoint(eager=True)
     )
-    sa = (
-        members.groupBy("cell")
-        .agg(F.min("id").alias("a_id"))
-        .join(
-            members.select(
-                F.col("id").alias("a_id"),
-                F.col("v").alias("a_vec"),
-                F.col("nrm").alias("a_nrm"),
-            ),
-            "a_id",
-        )
-        .select("cell", "a_vec", "a_nrm")
-    )
-    d = (
-        members.join(F.broadcast(sa), "cell")
-        .select(
-            "cell",
-            "id",
-            "v",
-            "nrm",
-            floor_round6(
-                dot_expr(F.col("v"), F.col("a_vec")) / (F.col("nrm") * F.col("a_nrm"))
-            ).alias("cos_a"),
-        )
-        .localCheckpoint(eager=True)  # consumed by seed-b argmin AND assignment
-    )
-    sb = (
-        d.groupBy("cell")
-        .agg(F.min(F.struct("cos_a", "id")).alias("m"))
-        .select("cell", F.col("m.id").alias("b_id"))
-        .join(
-            members.select(
-                F.col("id").alias("b_id"),
-                F.col("v").alias("b_vec"),
-                F.col("nrm").alias("b_nrm"),
-            ),
-            "b_id",
-        )
-        .select("cell", "b_vec", "b_nrm")
-    )
-    halves = d.join(F.broadcast(sb), "cell").select(
-        "cell",
-        "id",
-        "v",
-        F.when(
-            F.col("cos_a")
-            >= floor_round6(
-                dot_expr(F.col("v"), F.col("b_vec")) / (F.col("nrm") * F.col("b_nrm"))
-            ),
-            F.lit("a"),
-        )
-        .otherwise(F.lit("b"))
-        .alias("sub"),
+    halves = split_hot_cells(
+        members, materialize=lambda df: df.localCheckpoint(eager=True)
     )
     # fresh ids above the current max for every non-empty 'b' half
     # (a single-member or all-tied hot cell yields no 'b' rows and

@@ -10313,60 +10313,23 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False).alias("was_split"),
         )
     )
-    members = assigned.join(F.broadcast(hot), "cell").withColumn(
-        "nrm", similarity.norm_expr(F.col("embedding"))
-    )
-    sa = (
-        members.groupBy("cell")
-        .agg(F.min("vec_id").alias("a_id"))
-        .join(
-            emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec")),
-            "a_id",
-        )
+    # the split itself is the SHARED builder (similarity.split_hot_cells)
+    # — one implementation of the seed rules / argmin / tie-to-A /
+    # rounding for both this oracle-checked plan and the persisted
+    # repair (rebalance_ivf_index), so they cannot de-synchronize. The
+    # cos_a member table feeds two consumers; eager-persist it (the
+    # q202 device, threaded through the materialize hook).
+    members = (
+        assigned.join(F.broadcast(hot), "cell")
         .select(
-            "cell", "a_vec", similarity.norm_expr(F.col("a_vec")).alias("a_nrm")
-        )
-    )
-    # persisted for the same reason: d feeds the seed-b argmin AND the
-    # final half-assignment — one cos_a pass, not two
-    d = _persist(
-        members.join(F.broadcast(sa), "cell").select(
             "cell",
-            "vec_id",
-            "embedding",
-            "nrm",
-            floor_round6(
-                similarity.dot_expr(F.col("embedding"), F.col("a_vec"))
-                / (F.col("nrm") * F.col("a_nrm"))
-            ).alias("cos_a"),
-        ),
-        eager=True,
-    )
-    sb = (
-        d.groupBy("cell")
-        # min(struct) = lowest rounded cosine (farthest), vec_id tiebreak
-        .agg(F.min(F.struct("cos_a", "vec_id")).alias("m"))
-        .select("cell", F.col("m.vec_id").alias("b_id"))
-        .join(
-            emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")),
-            "b_id",
-        )
-        .select(
-            "cell", "b_vec", similarity.norm_expr(F.col("b_vec")).alias("b_nrm")
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("v"),
+            similarity.norm_expr(F.col("embedding")).alias("nrm"),
         )
     )
-    halves = d.join(F.broadcast(sb), "cell").select(
-        "cell",
-        F.when(
-            F.col("cos_a")
-            >= floor_round6(
-                similarity.dot_expr(F.col("embedding"), F.col("b_vec"))
-                / (F.col("nrm") * F.col("b_nrm"))
-            ),
-            F.lit("a"),
-        )
-        .otherwise(F.lit("b"))
-        .alias("sub"),
+    halves = similarity.split_hot_cells(
+        members, materialize=lambda df: _persist(df, eager=True)
     )
     split_occ = (
         halves.groupBy("cell", "sub")

@@ -395,3 +395,21 @@ def test_faiss_train_cap_binds_identically_on_both_paths(spark, monkeypatch):
     # checkpointed train
     monkeypatch.setattr(similarity, "_IVF_LOCAL_TRAIN_MAX", 0)
     assert similarity.ivf_train_centroids(emb, n_cells=8, iters=2) == expected
+
+
+def test_local_lloyd_rejects_zero_norm_vectors():
+    # a zero-norm vector makes the cosine assignment undefined, and
+    # the three engines DISAGREE on NaN/NULL ordering (numpy >= never
+    # updates, Spark struct array_max ranks NaN first, DuckDB 0/0 is
+    # NULL and sorts last) — the local train must fail loudly (as its
+    # scalar predecessor did via ZeroDivisionError) instead of
+    # returning silently divergent centroids
+    import pytest
+
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        ivf_train_centroids_local,
+    )
+
+    rows = [(i, [float(i + 1)] * 4) for i in range(6)] + [(6, [0.0] * 4)]
+    with pytest.raises(ValueError, match="zero-norm"):
+        ivf_train_centroids_local(rows, n_cells=2, iters=1)

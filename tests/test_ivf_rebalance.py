@@ -7,6 +7,7 @@ rewrite), row/id sets are preserved, the sidecar matches the new
 partition set, and the index stays queryable."""
 
 import glob
+import hashlib
 import os
 
 import pyspark.sql.functions as F
@@ -34,8 +35,10 @@ def _occupancy(spark, path):
 
 
 def _cell_files(path, cell):
+    # name AND content digest: size-only comparison would miss a
+    # same-size deterministic rewrite of a cold partition
     return {
-        os.path.basename(f): os.path.getsize(f)
+        os.path.basename(f): hashlib.sha256(open(f, "rb").read()).hexdigest()
         for f in glob.glob(os.path.join(path, f"cell={cell}", "*.parquet"))
     }
 
