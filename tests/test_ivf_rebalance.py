@@ -134,3 +134,57 @@ def test_rebalance_noop_on_uniform_occupancy(spark, tmp_path):
     assert stats["n_cells_after"] == stats["n_cells_before"]
     for c in occ:
         assert _cell_files(path, c) == files_before[c]
+
+
+# ---------------------------------------------------------------------
+# Property tests for the SHARED split builder (similarity.split_hot_cells
+# — the one implementation behind both q223 and the persisted repair).
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+    norm_expr,
+    split_hot_cells,
+)
+
+_vec = st.lists(st.integers(min_value=1, max_value=5), min_size=4, max_size=4)
+
+
+def _run_split(spark, rows):
+    df = spark.createDataFrame(rows, "cell INT, id BIGINT, v ARRAY<DOUBLE>")
+    out = split_hot_cells(df.withColumn("nrm", norm_expr(F.col("v"))))
+    return {
+        (int(r["cell"]), int(r["id"])): r["sub"] for r in out.collect()
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_vec, min_size=2, max_size=10, unique_by=tuple).flatmap(
+        lambda vs: st.permutations(
+            [(0, i, [float(x) for x in v]) for i, v in enumerate(vs)]
+        )
+    )
+)
+def test_split_invariants_and_input_order_independence(spark, rows):
+    ids = {(c, i) for c, i, _ in rows}
+    assign = _run_split(spark, rows)
+    # conservation: every member assigned exactly one half, none lost
+    assert set(assign) == ids
+    assert set(assign.values()) <= {"a", "b"}
+    # seed A (the cell's lowest id) always keeps the 'a' half
+    assert assign[(0, min(i for _, i, _ in rows))] == "a"
+    # a DataFrame is unordered input: reversing the row order must
+    # produce the identical assignment (the determinism contract both
+    # q223's oracle hash and the persisted repair depend on)
+    assert _run_split(spark, list(reversed(rows))) == assign
+
+
+def test_split_all_identical_members_go_to_a(spark):
+    # seed B degenerates to a tie with seed A: every member must take
+    # the 'a' half (no empty-but-labeled 'b' cell downstream)
+    rows = [(0, i, [2.0, 2.0, 2.0, 2.0]) for i in range(5)]
+    assign = _run_split(spark, rows)
+    assert set(assign.values()) == {"a"}
