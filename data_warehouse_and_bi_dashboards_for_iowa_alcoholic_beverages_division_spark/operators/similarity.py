@@ -40,6 +40,35 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _assert_no_zero_norms(df: DataFrame, id_col: str, vec_col: str, context: str) -> None:
+    """Distributed mirror of the zero-norm guard
+    :func:`ivf_train_centroids_local` applies driver-side: one bounded
+    action (``where(norm == 0).limit(5)`` — CollectLimit stops at the
+    first hits; the no-hit case is a column-pruned pass over the vector
+    column only) that raises the SAME loud error instead of letting
+    0/0 = NaN scores into cell assignment. NaN ordering diverges across
+    the three engines (numpy ``>=`` never updates, Spark struct
+    ``array_max`` ranks NaN above every double, DuckDB 0/0 is NULL and
+    sorts last), so a zero-norm vector reaching any assignment path is
+    a silent cross-engine hash break — surfaced here as an error at
+    index build/append/repair time, symmetric with the local-train
+    raise (the r12 ADVICE asymmetry). Callers pass bounded inputs
+    (capped train, append batch, hot-cell members, one build corpus
+    pass), so the guard never adds an unbounded scan to a query path."""
+    bad = [
+        r[0]
+        for r in df.where(norm_expr(F.col(vec_col)) == 0.0)
+        .select(F.col(id_col))
+        .limit(5)
+        .collect()
+    ]
+    if bad:
+        raise ValueError(
+            f"zero-norm vector(s) in {context} (ids {bad}): cosine "
+            "assignment is undefined — filter them before indexing"
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -640,6 +669,9 @@ def ivf_train_centroids(
             .limit(cap)
             .localCheckpoint(eager=True)
         )
+    # same loud zero-norm contract as the local path (which raises in
+    # ivf_train_centroids_local); bounded — `work` is the capped train
+    _assert_no_zero_norms(work, id_col, vec_col, "IVF train")
     seeds = work.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
     # effective capacity clamps to the seed count when the training
@@ -1196,6 +1228,11 @@ def build_ivf_index(
     spark = corpus.sparkSession
     train = corpus.where(train_where) if train_where else corpus
     centroids = ivf_train_centroids(train, id_col, vec_col, n_cells, iters)
+    # the train guard (both paths) only covers the train subset; the
+    # list-writing assignment below scores the WHOLE corpus, so guard
+    # it too — one column-pruned norms-only pass, marginal next to the
+    # O(N x n_cells) assignment scan it protects
+    _assert_no_zero_norms(corpus, id_col, vec_col, "IVF index build")
     # widen the scan before the corpus-wide scoring fold (the
     # cosine_topk_ivf note: single-split embedding scans serialize it)
     with_assigned_cell(
@@ -1322,6 +1359,12 @@ def append_to_ivf_index(
             return
     cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
+    # bounded (the incoming batch), same loud contract as the train
+    # paths; checked BEFORE the anti-join so the guard action never
+    # re-runs the O(index ids) existing-id scan (a zero-norm row
+    # raises even if its id would have been skipped — stricter, and
+    # the batch is the caller's to clean either way)
+    _assert_no_zero_norms(new_vectors, id_col, vec_col, "IVF append batch")
     batch = new_vectors
     if skip_existing_ids:
         existing = spark.read.parquet(path).select(F.col(id_col))
@@ -1480,12 +1523,32 @@ def rebalance_ivf_index(
     production form of the q223 plan-level split, and the repair step
     q200's ``needs_rebalance`` audit triggers without a full retrain.
 
-    Every over-mean cell (integer-exact predicate ``n * n_cells >
-    total``) is split by the deterministic 2-seed farthest-point rule
-    (seed A = lowest id, seed B = farthest member by 6dp-rounded
-    cosine with id tiebreak, members join the nearer seed, ties to A).
-    The 'a' half keeps the old cell id; each non-empty 'b' half gets a
-    fresh id above the current max. Both halves' centroids are
+    Trigger contract with the q200 audit (deliberately TWO predicates,
+    pinned in tests/test_ivf_rebalance.py): the audit decides WHEN —
+    its index-level ``max * n_cells > 2 * total`` (skew > 2x) is the
+    operational alarm, lax enough that ordinary occupancy jitter never
+    pages anyone. The repair decides WHAT — once invoked it splits
+    EVERY over-mean cell (integer-exact per-cell predicate
+    ``n * n_cells > total``), not just the one that tripped the alarm,
+    so a single repair pass leaves no cell above the pre-split mean.
+    The audit firing implies the repair finds work (the max cell is
+    over-mean whenever skew > 2x — indeed whenever skew > 1x); the
+    converse is deliberately false: a mildly-skewed index (every cell
+    under 2x mean) audits healthy, and running the repair anyway still
+    tightens it. Aligning the two on one threshold would either page
+    on jitter (audit at >mean) or leave 1.9x hot spots unsplit
+    (repair at >2x mean) — the split contract is the useful one.
+
+    Every over-mean cell is split by the deterministic 2-seed
+    farthest-point rule (seed A = lowest id, seed B = farthest member
+    by 6dp-rounded cosine with id tiebreak, members join the nearer
+    seed, ties to A). The 'a' half keeps the old cell id; each
+    non-empty 'b' half gets a fresh id above the current max cell id
+    across BOTH the data partitions and the centroid sidecar — the
+    sidecar can hold trained-but-empty cells with higher ids than any
+    non-empty partition (build writes all n_cells centroids), and
+    allocating from data partitions alone would silently repurpose
+    such a cell's trained centroid. Both halves' centroids are
     recomputed as the order-pinned per-dimension member mean
     (``_lloyd_dim_means`` — the Lloyd-step fold), so probing quality
     reflects the new boundaries; the sidecar is rewritten to match.
@@ -1500,8 +1563,12 @@ def rebalance_ivf_index(
       localCheckpointed once and feeds the split, the centroid means,
       and the rewrite without re-reading the files being replaced.
 
-    Returns a stats dict (hot cells, cell counts, max occupancy
-    before/after). No-op (nothing written) when no cell is over-mean.
+    Returns a stats dict: ``hot_cells``, ``n_cells_before`` /
+    ``n_cells_after`` (NON-EMPTY data partitions, derived from the
+    final partition set), ``sidecar_cells_after`` (sidecar rows — can
+    exceed the data count by the trained-but-empty cells),
+    ``max_before`` / ``max_after``, ``new_cells``. No-op (nothing
+    written) when no cell is over-mean.
 
     Crash windows (same honesty contract as ``append_to_ivf_index``):
     the sidecar is written BEFORE the data, so a crash between the two
@@ -1529,7 +1596,10 @@ def rebalance_ivf_index(
     }
     if not hot:
         stats.update(
-            n_cells_after=ncells, max_after=stats["max_before"], new_cells=[]
+            n_cells_after=ncells,
+            sidecar_cells_after=spark.read.parquet(path + "_centroids").count(),
+            max_after=stats["max_before"],
+            new_cells=[],
         )
         return stats
 
@@ -1546,17 +1616,27 @@ def rebalance_ivf_index(
         # files the dynamic overwrite below will replace
         .localCheckpoint(eager=True)
     )
+    # bounded (hot cells' members, already materialized); the split
+    # below divides by member norms — same loud contract as train
+    _assert_no_zero_norms(members, "id", "v", "IVF rebalance (hot-cell members)")
     halves = split_hot_cells(
         members, materialize=lambda df: df.localCheckpoint(eager=True)
     )
     # fresh ids above the current max for every non-empty 'b' half
     # (a single-member or all-tied hot cell yields no 'b' rows and
-    # allocates no id)
+    # allocates no id). The max is taken over DATA partitions AND the
+    # centroid sidecar: build_ivf_index writes all n_cells centroids
+    # while data partitions exist only for non-empty cells, so a
+    # trained-but-empty cell can hold the highest id — allocating from
+    # data partitions alone would collide with it and silently
+    # repurpose its trained centroid (the r12 ADVICE finding)
+    old = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    sidecar = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in old}
     b_cells = sorted(
         int(r["cell"])
         for r in halves.where(F.col("sub") == "b").select("cell").distinct().collect()
     )
-    base = max(counts) + 1
+    base = max(set(counts) | set(sidecar)) + 1
     new_id = {c: base + i for i, c in enumerate(b_cells)}
     if b_cells:
         mapping = F.create_map(*[F.lit(x) for c in b_cells for x in (c, new_id[c])])
@@ -1580,8 +1660,6 @@ def rebalance_ivf_index(
         ]
         for r in means
     }
-    old = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
-    sidecar = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in old}
     sidecar.update(split_cents)
 
     # Sidecar FIRST, data second. A crash between the two then leaves
@@ -1614,8 +1692,16 @@ def rebalance_ivf_index(
         int(r["cell"]): int(r["n"])
         for r in relabeled.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # derived from the FINAL sets, not arithmetic on the inputs (the
+    # r12 ADVICE consistency note): data cells after = cold survivors
+    # + rewritten (hot 'a' halves keep their ids, so this equals
+    # len(counts) + len(b_cells) — asserted cheaply here); the sidecar
+    # count additionally carries trained-but-empty cells
+    data_cells_after = {c for c in counts if c not in hot} | set(after)
+    assert len(data_cells_after) == ncells + len(b_cells)
     stats.update(
-        n_cells_after=ncells + len(b_cells),
+        n_cells_after=len(data_cells_after),
+        sidecar_cells_after=len(sidecar),
         max_after=max(
             [n for c, n in counts.items() if c not in hot] + list(after.values()),
             default=0,

@@ -413,3 +413,58 @@ def test_local_lloyd_rejects_zero_norm_vectors():
     rows = [(i, [float(i + 1)] * 4) for i in range(6)] + [(6, [0.0] * 4)]
     with pytest.raises(ValueError, match="zero-norm"):
         ivf_train_centroids_local(rows, n_cells=2, iters=1)
+
+
+# ---------------------------------------------------------------------
+# The zero-norm guard must be SYMMETRIC across paths (r12 ADVICE): the
+# local train raised while the distributed Lloyd branch, the build's
+# corpus-wide assignment, and the append batch divided by unchecked
+# norms — a >_IVF_LOCAL_TRAIN_MAX corpus with one zero-norm vector
+# would have trained silently with engine-divergent NaN ordering.
+# ---------------------------------------------------------------------
+
+import pytest
+
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators import (
+    similarity,
+)
+
+_VEC_SCHEMA = "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+
+
+def _vec_df(spark, n, poison_id=None):
+    rows = [(i, [float(i + j + 1) for j in range(4)]) for i in range(n)]
+    if poison_id is not None:
+        rows.append((poison_id, [0.0] * 4))
+    return spark.createDataFrame(rows, _VEC_SCHEMA)
+
+
+def test_distributed_lloyd_rejects_zero_norm_vectors(spark, monkeypatch):
+    monkeypatch.setattr(similarity, "_IVF_LOCAL_TRAIN_MAX", 0)  # force distributed
+    with pytest.raises(ValueError, match="zero-norm"):
+        similarity.ivf_train_centroids(_vec_df(spark, 32, poison_id=99), n_cells=4, iters=1)
+
+
+def test_build_rejects_zero_norm_corpus_row_outside_train(spark, tmp_path):
+    # train subset is clean (local train passes); the poison row only
+    # reaches the corpus-wide list-writing assignment — which must
+    # still fail loudly instead of writing a NaN-assigned partition
+    with pytest.raises(ValueError, match="zero-norm"):
+        similarity.build_ivf_index(
+            _vec_df(spark, 32, poison_id=99),
+            str(tmp_path / "idx"),
+            n_cells=4,
+            iters=1,
+            train_where="vec_id < 32",
+        )
+
+
+def test_append_rejects_zero_norm_batch_row(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    similarity.build_ivf_index(_vec_df(spark, 32), path, n_cells=4, iters=1)
+    with pytest.raises(ValueError, match="zero-norm"):
+        similarity.append_to_ivf_index(
+            spark.createDataFrame([(100, [0.0] * 4)], _VEC_SCHEMA), path
+        )
+    # the guard fires BEFORE any write: the index is unchanged
+    assert spark.read.parquet(path).where("vec_id = 100").count() == 0

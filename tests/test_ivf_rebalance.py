@@ -9,6 +9,7 @@ partition set, and the index stays queryable."""
 import glob
 import hashlib
 import os
+import pathlib
 
 import pyspark.sql.functions as F
 
@@ -38,7 +39,7 @@ def _cell_files(path, cell):
     # name AND content digest: size-only comparison would miss a
     # same-size deterministic rewrite of a cold partition
     return {
-        os.path.basename(f): hashlib.sha256(open(f, "rb").read()).hexdigest()
+        os.path.basename(f): hashlib.sha256(pathlib.Path(f).read_bytes()).hexdigest()
         for f in glob.glob(os.path.join(path, f"cell={cell}", "*.parquet"))
     }
 
@@ -188,3 +189,72 @@ def test_split_all_identical_members_go_to_a(spark):
     rows = [(0, i, [2.0, 2.0, 2.0, 2.0]) for i in range(5)]
     assign = _run_split(spark, rows)
     assert set(assign.values()) == {"a"}
+
+
+# ---------------------------------------------------------------------
+# Trigger contract between the q200 audit and the repair (the r12
+# verdict ask #6): TWO predicates by design. The audit decides WHEN —
+# index-level `max * n_cells > 2 * total` (queries.py q200, skew > 2x),
+# lax enough that occupancy jitter never pages. The repair decides WHAT
+# — every over-mean cell `n * n_cells > total` (rebalance_ivf_index),
+# so one pass leaves no cell above the pre-split mean. The contract:
+# audit firing IMPLIES the repair finds work (one-directional); the
+# converse is deliberately false.
+# ---------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=64))
+def test_audit_trigger_implies_repair_finds_work(counts):
+    total, ncells, mx = sum(counts), len(counts), max(counts)
+    audit_fires = mx * ncells > 2 * total  # q200 needs_rebalance
+    hot = [n for n in counts if n * ncells > total]  # repair predicate
+    if audit_fires:
+        assert hot, "audit fired but the repair would find no over-mean cell"
+        assert mx in hot, "the cell that tripped the alarm must be in the split set"
+
+
+def test_audit_is_deliberately_laxer_than_repair():
+    # mild skew: no cell over 2x mean -> audit healthy, yet the repair
+    # (if run anyway) would still tighten the 1.5x hot spot. This is
+    # the documented one-directional relationship, not a bug.
+    counts = [3, 2, 1, 1, 1]  # total 8, n_cells 5, mean 1.6
+    total, ncells, mx = sum(counts), len(counts), max(counts)
+    assert not (mx * ncells > 2 * total)  # audit: healthy
+    assert [n for n in counts if n * ncells > total] == [3, 2]  # repair: 2 splits
+
+
+def test_rebalance_never_repurposes_trained_but_empty_sidecar_cell(spark, tmp_path):
+    """r12 ADVICE regression: build writes ALL n_cells centroids while
+    data partitions exist only for non-empty cells, so the sidecar can
+    hold a trained-but-empty cell whose id exceeds every data
+    partition's. Fresh 'b' ids must allocate ABOVE it — allocating
+    from data partitions alone would collide and silently overwrite
+    its trained centroid."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, n_cells=8, iters=2)
+    # emulate the trained-but-empty state: a sidecar centroid with an
+    # id above every data cell and no data partition (exactly what a
+    # build whose Lloyd left a cell memberless produces)
+    empty_cell, empty_centroid = 20, [7.0] * 64
+    rows = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    ] + [(empty_cell, empty_centroid)]
+    spark.createDataFrame(rows, "cell INT, centroid ARRAY<DOUBLE>").write.mode(
+        "overwrite"
+    ).parquet(path + "_centroids")
+    assert empty_cell not in _occupancy(spark, path)
+
+    stats = rebalance_ivf_index(spark, path)
+    assert stats["new_cells"], "fixture must actually split"
+    assert min(stats["new_cells"]) > empty_cell
+    after = spark.read.parquet(path + "_centroids").collect()
+    by_cell = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in after}
+    # the empty cell's trained centroid survives untouched
+    assert by_cell[empty_cell] == empty_centroid
+    # stats derive from the FINAL sets: data partitions vs sidecar rows
+    assert stats["n_cells_after"] == len(_occupancy(spark, path))
+    assert stats["sidecar_cells_after"] == len(by_cell)
+    assert len(by_cell) == stats["n_cells_after"] + 1  # the one empty cell
