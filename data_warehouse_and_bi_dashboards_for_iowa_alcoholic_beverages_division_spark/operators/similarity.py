@@ -715,6 +715,7 @@ def cosine_topk_ivf(
     n_probe: int = 3,
     iters: int = 2,
     train_where: str | None = None,
+    tombstones_where: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are inverted-listed by their
     nearest coarse centroid; each query scores only the rows of its
@@ -731,9 +732,23 @@ def cosine_topk_ivf(
     size is a multiple of n_cells (not on all N rows) removes
     ``iters`` full-corpus scoring passes, leaving the single final
     assignment pass as the only O(N x n_cells) stage (q211; decade
-    measurements in BASELINE.md)."""
+    measurements in BASELINE.md).
+
+    ``tombstones_where`` is the plan-level twin of the persisted
+    tombstone delete (:func:`delete_from_ivf_index` /
+    :func:`query_ivf_index`): rows matching it are DELETED from the
+    candidate side while the quantizer still trains on the FULL corpus
+    — exactly the state of an index built before the deletions, its
+    coarse quantizer frozen. The filter applies BEFORE the assignment
+    pass: per-row assignment is independent, so pre-filtering is
+    result-identical to post-filtering the inverted lists and skips
+    the O(n_cells) scoring fold for every deleted row. Queries are NOT
+    filtered (a deleted id may still ask for neighbors), and ranks are
+    assigned after the exclusion — a deleted neighbor frees its rank."""
     train = corpus.where(train_where) if train_where else corpus
     centroids = ivf_train_centroids(train, id_col, vec_col, n_cells, iters)
+    if tombstones_where:
+        corpus = corpus.where(~F.expr(tombstones_where))
 
     # widen BEFORE the O(N x n_cells) scoring fold: an embeddings scan
     # is few bytes per FLOP (sf10 = 200k vectors in ~2 parquet splits),
@@ -1380,6 +1395,162 @@ def append_to_ivf_index(
         )
 
 
+def _read_optional_sidecar(spark, sidecar_path: str) -> DataFrame | None:
+    """Read a sidecar table that legitimately may not exist yet
+    (``_tombstones``: no delete has ever happened). ONLY the two
+    never-written states map to None — the path is absent, or it is a
+    directory holding no committed data file (a crash between mkdir
+    and the first committed parquet). Every other failure RAISES, same
+    discipline as :func:`_count_batch_token`: treating an unreadable
+    tombstone sidecar as "no deletions" would silently resurrect
+    deleted rows in query results."""
+    try:
+        return spark.read.parquet(sidecar_path)
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else None
+        msg = str(e)
+        if cond == "PATH_NOT_FOUND" or (cond is None and "PATH_NOT_FOUND" in msg):
+            return None
+        if (
+            cond == "UNABLE_TO_INFER_SCHEMA" or "UNABLE_TO_INFER_SCHEMA" in msg
+        ) and _sidecar_is_empty_dir(spark, sidecar_path):
+            return None
+        raise
+
+
+def delete_from_ivf_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Logical deletion — the missing step of the index lifecycle
+    (build → persist → append → audit → split/rebalance → DELETE →
+    compact). Records ``ids`` in a tiny ``_tombstones`` sidecar;
+    :func:`query_ivf_index` anti-joins it so deleted vectors stop
+    appearing as neighbors IMMEDIATELY, while the inverted-list files
+    are untouched — at 100 TB a delete must not rewrite a single data
+    partition. Physical removal is :func:`compact_ivf_index`, run on
+    whatever cadence amortizes the rewrites.
+
+    Cost contract: appended tombstones are deduped against the
+    existing sidecar by anti-join — O(#tombstones) per delete, NOT
+    O(index). The sidecar is assumed orders of magnitude smaller than
+    the index (compaction resets it); if deletes ever rival corpus
+    size, the index wants rebuilding, not tombstoning. Deleting an id
+    the index never held is a harmless no-op tombstone (it anti-joins
+    nothing and compaction clears it).
+
+    Idempotency/crash notes: a re-run of the same delete adds no
+    duplicate tombstones (the anti-join); a crash mid-append leaves at
+    most a committed subset of the batch — re-run to converge. Like
+    ``append_to_ivf_index``, concurrent deleters are the caller's to
+    serialize."""
+    spark = ids.sparkSession
+    batch = ids.select(F.col(id_col)).distinct()
+    existing = _read_optional_sidecar(spark, path + "_tombstones")
+    if existing is not None:
+        batch = batch.join(existing.select(id_col), on=id_col, how="left_anti")
+    batch.write.mode("append").parquet(path + "_tombstones")
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Physical removal of tombstoned rows — the list-compaction half
+    of delete. Same partition-pruning contract as
+    :func:`rebalance_ivf_index`: ONLY cells that actually hold a
+    tombstoned row are read (a column-pruned (id, cell) scan finds
+    them) and ONLY those partitions are rewritten (dynamic partition
+    overwrite); cold cells' files stay byte-identical. A cell whose
+    every member is tombstoned gets its directory removed outright
+    (dynamic overwrite only replaces partitions PRESENT in the written
+    data, so an emptied cell would otherwise keep its stale files);
+    its sidecar centroid is retained — a trained-but-empty cell is a
+    legal index state (build produces them too) and queries probing it
+    read nothing. The tombstone sidecar is cleared LAST: a crash after
+    the data rewrite but before the clear leaves tombstones that match
+    nothing — queries stay correct, and a re-run finds zero affected
+    cells and just clears the sidecar (self-healing, same one-way
+    convergence argument as the rebalance sidecar order). The same
+    job-commit caveat as ``rebalance_ivf_index`` applies to the
+    overwrite itself.
+
+    Returns a stats dict; no-op (nothing written, tombstones kept —
+    there are none to keep) when the sidecar is absent or empty."""
+    tombs = _read_optional_sidecar(spark, path + "_tombstones")
+    if tombs is None:
+        return {"tombstones": 0, "cells_rewritten": [], "cells_removed": [], "rows_removed": 0}
+    tombs = tombs.select(id_col).distinct().localCheckpoint(eager=True)
+    n_tombs = tombs.count()
+    if n_tombs == 0:
+        return {"tombstones": 0, "cells_rewritten": [], "cells_removed": [], "rows_removed": 0}
+
+    idx = spark.read.parquet(path)
+    # column-pruned: ids + the cell partition column only, never vectors
+    affected = sorted(
+        int(r["cell"])
+        for r in idx.select(id_col, "cell")
+        .join(tombs, on=id_col, how="left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    stats = {"tombstones": n_tombs, "cells_rewritten": [], "cells_removed": [], "rows_removed": 0}
+    if affected:
+        # matched-row count BEFORE any rewrite (the scan is lazy — an
+        # action after the overwrite would read the already-compacted
+        # files and count zero); partition-pruned + column-pruned
+        stats["rows_removed"] = (
+            idx.where(F.col("cell").isin(affected))
+            .select(id_col)
+            .join(tombs, on=id_col, how="left_semi")
+            .count()
+        )
+        # partition-pruned members of affected cells; checkpointed so
+        # the rewrite does not read the files it replaces
+        keep = (
+            idx.where(F.col("cell").isin(affected))
+            .join(tombs, on=id_col, how="left_anti")
+            .select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
+            .localCheckpoint(eager=True)
+        )
+        survivors = {
+            int(r["cell"])
+            for r in keep.select("cell").distinct().collect()
+        }
+        removed = [c for c in affected if c not in survivors]
+        rewritten = [c for c in affected if c in survivors]
+        if rewritten:
+            prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    keep.repartition("cell")
+                    .write.mode("overwrite")
+                    .partitionBy("cell")
+                    .parquet(path)
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        # emptied cells: dynamic overwrite wrote nothing for them, so
+        # drop their stale directories through the Hadoop FS API
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for c in removed:
+            hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}")
+            hpath.getFileSystem(conf).delete(hpath, True)
+        stats.update(cells_rewritten=rewritten, cells_removed=removed)
+    # clear the sidecar LAST (see docstring); an empty overwrite keeps
+    # the schema so the next _read_optional_sidecar sees a valid table
+    spark.createDataFrame([], f"{id_col} BIGINT").write.mode("overwrite").parquet(
+        path + "_tombstones"
+    )
+    return stats
+
+
 def query_ivf_index(
     queries: DataFrame,
     path: str,
@@ -1392,7 +1563,11 @@ def query_ivf_index(
     n_cells ids, one tiny driver round-trip) becomes a static partition
     filter on the inverted-list scan — the plan reads ONLY those cells'
     files (``PartitionFilters`` on the scan), which is what makes
-    repeated query batches ~``n_probe / n_cells`` of a full scan."""
+    repeated query batches ~``n_probe / n_cells`` of a full scan.
+    Tombstoned ids (:func:`delete_from_ivf_index`) are anti-joined out
+    of the candidate side before scoring, so deletes are visible
+    without any file rewrite; ranks are assigned AFTER the exclusion
+    (a deleted neighbor frees its rank for the next-best row)."""
     spark = queries.sparkSession
     cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
@@ -1416,15 +1591,19 @@ def query_ivf_index(
     q = q.localCheckpoint(eager=True)
 
     probed_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
-    c = (
-        spark.read.parquet(path)
-        .where(F.col("cell").isin(probed_cells))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            norm_expr(F.col(vec_col)).alias("cn"),
-            "cell",
-        )
+    c = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
+    tombs = _read_optional_sidecar(spark, path + "_tombstones")
+    if tombs is not None:
+        # logical deletes: exclude BEFORE scoring/ranking, so a deleted
+        # neighbor frees its rank for the next-best candidate. The
+        # tombstone side is tiny (compaction resets it) — broadcast
+        # anti-join, no shuffle of the candidate lists
+        c = c.join(F.broadcast(tombs.select(id_col)), on=id_col, how="left_anti")
+    c = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(F.col(vec_col)).alias("cn"),
+        "cell",
     )
     scored = (
         F.broadcast(q)

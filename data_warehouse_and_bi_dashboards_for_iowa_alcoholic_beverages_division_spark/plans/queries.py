@@ -10360,6 +10360,56 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_cell")
 
 
+def _q224_oracle(tombstone_pred: str = "neighbor_id % 7 = 3") -> str:
+    """DuckDB twin of tombstone deletion under a frozen quantizer:
+    q67's unrolled train + inverted lists are built over the FULL
+    corpus (the index as it stood before the deletes), then the
+    terminal top-k excludes tombstoned neighbors BEFORE ranking — a
+    deleted neighbor frees its rank for the next-best candidate,
+    exactly the query_ivf_index anti-join semantics. Queries are not
+    filtered (a deleted id may still ask for neighbors)."""
+    final = f"""SELECT * FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored WHERE NOT ({tombstone_pred})
+    ) WHERE rank <= 10"""
+    return _q67_oracle(final_select=final)
+
+
+@register(
+    "q224_ivf_delete",
+    _q224_oracle(),
+    "IVF tombstone deletion - the lifecycle step after q223's repair "
+    "(build q67 -> persist q156 -> append q199 -> audit q200 -> "
+    "split/rebalance q223 -> DELETE here): vectors matching the "
+    "tombstone set (vec_id % 7 = 3) are removed from the CANDIDATE "
+    "side while the coarse quantizer stays frozen on the full corpus "
+    "- the exact state of an index built before the deletions, "
+    "queried through delete_from_ivf_index's tombstone anti-join. "
+    "Ranks are assigned AFTER the exclusion, so a deleted neighbor "
+    "frees its rank for the next-best candidate. Scale shape: the "
+    "tombstone filter lands BEFORE the O(N x n_cells) assignment pass "
+    "(per-row assignment is independent, so pre-filter is result-"
+    "identical and skips the scoring fold for deleted rows); in the "
+    "persisted form deletes touch NO data file - query-time broadcast "
+    "anti-join against the tiny _tombstones sidecar, with physical "
+    "removal deferred to compact_ivf_index, which rewrites only the "
+    "cells that actually hold a tombstoned row (the rebalance "
+    "partition-pruning device)",
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb,
+        emb.where("vec_id < 5"),
+        k=10,
+        n_cells=8,
+        n_probe=3,
+        tombstones_where="vec_id % 7 = 3",
+    )
+
+
 def _q201_oracle(n_iter: int = 3) -> str:
     """DuckDB twin of personalized PageRank: q163's unrolled
     iterations with the teleport vector concentrated on the seed set
