@@ -145,98 +145,90 @@ def register(name: str, oracle: str | None, description: str = ""):
 # losing SURVEY §2 coverage: every swapped-out query's §2 row is still
 # covered by another window slot (q03→q30 for P10, q09→q25 for O3,
 # q15→q14 for U3, q24→q23/q25-q28 for A5, q49→q20/q28 for F4/#6).
-# Round-12 rotation (the r11 verdict's asks #1 and #2): all 34 of
-# round-11's window rode to driver-green (cumulative current-registry
-# coverage 141/218), so the whole r11 swap set rotates out. The 50
-# slots are allocated three ways this round:
+# Round-13 rotation (the r12 verdict's asks #1 and #3): all 50 of
+# round-12's window rode to driver-green (cumulative current-registry
+# coverage 177/219), so the whole r12 swap set rotates out. This
+# round CLOSES first-time external coverage — after it, every oracled
+# query in the registry holds a driver hash (only the 5 rows-only
+# twins, which can never hash-check, remain). The 50 slots:
 #   (a) SOLE ANCHORS stay, as every round: q05 (sole J3 left-outer),
 #       q06 (sole J4 anti), q07 (sole semi), q08 (sole J7 cross) — no
 #       other window slot covers those §2 rows.
-#   (b) STALE-GREEN RE-CHECKS (verdict #2, the recorded
-#       oldest-green-first recheck_policy in BENCH_STATS.json): the
-#       r6-era greens q03 q09 q15 q24 q49, the r7-era q18 q27 q28, and
-#       the r8-era q25 q26 return to the window — the driver corpus
-#       has been regenerated several times since they last held an
-#       external hash. All ten live in the raw first-50, so they
-#       return simply by NOT being swapped out this round. (q04, the
-#       eleventh verdict-named re-check, yields its slot to the
-#       round's one NEW query q223 — new queries ride the window the
-#       round they land, and q04's J1 row stays anchored by the
-#       in-window q05/q23-green family; its r8 re-check heads the r13
-#       queue with the other r7-r9 holdovers below.)
-#   (c) FIRST-TIME COVERAGE (verdict #1): the remaining 35 slots take
-#       never-driver-checked queries in the verdict's priority order —
-#       the r11-deferred trio q63 (salted skew join) q68 (BPE token
-#       count) q130 (prefix-filtered similarity self-join); the sketch
-#       family q150 q153 q154 q161 q162 (HLL portable/merge, count-min
-#       heavy hitters, KMV distinct/Jaccard; q56 approx_distinct is
-#       rows-only by design — approx_count_distinct is not
-#       oracle-hashable — so q113 takes its intended slot); the
-#       TPC-H-shaped analytics block q79-q93 q95-q97 q105-q113; and
-#       layout/CDC q119 (z-order) q121 (range join) q124 (CDC
-#       compaction).
+#   (b) STALE-GREEN RE-CHECKS (verdict #3, oldest-green-first): the
+#       verdict-named r7-era q11 q32 q33 and r8-era q04 q31 q44 q52
+#       q53 return to the window — exactly the eight slots left after
+#       (a) and (c), and exactly the verdict's list. All eight live in
+#       the raw first-50, so they return simply by NOT being swapped
+#       out. The remaining r8/r9-era holdovers (q37 q38 q40 q41 q42
+#       q46 q13 q20) head the r14 re-check queue.
+#   (c) FIRST-TIME COVERAGE (verdict #1): 37 slots take ALL remaining
+#       never-driver-checked oracled queries, in the verdict's
+#       priority order — the retrieval trio q166 (hybrid RRF) q167
+#       (hard negatives) q179 (MMR), the audit pair q203/q205, q159
+#       (bloom-prune join), the stats/profile block q135 q136 q139
+#       q140 q144 q164 q168 q176 q182, drift/privacy q172 q173,
+#       journeys q174 q175 q193, analytics q114 q115 q181 q183 q185,
+#       and the tail q69 q70 q72 q74 q77 q78 q125 q129 q142 q152
+#       q169 q180; plus 1 slot for the round's NEW query q224 (IVF
+#       tombstone delete) — new queries ride the window the round
+#       they land.
 # Every swapped-out name holds a driver green (so no §2 row loses
-# external evidence), but NOT all are fresh: 17 are r10/r11 greens,
-# while the rest were already out-of-window in r11 and keep their
-# older hashes — q11 q32 q33 (r7), q31 q37 q38 q40 q41 q42 q44 q46
-# q52 q53 (r8), q13 q20 (r9). Those 15 are the head of the
-# oldest-green-first re-check queue for r13, after (or interleaved
-# with) the 42 remaining never-checked names — the verdict's #1/#2
-# priority order put first-time coverage and the r6-era re-checks
-# ahead of them this round; 50 slots cannot hold all three sets.
-# Post-r11 note: the faiss train-cap change (ivf_train_centroids,
-# commit 83c8d5e) does NOT bind at sf0.01 (500-row embeddings → 1/16
-# sample ≪ 256·n_cells), so the IVF family's r10/r11 driver hashes
-# remain valid for the driver SF; the cap and its oracle mirror are
-# gated by the tri-SF local sweep and tests/test_ivf_determinism.py.
-# Cumulative if green: 141 → 177 (36 first-timers incl. q223).
+# external evidence); the freshest are r12 greens (q03 q09 q15 q18
+# q24-q28 q49 and the r12 first-timer block), the oldest the r8/r9
+# holdovers named in (b) above.
+# Cumulative if green: 177 → 214 of 219 (+ q224 = 215 of 220).
 # The ACTIVE window is emitted in every bench run ("driver_window" in
 # BENCH_STATS.json) alongside the cumulative driver_checked_ever list,
 # so externally-reported verification coverage is auditable round over
 # round without reading this file.
 # ---------------------------------------------------------------------
 _WINDOW_SWAPS: list[tuple[str, str]] = [
-    # r11-deferred trio
-    ("q01_pricing_summary", "q63_salted_join"),
-    ("q02_filter_project", "q68_bpe_tokens"),
-    ("q17_case_bucket", "q130_ssjoin_prefix"),
-    # sketch family
-    ("q19_derived_measures", "q150_hll_portable"),
-    ("q16_count_distinct", "q153_hll_merge"),
-    ("q10_top_orders_per_customer", "q154_countmin_heavy_hitters"),
-    ("q11_order_gaps", "q161_kmv_distinct"),
-    ("q12_watermark", "q162_kmv_jaccard"),
-    # analytics block (TPC-H-shaped dashboards over the warehouse star)
-    ("q13_union", "q79_shipping_priority"),
-    ("q14_except_all", "q80_local_supplier_volume"),
-    ("q20_date_dim", "q81_returned_items"),
-    ("q23_star_weekday", "q82_order_priority"),
-    ("q21_scd_build", "q83_disjunctive_filter"),
-    ("q22_scd_as_of", "q86_funnel"),
-    ("q29_scd_merge_insert", "q87_retention_cohorts"),
-    ("q30_dedup_exact", "q88_customer_distribution"),
-    ("q31_token_stats", "q89_small_quantity_revenue"),
-    ("q32_text_quality", "q90_large_orders"),
-    ("q33_lang_id", "q92_balance_opportunity"),
-    ("q34_fingerprint", "q93_waiting_suppliers"),
-    ("q37_ngram_jaccard", "q95_label_centroids"),
-    ("q38_knn_cosine", "q96_segment_percentiles"),
-    ("q40_embedding_near_dup", "q97_dense_ids"),
-    ("q41_events_hourly", "q105_embedding_quantize"),
-    ("q42_json_props", "q106_forecast_revenue"),
-    ("q43_sessionization", "q107_volume_shipping"),
-    ("q44_pivot", "q108_market_share"),
-    ("q45_media_features", "q109_promo_effect"),
-    ("q46_media_metadata", "q110_min_cost_supplier"),
-    ("q47_degenerate_invoice", "q111_product_type_profit"),
-    ("q48_wkt_point", "q112_shipping_modes"),
-    ("q51_null_repair", "q113_important_parts"),
-    # layout / CDC
-    ("q52_grouping_sets", "q119_zorder_curve"),
-    ("q53_running_total", "q121_range_join"),
-    ("q54_unknown_member", "q124_cdc_compaction"),
+    # retrieval trio — the only LLM-pipeline operators with no hash yet
+    ("q01_pricing_summary", "q166_hybrid_rrf"),
+    ("q02_filter_project", "q167_hard_negatives"),
+    ("q03_distinct", "q179_mmr_diversified"),
+    # dedup bucket audits + bloom-prune join
+    ("q09_topn_parts", "q203_containment_bucket_audit"),
+    ("q10_top_orders_per_customer", "q205_overlap_bucket_audit"),
+    ("q12_watermark", "q159_bloom_prune_join"),
+    # stats / profile block
+    ("q13_union", "q135_daily_anomalies"),
+    ("q14_except_all", "q136_table_profile"),
+    ("q15_intersect", "q139_crosstab_expected"),
+    ("q16_count_distinct", "q140_benford_digits"),
+    ("q17_case_bucket", "q144_median_abs_deviation"),
+    ("q18_null_fill_geo", "q164_histogram_quantiles"),
+    ("q19_derived_measures", "q168_join_size_estimate"),
+    ("q20_date_dim", "q176_zipf_fit"),
+    ("q21_scd_build", "q182_psi_stability"),
+    # drift / privacy
+    ("q22_scd_as_of", "q172_corpus_drift_kl"),
+    ("q23_star_weekday", "q173_k_anonymity"),
+    # journeys
+    ("q24_star_month", "q174_markov_transitions"),
+    ("q25_topn_vendors", "q175_journey_surprise"),
+    ("q26_rollup_geo", "q193_touch_attribution"),
+    # analytics
+    ("q27_kpi_totals", "q114_supplier_part_counts"),
+    ("q28_season", "q115_promotion_suppliers"),
+    ("q29_scd_merge_insert", "q181_trending_brands"),
+    ("q30_dedup_exact", "q183_basket_lift"),
+    ("q34_fingerprint", "q185_hhi_concentration"),
+    # the tail
+    ("q37_ngram_jaccard", "q69_rolling_fingerprint"),
+    ("q38_knn_cosine", "q70_frame_sample"),
+    ("q40_embedding_near_dup", "q72_median_percentile"),
+    ("q41_events_hourly", "q74_sliding_window"),
+    ("q42_json_props", "q77_geo_heatmap"),
+    ("q43_sessionization", "q78_hash_sample"),
+    ("q45_media_features", "q125_skew_report"),
+    ("q46_media_metadata", "q129_score_calibration"),
+    ("q47_degenerate_invoice", "q142_rolling_distinct"),
+    ("q48_wkt_point", "q152_fuzzy_supplier_match"),
+    ("q49_date_horizon", "q169_incremental_agg_merge"),
+    ("q51_null_repair", "q180_query_expansion"),
     # the round's NEW query rides the window the round it lands
-    ("q04_join_inner_agg", "q223_ivf_cell_split"),
+    ("q54_unknown_member", "q224_ivf_delete"),
 ]
 
 
