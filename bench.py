@@ -94,6 +94,25 @@ _heavy_env = os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPS")
 HEAVY_REPS = int(_heavy_env) if _heavy_env is not None else min(HEADLINE_REPS, 3)
 
 
+def _load_proxy_sample() -> float:
+    """Wall time of a FIXED single-threaded spin (a 3M-step 31-bit LCG
+    — bounded ints, so the work is identical every call and every
+    round; ~0.5 s on this box when idle). The r12 round-over-round
+    bench compare was clouded by uniform 9-43% inflation across
+    queries untouched for six rounds — the signature of a loaded
+    measurement box, but with nothing recorded to prove it. Three
+    samples (before the headline list, between the lists, after the
+    heavy list) ride both the sidecar and the compact line so a future
+    compare can NORMALIZE by box speed instead of arguing about it:
+    same code + higher load_proxy + uniformly higher walls = load, not
+    regression."""
+    t0 = time.perf_counter()
+    acc = 1
+    for _ in range(3_000_000):
+        acc = (acc * 1103515245 + 12345) & 0x7FFFFFFF
+    return round(time.perf_counter() - t0, 3)
+
+
 def _driver_checked_rounds() -> dict[str, list[int]]:
     """Per-query list of rounds in which the external harness
     hash-verified it (rows + schema + value hash green in that round's
@@ -157,8 +176,12 @@ def main() -> None:
             for n, s in samples.items()
         }
 
+    load_samples = [_load_proxy_sample()]
     headline_stats = run_list(HEADLINE, HEADLINE_REPS)
+    load_samples.append(_load_proxy_sample())
     heavy_stats = run_list(HEAVY, HEAVY_REPS)
+    load_samples.append(_load_proxy_sample())
+    load_proxy = round(statistics.median(load_samples), 3)
     timings = {n: s["median"] for n, s in headline_stats.items()}
     heavy = {n: s["median"] for n, s in heavy_stats.items()}
     checked_rounds = _driver_checked_rounds()
@@ -208,6 +231,10 @@ def main() -> None:
                     "recheck_policy": "after first-time coverage, rotate "
                     "oldest-green-first (smallest last-green round)",
                     "reps": {"headline": HEADLINE_REPS, "heavy": HEAVY_REPS},
+                    # fixed single-threaded spin walls (before headline,
+                    # between lists, after heavy) — the box-load
+                    # normalizer; see _load_proxy_sample
+                    "load_proxy_samples": load_samples,
                     "sf": sf,
                 },
                 f,
@@ -236,6 +263,11 @@ def main() -> None:
                 "reps": {"headline": HEADLINE_REPS, "heavy": HEAVY_REPS},
                 "sf": sf,
                 "driver_checked_ever": len(ever),
+                # median of 3 fixed single-threaded spins interleaved
+                # with the runs — divide walls by (load_proxy / an idle
+                # round's load_proxy) to normalize box load before
+                # calling a cross-round delta a regression
+                "load_proxy": load_proxy,
                 "stats_file": stats_file,
             }
         )

@@ -40,33 +40,34 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
-def _assert_no_zero_norms(df: DataFrame, id_col: str, vec_col: str, context: str) -> None:
-    """Distributed mirror of the zero-norm guard
-    :func:`ivf_train_centroids_local` applies driver-side: one bounded
-    action (``where(norm == 0).limit(5)`` — CollectLimit stops at the
-    first hits; the no-hit case is a column-pruned pass over the vector
-    column only) that raises the SAME loud error instead of letting
-    0/0 = NaN scores into cell assignment. NaN ordering diverges across
-    the three engines (numpy ``>=`` never updates, Spark struct
-    ``array_max`` ranks NaN above every double, DuckDB 0/0 is NULL and
-    sorts last), so a zero-norm vector reaching any assignment path is
-    a silent cross-engine hash break — surfaced here as an error at
-    index build/append/repair time, symmetric with the local-train
-    raise (the r12 ADVICE asymmetry). Callers pass bounded inputs
-    (capped train, append batch, hot-cell members, one build corpus
-    pass), so the guard never adds an unbounded scan to a query path."""
-    bad = [
-        r[0]
-        for r in df.where(norm_expr(F.col(vec_col)) == 0.0)
-        .select(F.col(id_col))
-        .limit(5)
-        .collect()
-    ]
-    if bad:
-        raise ValueError(
-            f"zero-norm vector(s) in {context} (ids {bad}): cosine "
-            "assignment is undefined — filter them before indexing"
-        )
+def _checked_norm(nv: Column) -> Column:
+    """The row-norm with the zero-norm guard EMBEDDED in the
+    expression: ``raise_error`` fires JVM-side on the first zero-norm
+    row the assignment pass touches — zero extra Spark actions, zero
+    extra scans (the first-cut guard was a separate
+    ``where(norm==0).limit(5)`` action per call site, which added two
+    full O(N) passes to q199's build+append path and pushed its bench
+    median over the ≤7 s bar). This is the distributed mirror of the
+    loud raise in :func:`ivf_train_centroids_local` (the r12 ADVICE
+    asymmetry): 0/0 = NaN scores must never reach cell assignment
+    because NaN ordering diverges across the three engines (numpy
+    ``>=`` never updates, Spark struct ``array_max`` ranks NaN above
+    every double, DuckDB 0/0 is NULL and sorts last) — a silent
+    cross-engine hash break, surfaced instead as a job error at
+    build/append/train time. Error text matches the local path's so
+    callers/tests can match "zero-norm" on either.
+
+    Value-neutral on valid corpora: for every non-zero norm the CASE
+    collapses to the bare norm column, same doubles, same folds."""
+    return F.when(
+        nv == 0.0,
+        F.raise_error(
+            F.lit(
+                "zero-norm vector in IVF assignment: cosine assignment "
+                "is undefined — filter them before indexing"
+            )
+        ).cast("double"),
+    ).otherwise(nv)
 
 
 def cosine_topk(
@@ -395,7 +396,9 @@ def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
             scored.append(F.struct(s.alias("s"), F.lit(i).alias("c")))
         return F.array_max(F.array(*scored))["c"]
 
-    return F.element_at(F.transform(F.array(norm_expr(F.col(vec_col))), entries), 1)
+    return F.element_at(
+        F.transform(F.array(_checked_norm(norm_expr(F.col(vec_col)))), entries), 1
+    )
 
 
 # Above this count, the literal-fold device stops being the right
@@ -537,9 +540,9 @@ def with_assigned_cell(
     cols = df.columns
     return df.crossJoin(F.broadcast(cent1)).select(
         *cols,
-        F.element_at(F.transform(F.array(norm_expr(F.col(vec_col))), best), 1).alias(
-            out_col
-        ),
+        F.element_at(
+            F.transform(F.array(_checked_norm(norm_expr(F.col(vec_col)))), best), 1
+        ).alias(out_col),
     )
 
 
@@ -669,9 +672,9 @@ def ivf_train_centroids(
             .limit(cap)
             .localCheckpoint(eager=True)
         )
-    # same loud zero-norm contract as the local path (which raises in
-    # ivf_train_centroids_local); bounded — `work` is the capped train
-    _assert_no_zero_norms(work, id_col, vec_col, "IVF train")
+    # zero-norm rows raise inside the assignment expression itself
+    # (_checked_norm via with_assigned_cell) — the loud local-path
+    # contract at zero extra actions
     seeds = work.orderBy(id_col).limit(n_cells).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in seeds]
     # effective capacity clamps to the seed count when the training
@@ -1243,11 +1246,9 @@ def build_ivf_index(
     spark = corpus.sparkSession
     train = corpus.where(train_where) if train_where else corpus
     centroids = ivf_train_centroids(train, id_col, vec_col, n_cells, iters)
-    # the train guard (both paths) only covers the train subset; the
-    # list-writing assignment below scores the WHOLE corpus, so guard
-    # it too — one column-pruned norms-only pass, marginal next to the
-    # O(N x n_cells) assignment scan it protects
-    _assert_no_zero_norms(corpus, id_col, vec_col, "IVF index build")
+    # zero-norm corpus rows (even outside the train subset) raise
+    # inside the list-writing assignment expression (_checked_norm)
+    # — no separate guard pass over the corpus
     # widen the scan before the corpus-wide scoring fold (the
     # cosine_topk_ivf note: single-split embedding scans serialize it)
     with_assigned_cell(
@@ -1374,12 +1375,8 @@ def append_to_ivf_index(
             return
     cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
-    # bounded (the incoming batch), same loud contract as the train
-    # paths; checked BEFORE the anti-join so the guard action never
-    # re-runs the O(index ids) existing-id scan (a zero-norm row
-    # raises even if its id would have been skipped — stricter, and
-    # the batch is the caller's to clean either way)
-    _assert_no_zero_norms(new_vectors, id_col, vec_col, "IVF append batch")
+    # zero-norm batch rows raise inside the assignment expression
+    # (_checked_norm) during the append write — no extra guard action
     batch = new_vectors
     if skip_existing_ids:
         existing = spark.read.parquet(path).select(F.col(id_col))
@@ -1788,16 +1785,16 @@ def rebalance_ivf_index(
             F.col("cell").cast("int").alias("cell"),
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            norm_expr(F.col(vec_col)).alias("nrm"),
+            # the split below divides by member norms; _checked_norm
+            # raises on a zero-norm member during this materialization
+            # — same loud contract as the train paths, zero extra pass
+            _checked_norm(norm_expr(F.col(vec_col))).alias("nrm"),
         )
         # materialized once: feeds the seed lookups, the split, the
         # centroid means, and the rewrite — and breaks lineage to the
         # files the dynamic overwrite below will replace
         .localCheckpoint(eager=True)
     )
-    # bounded (hot cells' members, already materialized); the split
-    # below divides by member norms — same loud contract as train
-    _assert_no_zero_norms(members, "id", "v", "IVF rebalance (hot-cell members)")
     halves = split_hot_cells(
         members, materialize=lambda df: df.localCheckpoint(eager=True)
     )

@@ -421,6 +421,10 @@ def test_local_lloyd_rejects_zero_norm_vectors():
 # corpus-wide assignment, and the append batch divided by unchecked
 # norms — a >_IVF_LOCAL_TRAIN_MAX corpus with one zero-norm vector
 # would have trained silently with engine-divergent NaN ordering.
+# The distributed guard is EMBEDDED in the assignment expression
+# (similarity._checked_norm: raise_error on norm==0, zero extra
+# actions/scans), so it surfaces as a Spark job error whose message
+# carries the same "zero-norm" marker as the local ValueError.
 # ---------------------------------------------------------------------
 
 import pytest
@@ -441,7 +445,7 @@ def _vec_df(spark, n, poison_id=None):
 
 def test_distributed_lloyd_rejects_zero_norm_vectors(spark, monkeypatch):
     monkeypatch.setattr(similarity, "_IVF_LOCAL_TRAIN_MAX", 0)  # force distributed
-    with pytest.raises(ValueError, match="zero-norm"):
+    with pytest.raises(Exception, match="zero-norm"):
         similarity.ivf_train_centroids(_vec_df(spark, 32, poison_id=99), n_cells=4, iters=1)
 
 
@@ -449,7 +453,7 @@ def test_build_rejects_zero_norm_corpus_row_outside_train(spark, tmp_path):
     # train subset is clean (local train passes); the poison row only
     # reaches the corpus-wide list-writing assignment — which must
     # still fail loudly instead of writing a NaN-assigned partition
-    with pytest.raises(ValueError, match="zero-norm"):
+    with pytest.raises(Exception, match="zero-norm"):
         similarity.build_ivf_index(
             _vec_df(spark, 32, poison_id=99),
             str(tmp_path / "idx"),
@@ -462,9 +466,9 @@ def test_build_rejects_zero_norm_corpus_row_outside_train(spark, tmp_path):
 def test_append_rejects_zero_norm_batch_row(spark, tmp_path):
     path = str(tmp_path / "idx")
     similarity.build_ivf_index(_vec_df(spark, 32), path, n_cells=4, iters=1)
-    with pytest.raises(ValueError, match="zero-norm"):
+    with pytest.raises(Exception, match="zero-norm"):
         similarity.append_to_ivf_index(
             spark.createDataFrame([(100, [0.0] * 4)], _VEC_SCHEMA), path
         )
-    # the guard fires BEFORE any write: the index is unchanged
+    # the failed write job aborts before commit: the index is unchanged
     assert spark.read.parquet(path).where("vec_id = 100").count() == 0

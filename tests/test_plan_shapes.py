@@ -874,6 +874,18 @@ def test_ann_recall_corpus_never_shuffles(q):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_delete_tombstone_filter_below_assignment(q):
+    # the tombstone exclusion must be a plain candidate-side Filter
+    # sitting with the scan — BELOW the O(n_cells) assignment fold —
+    # so deleted rows are never scored; candidates stay map-only
+    # (broadcast probe join, never a corpus shuffle-join)
+    plan = plan_text(q("q224_ivf_delete"))
+    assert re.search(r"NOT \(\(vec_id#\d+L? % 7\) = 3\)", plan), "tombstone filter missing"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probed queries broadcast onto cells
+
+
 def test_cluster_canonical_partitioned_window(q):
     # the rank window is partitioned by cluster (distributed), and the
     # candidate join is an equi hash join on the block key
