@@ -89,9 +89,15 @@ HEAVY = [
 # An EXPLICIT SPARK_GRAFT_BENCH_HEAVY_REPS is honored verbatim — the
 # old min()-clamp silently ignored a request for more heavy reps than
 # headline reps; the clamp now applies only to the default.
+# Heavy default 3 → 5 (r13): this box stalls in multi-second bursts
+# (r13 measured q212 spread 4.5—44.9 s within one bench; the io_proxy
+# sample taken during the burst was +50%). The round-robin interleave
+# bounds a burst to ~one rep per query, but with 3 reps one polluted
+# rep already drags the median; 5 reps keeps the median on the clean
+# majority for ~2 extra minutes of bench wall.
 HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 _heavy_env = os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPS")
-HEAVY_REPS = int(_heavy_env) if _heavy_env is not None else min(HEADLINE_REPS, 3)
+HEAVY_REPS = int(_heavy_env) if _heavy_env is not None else min(HEADLINE_REPS, 5)
 
 
 def _load_proxy_sample() -> float:
@@ -110,6 +116,34 @@ def _load_proxy_sample() -> float:
     acc = 1
     for _ in range(3_000_000):
         acc = (acc * 1103515245 + 12345) & 0x7FFFFFFF
+    return round(time.perf_counter() - t0, 3)
+
+
+def _io_proxy_sample() -> float:
+    """Wall time of a FIXED disk round-trip (write 8 MiB + fsync +
+    read back + unlink in this repo's filesystem) — the I/O companion
+    to :func:`_load_proxy_sample`. The CPU spin alone cannot explain a
+    slow round: q199 (the one heavy query that writes a real parquet
+    index) swung 6.5 → 11 s across sessions whose spin walls differed
+    by <20%, because the box's DISK state (page cache, other writers)
+    moved independently of its CPU load. Recording both lets a
+    cross-round compare attribute inflation to the right resource."""
+    import tempfile
+
+    buf = b"\xa5" * (8 << 20)
+    t0 = time.perf_counter()
+    fd, p = tempfile.mkstemp(prefix="bench_ioproxy_", dir=REPO_DIR)
+    try:
+        os.write(fd, buf)
+        os.fsync(fd)
+        os.close(fd)
+        with open(p, "rb") as f:
+            f.read()
+    finally:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
     return round(time.perf_counter() - t0, 3)
 
 
@@ -177,11 +211,15 @@ def main() -> None:
         }
 
     load_samples = [_load_proxy_sample()]
+    io_samples = [_io_proxy_sample()]
     headline_stats = run_list(HEADLINE, HEADLINE_REPS)
     load_samples.append(_load_proxy_sample())
+    io_samples.append(_io_proxy_sample())
     heavy_stats = run_list(HEAVY, HEAVY_REPS)
     load_samples.append(_load_proxy_sample())
+    io_samples.append(_io_proxy_sample())
     load_proxy = round(statistics.median(load_samples), 3)
+    io_proxy = round(statistics.median(io_samples), 3)
     timings = {n: s["median"] for n, s in headline_stats.items()}
     heavy = {n: s["median"] for n, s in heavy_stats.items()}
     checked_rounds = _driver_checked_rounds()
@@ -235,6 +273,9 @@ def main() -> None:
                     # between lists, after heavy) — the box-load
                     # normalizer; see _load_proxy_sample
                     "load_proxy_samples": load_samples,
+                    # fixed 8 MiB write+fsync+read walls at the same
+                    # three points — the DISK-state companion
+                    "io_proxy_samples": io_samples,
                     "sf": sf,
                 },
                 f,
@@ -268,6 +309,10 @@ def main() -> None:
                 # round's load_proxy) to normalize box load before
                 # calling a cross-round delta a regression
                 "load_proxy": load_proxy,
+                # median fixed 8 MiB write+fsync+read wall — the disk
+                # half of the normalization (q199-class index writers
+                # track this, not the CPU spin)
+                "io_proxy": io_proxy,
                 "stats_file": stats_file,
             }
         )
