@@ -54,8 +54,12 @@ def _checked_norm(nv: Column) -> Column:
     ``>=`` never updates, Spark struct ``array_max`` ranks NaN above
     every double, DuckDB 0/0 is NULL and sorts last) — a silent
     cross-engine hash break, surfaced instead as a job error at
-    build/append/train time. Error text matches the local path's so
-    callers/tests can match "zero-norm" on either.
+    build/append/train time. The same wrapper guards the QUERY side
+    (the ``qn`` bindings of cosine_topk / cosine_topk_lsh /
+    cosine_topk_ivf / query_ivf_index / the ivf2 probe): a zero-norm
+    query vector would otherwise return NaN-ranked neighbors instead
+    of failing (code-review r13). Error text matches the local path's
+    so callers/tests can match "zero-norm" on either.
 
     Value-neutral on valid corpora: for every non-zero norm the CASE
     collapses to the bare norm column, same doubles, same folds."""
@@ -92,7 +96,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_expr(F.col(vec_col)).alias("qn"),
+        _checked_norm(norm_expr(F.col(vec_col))).alias("qn"),
     )
     # widen before the per-row norm + per-query dot folds: a broadcast
     # join evaluates the corpus side in the SCAN stage, and an
@@ -203,7 +207,7 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_expr(F.col(vec_col)).alias("qn"),
+        _checked_norm(norm_expr(F.col(vec_col))).alias("qn"),
         F.explode(_probe_buckets_expr(vec_col, planes, n_probe)).alias("bucket"),
     )
     # widen before the n_planes x dim bucket fold per corpus row (the
@@ -751,7 +755,11 @@ def cosine_topk_ivf(
     train = corpus.where(train_where) if train_where else corpus
     centroids = ivf_train_centroids(train, id_col, vec_col, n_cells, iters)
     if tombstones_where:
-        corpus = corpus.where(~F.expr(tombstones_where))
+        # IS NOT TRUE semantics, not ~pred: a row where the predicate
+        # evaluates NULL is NOT deleted (a NULL id never matches a
+        # tombstone in the persisted anti-join this mirrors; bare
+        # ~NULL = NULL would silently drop it here)
+        corpus = corpus.where(~F.coalesce(F.expr(tombstones_where), F.lit(False)))
 
     # widen BEFORE the O(N x n_cells) scoring fold: an embeddings scan
     # is few bytes per FLOP (sf10 = 200k vectors in ~2 parquet splits),
@@ -779,7 +787,7 @@ def cosine_topk_ivf(
             queries.select(
                 F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("q_vec"),
-                norm_expr(F.col(vec_col)).alias("qn"),
+                _checked_norm(norm_expr(F.col(vec_col))).alias("qn"),
             ),
             "q_vec",
             centroids,
@@ -947,7 +955,7 @@ def _ivf2_probe_cells(
             queries.select(
                 F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("q_vec"),
-                norm_expr(F.col(vec_col)).alias("qn"),
+                _checked_norm(norm_expr(F.col(vec_col))).alias("qn"),
             ),
             "q_vec",
             l1,
@@ -1288,30 +1296,40 @@ def _sidecar_is_empty_dir(spark, sidecar_path: str) -> bool:
     return True
 
 
-def _count_batch_token(spark, sidecar_path: str, token: str) -> int:
-    """Probe the ``_batches`` sidecar for ``token``. Returns 0 iff no
-    tokened append has ever COMMITTED: the sidecar does not exist, or
-    it exists but holds no data file (a crash between directory
-    creation and the first committed file — without this case an
-    aborted first append would raise UNABLE_TO_INFER_SCHEMA forever,
-    permanently blocking every token-gated append on the index).
-    Every OTHER failure mode — permissions, transient FS errors, a
-    corrupt file alongside committed ones — re-raises: treating an
-    unreadable sidecar as "no token" would let a recorded token be
-    bypassed and the batch re-appended, the exact duplicate-rows
-    failure the token prevents."""
+def _read_optional_sidecar(spark, sidecar_path: str) -> DataFrame | None:
+    """Read a sidecar table that legitimately may not exist yet
+    (``_batches``: no tokened append has ever happened; ``_tombstones``:
+    no delete has). ONLY the two never-written states map to None — the
+    path is absent, or it is a directory holding no committed data file
+    (a crash between mkdir and the first committed parquet; without
+    this case an aborted first write would raise
+    UNABLE_TO_INFER_SCHEMA forever). Every OTHER failure RAISES —
+    permissions, transient FS errors, a corrupt file alongside
+    committed ones: treating an unreadable sidecar as "never written"
+    would bypass a recorded batch token (silent re-append) or resurrect
+    deleted rows in query results."""
     try:
-        sidecar = spark.read.parquet(sidecar_path)
+        return spark.read.parquet(sidecar_path)
     except AnalysisException as e:
         cond = e.getCondition() if hasattr(e, "getCondition") else None
         msg = str(e)
         if cond == "PATH_NOT_FOUND" or (cond is None and "PATH_NOT_FOUND" in msg):
-            return 0
+            return None
         if (
             cond == "UNABLE_TO_INFER_SCHEMA" or "UNABLE_TO_INFER_SCHEMA" in msg
         ) and _sidecar_is_empty_dir(spark, sidecar_path):
-            return 0
+            return None
         raise
+
+
+def _count_batch_token(spark, sidecar_path: str, token: str) -> int:
+    """Probe the ``_batches`` sidecar for ``token``; 0 iff no tokened
+    append has ever committed. The existence/error discipline lives in
+    :func:`_read_optional_sidecar` (one implementation for both
+    sidecars, so a new Spark error condition is handled once)."""
+    sidecar = _read_optional_sidecar(spark, sidecar_path)
+    if sidecar is None:
+        return 0
     return sidecar.where(F.col("token") == F.lit(token)).limit(1).count()
 
 
@@ -1352,6 +1370,11 @@ def append_to_ivf_index(
     silently doubles inverted-list rows (duplicate neighbors, skewed
     occupancy audits).
 
+    A batch containing a currently-TOMBSTONED id raises (see
+    :func:`delete_from_ivf_index`): re-inserting a deleted id is only
+    well-defined after a compaction, and proceeding would lose the new
+    vector silently under either idempotency guard.
+
     Failure semantics of the token probe: ONLY a missing ``_batches``
     sidecar (no tokened append has ever committed) is treated as
     "token not seen". Any other read failure — permissions, transient
@@ -1373,6 +1396,30 @@ def append_to_ivf_index(
         seen = _count_batch_token(spark, path + "_batches", batch_token)
         if seen:
             return
+    # Re-inserting a TOMBSTONED id is rejected loudly (code-review r13):
+    # silently it loses the update both ways — skip_existing_ids
+    # anti-joins the new vector away against the still-present old row,
+    # and without the skip the new row is written but the query-time
+    # tombstone anti-join hides it and the next compaction deletes both
+    # AND clears the tombstone. The delete+reinsert "update" pattern
+    # must run compact_ivf_index between the two steps; this bounded
+    # probe (broadcast semi-join against the tiny tombstone sidecar)
+    # turns the silent loss into an instruction.
+    tombs = _read_optional_sidecar(spark, path + "_tombstones")
+    if tombs is not None:
+        clash = (
+            new_vectors.select(F.col(id_col))
+            .join(F.broadcast(tombs.select(id_col)), on=id_col, how="left_semi")
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"append batch contains tombstoned id(s) {[r[0] for r in clash]}: "
+                "run compact_ivf_index before re-inserting a deleted id "
+                "(appending now would be silently hidden by the tombstone "
+                "and removed by the next compaction)"
+            )
     cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
     # zero-norm batch rows raise inside the assignment expression
@@ -1390,29 +1437,6 @@ def append_to_ivf_index(
         spark.createDataFrame([(batch_token,)], "token STRING").write.mode("append").parquet(
             path + "_batches"
         )
-
-
-def _read_optional_sidecar(spark, sidecar_path: str) -> DataFrame | None:
-    """Read a sidecar table that legitimately may not exist yet
-    (``_tombstones``: no delete has ever happened). ONLY the two
-    never-written states map to None — the path is absent, or it is a
-    directory holding no committed data file (a crash between mkdir
-    and the first committed parquet). Every other failure RAISES, same
-    discipline as :func:`_count_batch_token`: treating an unreadable
-    tombstone sidecar as "no deletions" would silently resurrect
-    deleted rows in query results."""
-    try:
-        return spark.read.parquet(sidecar_path)
-    except AnalysisException as e:
-        cond = e.getCondition() if hasattr(e, "getCondition") else None
-        msg = str(e)
-        if cond == "PATH_NOT_FOUND" or (cond is None and "PATH_NOT_FOUND" in msg):
-            return None
-        if (
-            cond == "UNABLE_TO_INFER_SCHEMA" or "UNABLE_TO_INFER_SCHEMA" in msg
-        ) and _sidecar_is_empty_dir(spark, sidecar_path):
-            return None
-        raise
 
 
 def delete_from_ivf_index(
@@ -1436,6 +1460,15 @@ def delete_from_ivf_index(
     size, the index wants rebuilding, not tombstoning. Deleting an id
     the index never held is a harmless no-op tombstone (it anti-joins
     nothing and compaction clears it).
+
+    Update-as-delete-then-reinsert requires a :func:`compact_ivf_index`
+    between the two steps: ``append_to_ivf_index`` REJECTS a batch
+    containing a currently-tombstoned id (loudly, with this
+    instruction), because accepting it would lose the update silently
+    either way — the default existing-id anti-join drops the new
+    vector against the still-present old row, and without the skip the
+    new row is hidden by the tombstone and removed (with the old one)
+    by the next compaction.
 
     Idempotency/crash notes: a re-run of the same delete adds no
     duplicate tombstones (the anti-join); a crash mid-append leaves at
@@ -1486,26 +1519,23 @@ def compact_ivf_index(
         return {"tombstones": 0, "cells_rewritten": [], "cells_removed": [], "rows_removed": 0}
 
     idx = spark.read.parquet(path)
-    # column-pruned: ids + the cell partition column only, never vectors
-    affected = sorted(
-        int(r["cell"])
-        for r in idx.select(id_col, "cell")
-        .join(tombs, on=id_col, how="left_semi")
-        .select("cell")
-        .distinct()
+    # ONE column-pruned pass (ids + the cell partition column, never
+    # vectors) yields both the affected-cell list AND the matched-row
+    # counts — the first cut ran two separate semi-join scans for them
+    # (code-review r13). Taken BEFORE any rewrite: the scan is lazy,
+    # and an action after the overwrite would read the
+    # already-compacted files and count zero.
+    per_cell = (
+        idx.select(id_col, "cell")
+        .join(F.broadcast(tombs), on=id_col, how="left_semi")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
+    affected = sorted(int(r["cell"]) for r in per_cell)
     stats = {"tombstones": n_tombs, "cells_rewritten": [], "cells_removed": [], "rows_removed": 0}
     if affected:
-        # matched-row count BEFORE any rewrite (the scan is lazy — an
-        # action after the overwrite would read the already-compacted
-        # files and count zero); partition-pruned + column-pruned
-        stats["rows_removed"] = (
-            idx.where(F.col("cell").isin(affected))
-            .select(id_col)
-            .join(tombs, on=id_col, how="left_semi")
-            .count()
-        )
+        stats["rows_removed"] = sum(int(r["n"]) for r in per_cell)
         # partition-pruned members of affected cells; checkpointed so
         # the rewrite does not read the files it replaces
         keep = (
@@ -1540,11 +1570,11 @@ def compact_ivf_index(
             hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}")
             hpath.getFileSystem(conf).delete(hpath, True)
         stats.update(cells_rewritten=rewritten, cells_removed=removed)
-    # clear the sidecar LAST (see docstring); an empty overwrite keeps
-    # the schema so the next _read_optional_sidecar sees a valid table
-    spark.createDataFrame([], f"{id_col} BIGINT").write.mode("overwrite").parquet(
-        path + "_tombstones"
-    )
+    # clear the sidecar LAST (see docstring); the empty overwrite
+    # carries the sidecar's OWN schema (tombs.limit(0)) — a hardcoded
+    # BIGINT DDL would leave mixed-schema parquet under _tombstones
+    # for an index with non-BIGINT ids, breaking every later read
+    tombs.limit(0).write.mode("overwrite").parquet(path + "_tombstones")
     return stats
 
 
@@ -1574,7 +1604,7 @@ def query_ivf_index(
             queries.select(
                 F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("q_vec"),
-                norm_expr(F.col(vec_col)).alias("qn"),
+                _checked_norm(norm_expr(F.col(vec_col))).alias("qn"),
             ),
             "q_vec",
             centroids,

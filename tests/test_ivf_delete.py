@@ -195,6 +195,64 @@ def test_compact_noop_without_tombstones(spark, tmp_path):
     assert spark.read.parquet(path + "_tombstones").count() == 0
 
 
+def test_reinsert_of_tombstoned_id_raises_until_compacted(spark, tmp_path):
+    """Update-as-delete-then-reinsert needs a compaction between the
+    steps (code-review r13): accepting the append would lose the new
+    vector silently under either idempotency guard, so it must raise
+    with the compact instruction instead."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, n_cells=8, iters=2)
+    # schema must match the index's physical column types (the corpus
+    # is array<float>; a double-array row would poison the partition)
+    new_vec = spark.createDataFrame(
+        [(7, [0.5] * 64)], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    delete_from_ivf_index(_id_df(spark, [7]), path)
+    with pytest.raises(ValueError, match="tombstoned"):
+        from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+            append_to_ivf_index,
+        )
+
+        append_to_ivf_index(new_vec, path)
+    # after compaction the re-insert is well-defined and lands
+    compact_ivf_index(spark, path)
+    from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (
+        append_to_ivf_index,
+    )
+
+    append_to_ivf_index(new_vec, path)
+    got = spark.read.parquet(path).where("vec_id = 7").collect()
+    assert len(got) == 1
+    assert [float(x) for x in got[0]["embedding"]] == [0.5] * 64
+
+
+def test_compact_clears_sidecar_with_its_own_schema(spark, tmp_path):
+    """The clear must carry the sidecar's own id schema (code-review
+    r13): a hardcoded BIGINT DDL would leave mixed-schema parquet
+    under _tombstones for an index with non-BIGINT ids."""
+    import pyspark.sql.functions as F2
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        F2.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, n_cells=8, iters=2)
+    delete_from_ivf_index(
+        spark.createDataFrame([(3,)], "vec_id INT"), path
+    )
+    compact_ivf_index(spark, path)
+    # the cleared sidecar reads back with the INT id schema, and a
+    # second delete+read round-trip stays schema-consistent
+    assert dict(spark.read.parquet(path + "_tombstones").dtypes)["vec_id"] == "int"
+    delete_from_ivf_index(spark.createDataFrame([(5,)], "vec_id INT"), path)
+    tombs = spark.read.parquet(path + "_tombstones")
+    assert dict(tombs.dtypes)["vec_id"] == "int"
+    assert [int(r["vec_id"]) for r in tombs.collect()] == [5]
+
+
 def test_deleting_unknown_id_is_harmless(spark, tmp_path):
     emb = load_table(spark, SF_DIR, "embeddings")
     path = str(tmp_path / "idx")

@@ -472,3 +472,20 @@ def test_append_rejects_zero_norm_batch_row(spark, tmp_path):
         )
     # the failed write job aborts before commit: the index is unchanged
     assert spark.read.parquet(path).where("vec_id = 100").count() == 0
+
+
+def test_query_side_rejects_zero_norm_query_vector(spark, tmp_path):
+    # code-review r13: a zero-norm QUERY vector must fail loudly too —
+    # unguarded (pre-ANSI semantics) it returns NaN-ranked neighbors
+    # (Spark ranks NaN above every double) instead of an error. Under
+    # ANSI (Spark 4 default) the probe expression's own division may
+    # raise DIVIDE_BY_ZERO before the _checked_norm qn binding
+    # evaluates — either way the contract is a LOUD error, never
+    # NaN-ordered results; accept both messages.
+    path = str(tmp_path / "idx")
+    similarity.build_ivf_index(_vec_df(spark, 32), path, n_cells=4, iters=1)
+    poisoned_queries = spark.createDataFrame([(500, [0.0] * 4)], _VEC_SCHEMA)
+    with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        similarity.query_ivf_index(poisoned_queries, path, k=3, n_probe=2).collect()
+    with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        similarity.cosine_topk(_vec_df(spark, 32), poisoned_queries, k=3).collect()

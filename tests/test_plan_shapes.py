@@ -880,7 +880,11 @@ def test_ivf_delete_tombstone_filter_below_assignment(q):
     # so deleted rows are never scored; candidates stay map-only
     # (broadcast probe join, never a corpus shuffle-join)
     plan = plan_text(q("q224_ivf_delete"))
-    assert re.search(r"NOT \(\(vec_id#\d+L? % 7\) = 3\)", plan), "tombstone filter missing"
+    # IS-NOT-TRUE form: NOT coalesce(pred, false) — NULL-evaluating
+    # rows are kept, matching the persisted anti-join twin
+    assert re.search(
+        r"NOT coalesce\(\(\(vec_id#\d+L? % 7\) = 3\), false\)", plan
+    ), "tombstone filter missing"
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # probed queries broadcast onto cells
