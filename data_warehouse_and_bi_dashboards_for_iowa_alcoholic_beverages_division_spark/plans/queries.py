@@ -145,90 +145,88 @@ def register(name: str, oracle: str | None, description: str = ""):
 # losing SURVEY §2 coverage: every swapped-out query's §2 row is still
 # covered by another window slot (q03→q30 for P10, q09→q25 for O3,
 # q15→q14 for U3, q24→q23/q25-q28 for A5, q49→q20/q28 for F4/#6).
-# Round-13 rotation (the r12 verdict's asks #1 and #3): all 50 of
-# round-12's window rode to driver-green (cumulative current-registry
-# coverage 177/219), so the whole r12 swap set rotates out. This
-# round CLOSES first-time external coverage — after it, every oracled
-# query in the registry holds a driver hash (only the 5 rows-only
-# twins, which can never hash-check, remain). The 50 slots:
+# Round-14 rotation (the r13 verdict's ask #1): first-time coverage
+# closed in r13 — every oracled query in the registry holds a driver
+# hash — so window slots are now PURE RE-CHECK capacity, and the
+# steady-state cadence begins: oldest-green-first, ~4.3 rounds to
+# re-verify the whole 215-oracle registry at 50 slots/round. The 50:
 #   (a) SOLE ANCHORS stay, as every round: q05 (sole J3 left-outer),
 #       q06 (sole J4 anti), q07 (sole semi), q08 (sole J7 cross) — no
-#       other window slot covers those §2 rows.
-#   (b) STALE-GREEN RE-CHECKS (verdict #3, oldest-green-first): the
-#       verdict-named r7-era q11 q32 q33 and r8-era q04 q31 q44 q52
-#       q53 return to the window — exactly the eight slots left after
-#       (a) and (c), and exactly the verdict's list. All eight live in
-#       the raw first-50, so they return simply by NOT being swapped
-#       out. The remaining r8/r9-era holdovers (q37 q38 q40 q41 q42
-#       q46 q13 q20) head the r14 re-check queue.
-#   (c) FIRST-TIME COVERAGE (verdict #1): 37 slots take ALL remaining
-#       never-driver-checked oracled queries, in the verdict's
-#       priority order — the retrieval trio q166 (hybrid RRF) q167
-#       (hard negatives) q179 (MMR), the audit pair q203/q205, q159
-#       (bloom-prune join), the stats/profile block q135 q136 q139
-#       q140 q144 q164 q168 q176 q182, drift/privacy q172 q173,
-#       journeys q174 q175 q193, analytics q114 q115 q181 q183 q185,
-#       and the tail q69 q70 q72 q74 q77 q78 q125 q129 q142 q152
-#       q169 q180; plus 1 slot for the round's NEW query q224 (IVF
-#       tombstone delete) — new queries ride the window the round
-#       they land.
-# Every swapped-out name holds a driver green (so no §2 row loses
-# external evidence); the freshest are r12 greens (q03 q09 q15 q18
-# q24-q28 q49 and the r12 first-timer block), the oldest the r8/r9
-# holdovers named in (b) above.
-# Cumulative if green: 177 → 214 of 219 (+ q224 = 215 of 220).
+#       other window slot covers those §2 rows. In the raw first-50,
+#       so they stay by NOT being swapped out.
+#   (b) ALL 16 r8-era greens (five rounds stale): q37 q38 q40 q41 q42
+#       q46 stay in place (raw first-50); q146 q186 q187 q195 q196
+#       q204 q206 q207 q208 q209 swap in.
+#   (c) ALL 26 r9-era greens: q13 q20 stay in place; q55 q58 q59 q65
+#       q66 q73 q84 q91 q120 q122 q123 q127 q132 q133 q141 q143 q145
+#       q147 q151 q190 q210 q211 q212 q213 swap in.
+#   (d) r10-era head: q14 stays in place; q126 swaps in. The verdict
+#       named four r10 names (q126 q131 q137 q14) but also asked the
+#       new q225 into the window, and the round added a second new
+#       query q226 — 52 into 50 — so q131 and q137 yield their slots
+#       to the two newcomers and HEAD THE r15 QUEUE (with the rest of
+#       the r10-era greens: q57 q60-q62 q156 q188 q199 q201 q202 ...).
+#       Evicting r10-era names keeps the ask-#1 criterion intact: no
+#       registry query's last external hash is OLDER than r10.
+#   (e) the round's NEW queries ride the window the round they land,
+#       as every round: q225 (tombstone-debt audit) and q226
+#       (hierarchical tombstone delete).
+# Every swapped-out name holds an r11-or-fresher driver green (q01-q03
+# q09-q12 q17-q19 q21-q34 q43-q53 families: r11/r12/r13), so no §2 row
+# loses external evidence — each swapped-out query's §2 row is also
+# covered in-window (J-rows by q58/q59/q137→q05-q08 anchors, A5 by
+# q91/q132/q133, P10 by q84/q190 dedup family, W1-W3/O1 by q143/q66,
+# F1 by q145/q146, F4 by q20, U1-U3 by q13/q14/q131, SCD by q137's
+# as-of + q58/q59 interval devices).
+# Cumulative if green: 215 of 220 holds (no first-timers left except
+# the two newcomers q225/q226: 215 → 217 of 222).
 # The ACTIVE window is emitted in every bench run ("driver_window" in
 # BENCH_STATS.json) alongside the cumulative driver_checked_ever list,
 # so externally-reported verification coverage is auditable round over
 # round without reading this file.
 # ---------------------------------------------------------------------
 _WINDOW_SWAPS: list[tuple[str, str]] = [
-    # retrieval trio — the only LLM-pipeline operators with no hash yet
-    ("q01_pricing_summary", "q166_hybrid_rrf"),
-    ("q02_filter_project", "q167_hard_negatives"),
-    ("q03_distinct", "q179_mmr_diversified"),
-    # dedup bucket audits + bloom-prune join
-    ("q09_topn_parts", "q203_containment_bucket_audit"),
-    ("q10_top_orders_per_customer", "q205_overlap_bucket_audit"),
-    ("q12_watermark", "q159_bloom_prune_join"),
-    # stats / profile block
-    ("q13_union", "q135_daily_anomalies"),
-    ("q14_except_all", "q136_table_profile"),
-    ("q15_intersect", "q139_crosstab_expected"),
-    ("q16_count_distinct", "q140_benford_digits"),
-    ("q17_case_bucket", "q144_median_abs_deviation"),
-    ("q18_null_fill_geo", "q164_histogram_quantiles"),
-    ("q19_derived_measures", "q168_join_size_estimate"),
-    ("q20_date_dim", "q176_zipf_fit"),
-    ("q21_scd_build", "q182_psi_stability"),
-    # drift / privacy
-    ("q22_scd_as_of", "q172_corpus_drift_kl"),
-    ("q23_star_weekday", "q173_k_anonymity"),
-    # journeys
-    ("q24_star_month", "q174_markov_transitions"),
-    ("q25_topn_vendors", "q175_journey_surprise"),
-    ("q26_rollup_geo", "q193_touch_attribution"),
-    # analytics
-    ("q27_kpi_totals", "q114_supplier_part_counts"),
-    ("q28_season", "q115_promotion_suppliers"),
-    ("q29_scd_merge_insert", "q181_trending_brands"),
-    ("q30_dedup_exact", "q183_basket_lift"),
-    ("q34_fingerprint", "q185_hhi_concentration"),
-    # the tail
-    ("q37_ngram_jaccard", "q69_rolling_fingerprint"),
-    ("q38_knn_cosine", "q70_frame_sample"),
-    ("q40_embedding_near_dup", "q72_median_percentile"),
-    ("q41_events_hourly", "q74_sliding_window"),
-    ("q42_json_props", "q77_geo_heatmap"),
-    ("q43_sessionization", "q78_hash_sample"),
-    ("q45_media_features", "q125_skew_report"),
-    ("q46_media_metadata", "q129_score_calibration"),
-    ("q47_degenerate_invoice", "q142_rolling_distinct"),
-    ("q48_wkt_point", "q152_fuzzy_supplier_match"),
-    ("q49_date_horizon", "q169_incremental_agg_merge"),
-    ("q51_null_repair", "q180_query_expansion"),
-    # the round's NEW query rides the window the round it lands
-    ("q54_unknown_member", "q224_ivf_delete"),
+    # (b) r8-era re-checks — the 10 not already in the raw first-50
+    ("q01_pricing_summary", "q146_minhash_portable"),
+    ("q02_filter_project", "q186_exp_smoothing"),
+    ("q03_distinct", "q187_cluster_canonical"),
+    ("q04_join_inner_agg", "q195_quantile_norm"),
+    ("q09_topn_parts", "q196_leakage_safe_split"),
+    ("q10_top_orders_per_customer", "q204_decile_thresholds"),
+    ("q11_order_gaps", "q206_rfm_distributed"),
+    ("q12_watermark", "q207_batch_padding_distributed"),
+    ("q15_intersect", "q208_ivf_derived_cells"),
+    ("q16_count_distinct", "q209_ivfpq_recall"),
+    # (c) r9-era re-checks — the 24 not already in the raw first-50
+    ("q17_case_bucket", "q55_cube"),
+    ("q18_null_fill_geo", "q58_compound_join"),
+    ("q19_derived_measures", "q59_next_later_date"),
+    ("q21_scd_build", "q65_constraint_checks"),
+    ("q22_scd_as_of", "q66_session_window"),
+    ("q23_star_weekday", "q73_sql_text_star"),
+    ("q24_star_month", "q84_dedup_clusters"),
+    ("q25_topn_vendors", "q91_top_supplier"),
+    ("q26_rollup_geo", "q120_quality_classifier"),
+    ("q27_kpi_totals", "q122_gap_fill"),
+    ("q28_season", "q123_unpivot"),
+    ("q29_scd_merge_insert", "q127_char_entropy"),
+    ("q30_dedup_exact", "q132_revenue_share"),
+    ("q31_token_stats", "q133_yoy_growth"),
+    ("q32_text_quality", "q141_grouping_id"),
+    ("q33_lang_id", "q143_topn_with_ties"),
+    ("q34_fingerprint", "q145_simhash_md5"),
+    ("q43_sessionization", "q147_incremental_portable"),
+    ("q44_pivot", "q151_resize_text_twin"),
+    ("q45_media_features", "q190_semantic_dedup"),
+    ("q47_degenerate_invoice", "q210_corpus_diff"),
+    ("q48_wkt_point", "q211_ivf_sampled_train"),
+    ("q49_date_horizon", "q212_hierarchical_ivf"),
+    ("q51_null_repair", "q213_ivf2_recall"),
+    # (d) r10-era head
+    ("q52_grouping_sets", "q126_bpe_train"),
+    # (e) the round's NEW queries ride the window the round they land
+    ("q53_running_total", "q225_tombstone_debt"),
+    ("q54_unknown_member", "q226_ivf2_delete"),
 ]
 
 
@@ -10402,6 +10400,90 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q225_oracle(tombstone_pred: str = "vec_id % 7 = 3") -> str:
+    """DuckDB twin of the tombstone-debt audit: q67's unrolled train
+    feeds ``af`` (the full-corpus cell assignments — the index as
+    built), the tombstone predicate flags the logically-deleted rows
+    (q224's set), and the terminal SELECT is the per-cell debt
+    aggregate with the index-wide windows. The trigger is
+    integer-exact (``10 * Σnt > Σn``), matching the Spark side."""
+    audit = f"""SELECT cell,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST(nt AS BIGINT) AS n_tombstoned,
+           {floor_round6_sql("CAST(nt AS DOUBLE) / CAST(n AS DOUBLE)")} AS tombstone_frac,
+           {floor_round6_sql(
+               "CAST(SUM(nt) OVER () AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)"
+           )} AS tombstone_share,
+           {floor_round6_sql(
+               "CAST(SUM(CASE WHEN nt > 0 THEN 1 ELSE 0 END) OVER () AS DOUBLE)"
+               " / CAST(COUNT(*) OVER () AS DOUBLE)"
+           )} AS affected_cell_frac,
+           (10 * SUM(nt) OVER () > SUM(n) OVER ()) AS needs_compact
+    FROM (SELECT cell, COUNT(*) AS n,
+                 SUM(CASE WHEN {tombstone_pred} THEN 1 ELSE 0 END) AS nt
+          FROM af GROUP BY cell)
+    ORDER BY cell"""
+    return _q67_oracle(final_select=audit)
+
+
+@register(
+    "q225_tombstone_debt",
+    _q225_oracle(),
+    "IVF tombstone-debt audit - the WHEN for compact_ivf_index, "
+    "closing the maintenance loop q224's delete opened (occupancy "
+    "audit q200 triggers rebalance; THIS triggers compaction): "
+    "per-cell live counts, tombstoned counts and fractions under "
+    "q224's tombstone set (vec_id % 7 = 3), plus three index-wide "
+    "columns - tombstone_share (the query-time overhead deletes "
+    "impose: every probe scores tombstoned candidates before the "
+    "anti-join drops them), affected_cell_frac (the partition-pruning "
+    "ratio of a compaction run today: near 0 = id-clustered deletes, "
+    "compact now is cheap; near 1 = scattered deletes touched every "
+    "cell and compaction degenerates to a full rewrite - batch more "
+    "deletes first), and the integer-exact needs_compact trigger "
+    "(10 x tombstoned > rows, share > 10%, no float threshold). The "
+    "audit doubles as a dry-run cost estimate: its affected set is "
+    "exactly the cell set compact_ivf_index rewrites or removes, and "
+    "its tombstoned sum exactly rows_removed (pytest-pinned contract, "
+    "the audit-implies-work device of the q200/rebalance pair). Scale "
+    "shape: one column-pruned (id, cell) pass - vectors never read - "
+    "with the sidecar broadcast; output bounded at n_cells rows, the "
+    "index-wide stats unpartitioned windows over that bounded set. "
+    "Oracle = q67's unrolled train + the tombstone-predicate "
+    "aggregate over af",
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_train_centroids(emb, n_cells=8, iters=2)
+    counts = (
+        emb.select(
+            similarity._argmax_cell_expr("embedding", centroids).alias("cell"),
+            (F.col("vec_id") % 7 == 3).cast("long").alias("t"),
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"), F.sum("t").alias("nt"))
+    )
+    w = Window.partitionBy()  # bounded: n_cells rows
+    tot_n = F.sum("n").over(w)
+    tot_t = F.sum("nt").over(w)
+    return counts.select(
+        "cell",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.col("nt").cast("bigint").alias("n_tombstoned"),
+        floor_round6(F.col("nt").cast("double") / F.col("n").cast("double")).alias(
+            "tombstone_frac"
+        ),
+        floor_round6(tot_t.cast("double") / tot_n.cast("double")).alias(
+            "tombstone_share"
+        ),
+        floor_round6(
+            F.sum((F.col("nt") > 0).cast("long")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("affected_cell_frac"),
+        (F.lit(10) * tot_t > tot_n).alias("needs_compact"),
+    ).orderBy("cell")
+
+
 def _q201_oracle(n_iter: int = 3) -> str:
     """DuckDB twin of personalized PageRank: q163's unrolled
     iterations with the teleport vector concentrated on the seed set
@@ -12237,6 +12319,63 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
         existing, path, n_cells=nc, iters=2, train_where="vec_id % 16 = 0"
     )
     similarity.append_to_ivf2_index(arriving, path)
+    return similarity.query_ivf2_index(
+        emb.where("vec_id < 5"), path, k=10, n_probe=3, n_super_probe=2
+    )
+
+
+def _q226_oracle(tombstone_pred: str = "neighbor_id % 7 = 3") -> str:
+    """DuckDB twin of tombstone deletion on the PERSISTED HIERARCHICAL
+    index: q212's fully-unrolled two-level pipeline (both Lloyd
+    levels, cell→super map, two probe stages) with q224's terminal
+    device — tombstoned neighbors excluded from ``scored`` BEFORE
+    ranking, so a deleted neighbor frees its rank. Queries are not
+    filtered (a deleted id may still ask for neighbors)."""
+    final = f"""SELECT * FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored WHERE NOT ({tombstone_pred})
+    ) WHERE rank <= 10"""
+    return _q212_oracle(final_select=final)
+
+
+@register(
+    "q226_ivf2_delete",
+    _q226_oracle(),
+    "Tombstone deletion on the persisted HIERARCHICAL index - q224's "
+    "lifecycle step lifted to the two-level layout, completing the "
+    "flat/hierarchical x build/append/delete/compact matrix: the "
+    "two-level index is built and persisted (q220's path), the "
+    "tombstone set (vec_id % 7 = 3) recorded via "
+    "delete_from_ivf2_index (sidecar-only - at 10^9 vectors a delete "
+    "must not rewrite an inverted-list file), and query_ivf2_index "
+    "anti-joins the sidecar out of the candidate side BEFORE scoring, "
+    "so deletes are visible immediately and ranks assigned after the "
+    "exclusion free a deleted neighbor's rank. Physical removal is "
+    "compact_ivf2_index (the layout-agnostic compaction: rewrites "
+    "every surviving column of only the tombstone-holding cells), "
+    "with the WHEN data-driven by audit_ivf2_tombstones - both "
+    "pytest-pinned. The oracle is q212's verbatim two-level unroll "
+    "with the tombstone exclusion grafted before the terminal "
+    "ranking, so build -> persist -> delete -> query is value-checked "
+    "end-to-end across the file boundary",
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nc = similarity.derived_n_cells(_scalar_count(emb))
+    # deterministic per-SF path (the q156 leak note): build OVERWRITES,
+    # but does NOT clear a leftover tombstone sidecar — a dedicated
+    # path (not q220's) keeps the two queries independent, and re-runs
+    # stay convergent because the delete's anti-join dedup makes the
+    # same tombstone set a no-op on the second pass
+    path = _scratch_index_path("ivf2_del", sf_dir)
+    similarity.build_ivf2_index(
+        emb, path, n_cells=nc, iters=2, train_where="vec_id % 16 = 0"
+    )
+    similarity.delete_from_ivf2_index(
+        emb.where("vec_id % 7 = 3").select("vec_id"), path
+    )
     return similarity.query_ivf2_index(
         emb.where("vec_id < 5"), path, k=10, n_probe=3, n_super_probe=2
     )
