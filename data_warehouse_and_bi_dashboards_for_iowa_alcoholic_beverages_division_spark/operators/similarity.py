@@ -2089,6 +2089,155 @@ def rebalance_ivf_index(
     return stats
 
 
+def rebalance_ivf2_index(spark, path: str) -> dict:
+    """:func:`rebalance_ivf_index` on the persisted HIERARCHICAL
+    layout — the last cell of the flat/hierarchical lifecycle matrix
+    (build → persist → append → delete/compact/audit → REBALANCE).
+    Same trigger contract (the occupancy audit's skew alarm decides
+    WHEN; this splits EVERY over-mean cell), same deterministic 2-seed
+    split (:func:`split_hot_cells` — the one shared implementation, so
+    the q223-oracle-checked arithmetic governs this layout too), same
+    partition pruning (cold cells' files never touched, only hot + new
+    partitions rewrite under dynamic overwrite), same sidecar-first
+    crash convergence.
+
+    Two layout-specific differences:
+
+    - the inverted lists carry a PRECOMPUTED norm (``cn``) that
+      :func:`query_ivf2_index` scores with, so the rewrite joins the
+      split assignment back to the checkpointed member table to carry
+      the original ``cn`` through bit-unchanged (recomputing it would
+      be value-identical today but couples the repair to the build's
+      expression — carrying the stored value cannot drift);
+    - each fresh 'b' cell INHERITS its parent's supercell in the
+      ``_centroids`` sidecar (the split never moves members across the
+      level-1 boundary — both halves' vectors were routed to the
+      parent's supercell, and keeping them there preserves the
+      containment the two-stage probe ranking assumes). The
+      ``_supers`` sidecar is untouched; future appends/queries pick up
+      the new cells automatically because the member table derives
+      from the rewritten ``_centroids``."""
+    idx = spark.read.parquet(path)
+    occ = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = {int(r["cell"]): int(r["n"]) for r in occ}
+    total, ncells = sum(counts.values()), len(counts)
+    hot = sorted(c for c, n in counts.items() if n * ncells > total)
+    stats = {
+        "hot_cells": hot,
+        "n_cells_before": ncells,
+        "max_before": max(counts.values(), default=0),
+    }
+    old = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    sidecar = {
+        int(r["cell"]): (
+            [float(x) for x in r["centroid"]],
+            int(r["supercell"]),
+        )
+        for r in old
+    }
+    if not hot:
+        stats.update(
+            n_cells_after=ncells,
+            sidecar_cells_after=len(sidecar),
+            max_after=stats["max_before"],
+            new_cells=[],
+        )
+        return stats
+
+    members = (
+        idx.where(F.col("cell").isin(hot))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("neighbor_id").alias("id"),
+            F.col("c_vec").alias("v"),
+            F.col("cn").alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    halves = split_hot_cells(
+        members, materialize=lambda df: df.localCheckpoint(eager=True)
+    )
+    b_cells = sorted(
+        int(r["cell"])
+        for r in halves.where(F.col("sub") == "b").select("cell").distinct().collect()
+    )
+    base = max(set(counts) | set(sidecar)) + 1
+    new_id = {c: base + i for i, c in enumerate(b_cells)}
+    if b_cells:
+        mapping = F.create_map(*[F.lit(x) for c in b_cells for x in (c, new_id[c])])
+        cell_out = (
+            F.when(F.col("sub") == "b", mapping[F.col("cell")])
+            .otherwise(F.col("cell"))
+            .alias("cell")
+        )
+    else:
+        cell_out = F.col("cell").alias("cell")
+    # carry the STORED cn through the relabel (see docstring) — the
+    # join key (cell, id) is unique within the hot member set
+    relabeled = (
+        halves.select(F.col("cell").alias("old_cell"), cell_out, "id", "v")
+        .join(
+            members.select(
+                F.col("cell").alias("old_cell"), "id", F.col("nrm").alias("cn")
+            ),
+            ["old_cell", "id"],
+        )
+        .select("cell", "id", "v", "cn")
+        .localCheckpoint(eager=True)
+    )
+
+    means = _lloyd_dim_means(relabeled.select("id", "cell", "v"))
+    parent_super = {new_id[c]: sidecar[c][1] for c in b_cells}
+    for r in means:
+        cell = int(r["cell"])
+        cent = [
+            math.floor(float(dd["m"]) * 1000000 + 0.5) / 1000000.0 for dd in r["dims"]
+        ]
+        sup = parent_super.get(cell, sidecar.get(cell, (None, None))[1])
+        sidecar[cell] = (cent, sup)
+
+    # sidecar FIRST, data second (the flat rebalance crash argument)
+    spark.createDataFrame(
+        [(c, cent, sup) for c, (cent, sup) in sorted(sidecar.items())],
+        "cell INT, centroid ARRAY<DOUBLE>, supercell INT",
+    ).write.mode("overwrite").parquet(path + "_centroids")
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            relabeled.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("v").alias("c_vec"),
+                "cn",
+                "cell",
+            )
+            # ~one file per rewritten cell (the q220 tasks x cells lesson)
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    after = {
+        int(r["cell"]): int(r["n"])
+        for r in relabeled.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    data_cells_after = {c for c in counts if c not in hot} | set(after)
+    assert len(data_cells_after) == ncells + len(b_cells)
+    stats.update(
+        n_cells_after=len(data_cells_after),
+        sidecar_cells_after=len(sidecar),
+        max_after=max(
+            [n for c, n in counts.items() if c not in hot] + list(after.values()),
+            default=0,
+        ),
+        new_cells=sorted(new_id.values()),
+    )
+    return stats
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -224,6 +224,125 @@ def test_audit_is_deliberately_laxer_than_repair():
     assert [n for n in counts if n * ncells > total] == [3, 2]  # repair: 2 splits
 
 
+# ---------------------------------------------------------------------
+# Hierarchical (IVF2) rebalance — the same split contract on the
+# two-level layout (r14): shared split arithmetic, cold cells
+# byte-identical, precomputed cn carried through bit-unchanged, fresh
+# 'b' cells inheriting their parent's supercell.
+# ---------------------------------------------------------------------
+
+from data_warehouse_and_bi_dashboards_for_iowa_alcoholic_beverages_division_spark.operators.similarity import (  # noqa: E402
+    build_ivf2_index,
+    query_ivf2_index,
+    rebalance_ivf2_index,
+)
+
+
+def _occupancy2(spark, path):
+    return {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_ivf2_rebalance_splits_hot_cells_preserves_rows_and_norms(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "idx2")
+    build_ivf2_index(emb, path, n_cells=8, iters=2)
+
+    occ_before = _occupancy2(spark, path)
+    total, ncells = sum(occ_before.values()), len(occ_before)
+    hot = {c for c, n in occ_before.items() if n * ncells > total}
+    cold = set(occ_before) - hot
+    assert hot, "fixture must have at least one over-mean cell"
+    rows_before = {
+        int(r["neighbor_id"]): float(r["cn"])
+        for r in spark.read.parquet(path).select("neighbor_id", "cn").collect()
+    }
+    cold_files_before = {c: _cell_files(path, c) for c in cold}
+    supers_before = {
+        int(r["cell"]): int(r["supercell"])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    }
+    supers_sidecar_before = sorted(
+        (int(r["supercell"]), tuple(r["centroid"]))
+        for r in spark.read.parquet(path + "_supers").collect()
+    )
+
+    stats = rebalance_ivf2_index(spark, path)
+
+    assert sorted(stats["hot_cells"]) == sorted(hot)
+    occ_after = _occupancy2(spark, path)
+    assert sum(occ_after.values()) == total
+    # row conservation WITH the stored norm carried bit-unchanged
+    rows_after = {
+        int(r["neighbor_id"]): float(r["cn"])
+        for r in spark.read.parquet(path).select("neighbor_id", "cn").collect()
+    }
+    assert rows_after == rows_before
+    assert max(occ_after.values()) <= max(occ_before.values())
+    # cold partitions never rewritten
+    for c in cold:
+        assert _cell_files(path, c) == cold_files_before[c], (
+            f"cold cell {c} was rewritten"
+        )
+    # sidecar matches the new partition set; every fresh 'b' cell
+    # inherits a hot parent's supercell; old cells keep theirs
+    cents = spark.read.parquet(path + "_centroids").collect()
+    supers_after = {int(r["cell"]): int(r["supercell"]) for r in cents}
+    assert set(supers_after) == set(occ_after)
+    hot_supers = {supers_before[c] for c in hot}
+    for c in stats["new_cells"]:
+        assert supers_after[c] in hot_supers
+    for c in cold:
+        assert supers_after[c] == supers_before[c]
+    # level-1 sidecar untouched
+    assert (
+        sorted(
+            (int(r["supercell"]), tuple(r["centroid"]))
+            for r in spark.read.parquet(path + "_supers").collect()
+        )
+        == supers_sidecar_before
+    )
+    # still queryable with full k per query
+    res = query_ivf2_index(emb.where("vec_id < 3"), path, k=5, n_probe=3, n_super_probe=2)
+    per_query = {
+        r["query_id"]: r["n"]
+        for r in res.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_query == {0: 5, 1: 5, 2: 5}
+
+
+def test_ivf2_rebalance_is_deterministic_and_noop_when_uniform(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    p1, p2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_ivf2_index(emb, p1, n_cells=8, iters=2)
+    build_ivf2_index(emb, p2, n_cells=8, iters=2)
+    s1 = rebalance_ivf2_index(spark, p1)
+    s2 = rebalance_ivf2_index(spark, p2)
+    assert s1 == s2
+    rows1 = sorted(
+        (int(r["cell"]), int(r["neighbor_id"]))
+        for r in spark.read.parquet(p1).select("cell", "neighbor_id").collect()
+    )
+    rows2 = sorted(
+        (int(r["cell"]), int(r["neighbor_id"]))
+        for r in spark.read.parquet(p2).select("cell", "neighbor_id").collect()
+    )
+    assert rows1 == rows2
+    # a second repair on the already-balanced index must be a no-op
+    # unless the split itself left an over-mean cell (possible when a
+    # hot cell splits unevenly); either way it reports consistently
+    occ = _occupancy2(spark, p1)
+    total, ncells = sum(occ.values()), len(occ)
+    expect_hot = sorted(c for c, n in occ.items() if n * ncells > total)
+    s3 = rebalance_ivf2_index(spark, p1)
+    assert s3["hot_cells"] == expect_hot
+
+
 def test_rebalance_never_repurposes_trained_but_empty_sidecar_cell(spark, tmp_path):
     """r12 ADVICE regression: build writes ALL n_cells centroids while
     data partitions exist only for non-empty cells, so the sidecar can
