@@ -1034,6 +1034,8 @@ UNPARTITIONED_WINDOW_CARRIERS = {
     "q200_ivf_occupancy": "shares/skew over the n_cells-row cell table",
     "q223_ivf_cell_split": "hot predicate + post-split shares/skew over "
     "the n_cells-row occupancy table and the <= 2 x n_cells split table",
+    "q225_tombstone_debt": "index-wide share/affected-frac/trigger over "
+    "the n_cells-row debt table (the q200 device)",
 }
 
 
