@@ -160,17 +160,18 @@ def register(name: str, oracle: str | None, description: str = ""):
 #   (c) ALL 26 r9-era greens: q13 q20 stay in place; q55 q58 q59 q65
 #       q66 q73 q84 q91 q120 q122 q123 q127 q132 q133 q141 q143 q145
 #       q147 q151 q190 q210 q211 q212 q213 swap in.
-#   (d) r10-era head: q14 stays in place; q126 swaps in. The verdict
-#       named four r10 names (q126 q131 q137 q14) but also asked the
-#       new q225 into the window, and the round added a second new
-#       query q226 — 52 into 50 — so q131 and q137 yield their slots
-#       to the two newcomers and HEAD THE r15 QUEUE (with the rest of
+#   (d) r10-era head: q14 stays in place. The verdict named four r10
+#       names (q126 q131 q137 q14) but also asked the new q225 into
+#       the window, and the round added two more new queries (q226,
+#       q227) — 53 into 50 — so q126/q131/q137 yield their slots to
+#       the three newcomers and HEAD THE r15 QUEUE (with the rest of
 #       the r10-era greens: q57 q60-q62 q156 q188 q199 q201 q202 ...).
 #       Evicting r10-era names keeps the ask-#1 criterion intact: no
 #       registry query's last external hash is OLDER than r10.
 #   (e) the round's NEW queries ride the window the round they land,
-#       as every round: q225 (tombstone-debt audit) and q226
-#       (hierarchical tombstone delete).
+#       as every round: q225 (tombstone-debt audit), q226
+#       (hierarchical tombstone delete), q227 (hierarchical occupancy
+#       audit — the WHEN for rebalance_ivf2_index).
 # Every swapped-out name holds an r11-or-fresher driver green (q01-q03
 # q09-q12 q17-q19 q21-q34 q43-q53 families: r11/r12/r13), so no §2 row
 # loses external evidence — each swapped-out query's §2 row is also
@@ -179,7 +180,7 @@ def register(name: str, oracle: str | None, description: str = ""):
 # F1 by q145/q146, F4 by q20, U1-U3 by q13/q14/q131, SCD by q137's
 # as-of + q58/q59 interval devices).
 # Cumulative if green: 215 of 220 holds (no first-timers left except
-# the two newcomers q225/q226: 215 → 217 of 222).
+# the three newcomers q225/q226/q227: 215 → 218 of 223).
 # The ACTIVE window is emitted in every bench run ("driver_window" in
 # BENCH_STATS.json) alongside the cumulative driver_checked_ever list,
 # so externally-reported verification coverage is auditable round over
@@ -222,11 +223,10 @@ _WINDOW_SWAPS: list[tuple[str, str]] = [
     ("q48_wkt_point", "q211_ivf_sampled_train"),
     ("q49_date_horizon", "q212_hierarchical_ivf"),
     ("q51_null_repair", "q213_ivf2_recall"),
-    # (d) r10-era head
-    ("q52_grouping_sets", "q126_bpe_train"),
     # (e) the round's NEW queries ride the window the round they land
-    ("q53_running_total", "q225_tombstone_debt"),
-    ("q54_unknown_member", "q226_ivf2_delete"),
+    ("q52_grouping_sets", "q225_tombstone_debt"),
+    ("q53_running_total", "q226_ivf2_delete"),
+    ("q54_unknown_member", "q227_ivf2_occupancy"),
 ]
 
 
@@ -12379,6 +12379,69 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.query_ivf2_index(
         emb.where("vec_id < 5"), path, k=10, n_probe=3, n_super_probe=2
     )
+
+
+def _q227_oracle() -> str:
+    """DuckDB twin of the hierarchical occupancy audit: q212's
+    fully-unrolled two-level routing feeds ``af2`` (the member-cell
+    assignments of every vector), and the terminal SELECT is q200's
+    occupancy aggregate verbatim — per-cell counts/shares, the
+    max/mean skew factor, and the needs_rebalance flag."""
+    occupancy = f"""SELECT cell,
+           CAST(n AS BIGINT) AS n_vectors,
+           {floor_round6_sql("CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)")} AS share,
+           {floor_round6_sql(
+               "CAST(MAX(n) OVER () AS DOUBLE) * CAST(COUNT(*) OVER () AS DOUBLE)"
+               " / CAST(SUM(n) OVER () AS DOUBLE)"
+           )} AS skew_factor,
+           (CAST(MAX(n) OVER () AS DOUBLE) * CAST(COUNT(*) OVER () AS DOUBLE)
+            > 2.0 * CAST(SUM(n) OVER () AS DOUBLE)) AS needs_rebalance
+    FROM (SELECT cell, COUNT(*) AS n FROM af2 GROUP BY cell)
+    ORDER BY cell"""
+    return _q212_oracle(final_select=occupancy)
+
+
+@register(
+    "q227_ivf2_occupancy",
+    _q227_oracle(),
+    "Hierarchical-IVF occupancy audit - q200's retrain/rebalance "
+    "trigger on the two-level layout, the WHEN for "
+    "rebalance_ivf2_index (which completed the lifecycle matrix in "
+    "r14): per-member-cell vector counts and shares under the "
+    "two-level routing (super -> best member cell), the max/mean skew "
+    "factor, and the needs_rebalance flag (skew > 2x - the same "
+    "deliberately-lax alarm contract as the flat pair, property-"
+    "pinned: the audit firing implies the repair finds over-mean "
+    "cells). At scale this runs after every append window on the "
+    "hierarchical index; a hot member cell degrades exactly like a "
+    "hot flat cell (probe latency toward brute force) and the fix is "
+    "the in-place split. Oracle = q212's verbatim two-level unroll "
+    "with q200's occupancy aggregate over af2, so the audit is "
+    "value-checked against the identical two-level quantizer",
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nc = similarity.derived_n_cells(_scalar_count(emb))
+    l2, l1, cell2super = similarity.ivf2_train(
+        emb, n_cells=nc, iters=2, train_where="vec_id % 16 = 0"
+    )
+    members = similarity._member_table_df(spark, l2, cell2super)
+    counts = (
+        similarity._ivf2_corpus_lists(emb, members, l1, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy()  # bounded: <= n_cells rows
+    total = F.sum("n").over(w).cast("double")
+    mx = F.max("n").over(w).cast("double")
+    ncells = F.count("*").over(w).cast("double")
+    return counts.select(
+        "cell",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        floor_round6(F.col("n").cast("double") / total).alias("share"),
+        floor_round6(mx * ncells / total).alias("skew_factor"),
+        (mx * ncells > F.lit(2.0) * total).alias("needs_rebalance"),
+    ).orderBy("cell")
 
 
 @register(

@@ -1036,6 +1036,8 @@ UNPARTITIONED_WINDOW_CARRIERS = {
     "the n_cells-row occupancy table and the <= 2 x n_cells split table",
     "q225_tombstone_debt": "index-wide share/affected-frac/trigger over "
     "the n_cells-row debt table (the q200 device)",
+    "q227_ivf2_occupancy": "shares/skew over the <= n_cells-row member-"
+    "cell table (the q200 device on the two-level routing)",
 }
 
 

@@ -75,6 +75,7 @@ HEADLINE = [
     ("q224_ivf_delete", "IVF tombstone delete: the tombstone filter sits BELOW the O(n_cells) assignment fold — deleted rows are never scored; quantizer frozen, candidates map-only"),
     ("q225_tombstone_debt", "tombstone-debt audit: one column-pruned assignment aggregate; index-wide share/trigger as unpartitioned windows over the bounded ≤n_cells result"),
     ("q226_ivf2_delete", "hierarchical tombstone delete: probed-cell PartitionFilters on the list scan + broadcast tombstone anti-join below the scoring join"),
+    ("q227_ivf2_occupancy", "hierarchical occupancy audit: map-only two-level routing into one bounded aggregate; windows over ≤ n_cells rows"),
     ("q214_recall_probe_sweep", "recall-vs-probe curve: the inverted lists and exact baseline are cached InMemoryRelations reused by every combo — C combos cost C broadcast query-side probes, not C corpus scans"),
     ("q215_ivf2_derived_probes", "capacity-derived probing: widths are plan literals derived from the trained quantizer sizes — the probed fraction (and the plan shape) is scale-invariant"),
     ("q217_ppm_decode", "REAL image decode: render + parse as two scan-partitioned Arrow MapInPandas stages — zero exchanges, embarrassingly parallel at any corpus size"),
