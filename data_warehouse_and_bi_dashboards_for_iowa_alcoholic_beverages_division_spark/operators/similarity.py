@@ -1299,15 +1299,21 @@ def build_ivf_index(
     return centroids
 
 
+def _hadoop_fs(spark, path: str):
+    """(fs, hpath) for ``path`` through the Hadoop FS API — the one
+    place the Path/getFileSystem idiom lives, so existence probes,
+    directory drops, and the empty-dir check cannot drift apart."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
 def _sidecar_is_empty_dir(spark, sidecar_path: str) -> bool:
     """True iff ``sidecar_path`` exists but holds no non-empty data
     file (only Hadoop markers like ``_SUCCESS``/dotfiles, or nothing) —
     the state a crash between directory creation and the first
     committed parquet file leaves behind. Checked through the Hadoop
     FS API so the answer is right on any filesystem the index lives on."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(sidecar_path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath = _hadoop_fs(spark, sidecar_path)
     if not fs.exists(hpath):
         return True
     for st in fs.listStatus(hpath):
@@ -1347,9 +1353,7 @@ def _read_optional_sidecar(spark, sidecar_path: str) -> DataFrame | None:
     wrong-item #3). The PATH_NOT_FOUND except branch stays as the
     backstop for the probe/read race (sidecar deleted between the two
     calls)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(sidecar_path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath = _hadoop_fs(spark, sidecar_path)
     if not fs.exists(hpath):
         return None
     try:
@@ -1603,6 +1607,27 @@ def compact_ivf_index(
         }
         removed = [c for c in affected if c not in survivors]
         rewritten = [c for c in affected if c in survivors]
+        if not survivors:
+            # no affected cell keeps a row — if no COLD cell exists
+            # either, this compaction would delete every cell=*
+            # directory and leave a parquet directory with no data
+            # file, which every later reader (audit, query, append's
+            # id anti-join) fails to infer a schema from. That end
+            # state is a delete of the whole corpus — the documented
+            # "if deletes rival corpus size, rebuild" boundary — so
+            # refuse it BEFORE any write (state unchanged, index still
+            # queryable through its tombstones) instead of committing
+            # an unreadable layout. Cheap: this column-pruned distinct
+            # runs only on the rare all-affected-cells-dead branch.
+            n_data_cells = idx.select("cell").distinct().count()
+            if n_data_cells == len(affected):
+                raise ValueError(
+                    "compaction would remove every row of the index "
+                    f"({n_tombs} tombstones cover all {n_data_cells} "
+                    "cells' members): an emptied parquet index is "
+                    "unreadable — rebuild the index (or drop its "
+                    "directory) instead of compacting a total delete"
+                )
         if rewritten:
             prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1617,11 +1642,9 @@ def compact_ivf_index(
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         # emptied cells: dynamic overwrite wrote nothing for them, so
         # drop their stale directories through the Hadoop FS API
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
         for c in removed:
-            hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}")
-            hpath.getFileSystem(conf).delete(hpath, True)
+            fs, hpath = _hadoop_fs(spark, f"{path}/cell={c}")
+            fs.delete(hpath, True)
         stats.update(cells_rewritten=rewritten, cells_removed=removed)
     # clear the sidecar LAST (see docstring); the empty overwrite
     # carries the sidecar's OWN schema (tombs.limit(0)) — a hardcoded
@@ -1629,6 +1652,53 @@ def compact_ivf_index(
     # for an index with non-BIGINT ids, breaking every later read
     tombs.limit(0).write.mode("overwrite").parquet(path + "_tombstones")
     return stats
+
+
+def occupancy_report(counts: DataFrame) -> DataFrame:
+    """(cell, n) → the occupancy audit report — per-cell counts and
+    shares, the max/mean skew factor, and the ``needs_rebalance`` flag
+    (skew > 2×). ONE implementation shared by the flat audit (q200)
+    and the hierarchical one (q227), so the alarm threshold and its
+    expression tree live in exactly one place and cannot desynchronize
+    from the oracles that value-check them."""
+    w = Window.partitionBy()  # bounded: ≤ n_cells rows
+    total = F.sum("n").over(w).cast("double")
+    mx = F.max("n").over(w).cast("double")
+    ncells = F.count("*").over(w).cast("double")
+    return counts.select(
+        "cell",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        floor_round6(F.col("n").cast("double") / total).alias("share"),
+        floor_round6(mx * ncells / total).alias("skew_factor"),
+        (mx * ncells > F.lit(2.0) * total).alias("needs_rebalance"),
+    ).orderBy("cell")
+
+
+def tombstone_debt_report(per_cell: DataFrame) -> DataFrame:
+    """(cell, n, nt) → the tombstone-debt report — per-cell live/dead
+    counts and fractions, the index-wide tombstone share, the
+    affected-cell fraction (a compaction's pruning ratio), and the
+    integer-exact ``needs_compact`` trigger (10·Σnt > Σn). ONE
+    implementation shared by the persisted audit
+    (:func:`audit_ivf_tombstones`) and the oracle-checked plan (q225),
+    same single-source argument as :func:`occupancy_report`."""
+    w = Window.partitionBy()  # bounded: ≤ n_cells rows
+    tot_n = F.sum("n").over(w)
+    tot_t = F.sum("nt").over(w)
+    return per_cell.select(
+        "cell",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.col("nt").cast("bigint").alias("n_tombstoned"),
+        floor_round6(F.col("nt").cast("double") / F.col("n").cast("double")).alias(
+            "tombstone_frac"
+        ),
+        floor_round6(tot_t.cast("double") / tot_n.cast("double")).alias("tombstone_share"),
+        floor_round6(
+            F.sum((F.col("nt") > 0).cast("long")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("affected_cell_frac"),
+        (F.lit(10) * tot_t > tot_n).alias("needs_compact"),
+    ).orderBy("cell")
 
 
 def audit_ivf_tombstones(
@@ -1696,23 +1766,9 @@ def audit_ivf_tombstones(
             F.count(F.lit(1)).alias("n"),
             F.count("__dead").alias("nt"),
         )
-    w = Window.partitionBy()  # bounded: ≤ n_cells rows
-    tot_n = F.sum("n").over(w)
-    tot_t = F.sum("nt").over(w)
-    return per_cell.select(
-        F.col("cell").cast("int").alias("cell"),
-        F.col("n").cast("bigint").alias("n_vectors"),
-        F.col("nt").cast("bigint").alias("n_tombstoned"),
-        floor_round6(F.col("nt").cast("double") / F.col("n").cast("double")).alias(
-            "tombstone_frac"
-        ),
-        floor_round6(tot_t.cast("double") / tot_n.cast("double")).alias("tombstone_share"),
-        floor_round6(
-            F.sum((F.col("nt") > 0).cast("long")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w).cast("double")
-        ).alias("affected_cell_frac"),
-        (F.lit(10) * tot_t > tot_n).alias("needs_compact"),
-    ).orderBy("cell")
+    return tombstone_debt_report(
+        per_cell.select(F.col("cell").cast("int").alias("cell"), "n", "nt")
+    )
 
 
 def delete_from_ivf2_index(

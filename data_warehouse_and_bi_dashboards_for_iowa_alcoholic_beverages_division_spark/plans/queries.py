@@ -10162,17 +10162,10 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.partitionBy()
-    total = F.sum("n").over(w).cast("double")
-    mx = F.max("n").over(w).cast("double")
-    ncells = F.count("*").over(w).cast("double")
-    return counts.select(
-        "cell",
-        F.col("n").cast("bigint").alias("n_vectors"),
-        floor_round6(F.col("n").cast("double") / total).alias("share"),
-        floor_round6(mx * ncells / total).alias("skew_factor"),
-        (mx * ncells > F.lit(2.0) * total).alias("needs_rebalance"),
-    ).orderBy("cell")
+    # the report (shares, skew, the 2x alarm) is the SHARED builder —
+    # one expression tree for this flat audit and q227's hierarchical
+    # twin, so the threshold can never desynchronize from the oracle
+    return similarity.occupancy_report(counts)
 
 
 def _q223_oracle() -> str:
@@ -10463,25 +10456,10 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n"), F.sum("t").alias("nt"))
     )
-    w = Window.partitionBy()  # bounded: n_cells rows
-    tot_n = F.sum("n").over(w)
-    tot_t = F.sum("nt").over(w)
-    return counts.select(
-        "cell",
-        F.col("n").cast("bigint").alias("n_vectors"),
-        F.col("nt").cast("bigint").alias("n_tombstoned"),
-        floor_round6(F.col("nt").cast("double") / F.col("n").cast("double")).alias(
-            "tombstone_frac"
-        ),
-        floor_round6(tot_t.cast("double") / tot_n.cast("double")).alias(
-            "tombstone_share"
-        ),
-        floor_round6(
-            F.sum((F.col("nt") > 0).cast("long")).over(w).cast("double")
-            / F.count(F.lit(1)).over(w).cast("double")
-        ).alias("affected_cell_frac"),
-        (F.lit(10) * tot_t > tot_n).alias("needs_compact"),
-    ).orderBy("cell")
+    # the report (fracs, index-wide share, the 10x trigger) is the
+    # SHARED builder behind audit_ivf_tombstones — the oracle checks
+    # the exact expression tree the persisted audit runs
+    return similarity.tombstone_debt_report(counts)
 
 
 def _q201_oracle(n_iter: int = 3) -> str:
@@ -12431,17 +12409,8 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.partitionBy()  # bounded: <= n_cells rows
-    total = F.sum("n").over(w).cast("double")
-    mx = F.max("n").over(w).cast("double")
-    ncells = F.count("*").over(w).cast("double")
-    return counts.select(
-        "cell",
-        F.col("n").cast("bigint").alias("n_vectors"),
-        floor_round6(F.col("n").cast("double") / total).alias("share"),
-        floor_round6(mx * ncells / total).alias("skew_factor"),
-        (mx * ncells > F.lit(2.0) * total).alias("needs_rebalance"),
-    ).orderBy("cell")
+    # same SHARED report builder as the flat q200 (see its note)
+    return similarity.occupancy_report(counts)
 
 
 @register(

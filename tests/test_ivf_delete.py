@@ -351,6 +351,36 @@ def test_tombstone_audit_is_dry_run_of_compaction(spark, tmp_path):
     assert dead_cell not in after  # its inverted list is gone
 
 
+def test_compact_refuses_total_wipe_and_leaves_index_queryable(spark, tmp_path):
+    """Compacting a delete of EVERY row would drop every cell=*
+    directory and leave a parquet dir no later reader can infer a
+    schema from (audit/query/append would all crash). That end state
+    is the documented 'deletes rival corpus size → rebuild' boundary,
+    so the compaction refuses it before any write."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings").where("vec_id < 50")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, n_cells=8, iters=2)
+    files_before = _all_files(path)
+    delete_from_ivf_index(emb.select("vec_id"), path)
+    with pytest.raises(ValueError, match="rebuild"):
+        compact_ivf_index(spark, path)
+    # nothing was written: files untouched, tombstones kept, and the
+    # index still answers queries (everything tombstoned → empty)
+    assert _all_files(path) == files_before
+    assert spark.read.parquet(path + "_tombstones").count() == 50
+    assert query_ivf_index(emb.where("vec_id < 3"), path, k=5, n_probe=3).count() == 0
+    # a partial state is still compactable: clear one id's tombstone
+    # path by rebuilding the scenario with a proper subset
+    path2 = str(tmp_path / "idx2")
+    build_ivf_index(emb, path2, n_cells=8, iters=2)
+    delete_from_ivf_index(emb.where("vec_id < 49").select("vec_id"), path2)
+    stats = compact_ivf_index(spark, path2)
+    assert stats["rows_removed"] == 49
+    assert _ids(spark, path2) == {49}
+
+
 def test_tombstone_audit_zero_debt_paths(spark, tmp_path):
     emb = load_table(spark, SF_DIR, "embeddings")
     path = str(tmp_path / "idx")

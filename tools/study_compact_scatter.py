@@ -58,11 +58,6 @@ def run(spark, sf_dir: str, scratch: str) -> list[dict]:
         stats = compact_ivf_index(spark, path)
         t_compact = time.time() - t0
         touched = len(stats["cells_rewritten"]) + len(stats["cells_removed"])
-        data_cells = (
-            spark.read.parquet(path).select("cell").distinct().count() + touched
-            if touched
-            else nc
-        )
         rows.append(
             {
                 "sf_dir": sf_dir,
