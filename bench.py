@@ -24,8 +24,11 @@ line and pushed ``"metric"`` out of the capture window — the round
 lost its machine-readable bench artifact (BENCH_r09.json parsed:
 null). The detailed blobs (per-query spread stats, the active driver
 window, the cumulative driver-checked-ever name list) therefore now
-go to a sidecar file, ``BENCH_STATS.json`` next to this script, and
-the compact line printed LAST carries only the medians plus counts —
+go to a sidecar file next to this script — ``BENCH_STATS.local.json``,
+GITIGNORED, so the driver's own post-commit bench runs stop dirtying
+the working tree (the r14 ask #4); the builder promotes a chosen run
+to the committed ``BENCH_STATS.json`` by explicit copy — and the
+compact line printed LAST carries only the medians plus counts —
 small enough that the whole record always fits the tail.
 """
 
@@ -239,10 +242,18 @@ def main() -> None:
     # lose the round's machine-readable stdout record — the compact
     # metric line below still prints, with stats_file nulled.
     # Atomic sidecar write (temp file + os.replace): a failure mid-dump
-    # (disk full) must never leave a truncated BENCH_STATS.json behind
-    # for the next round's tooling to choke on — either the previous
-    # intact sidecar survives, or the new one lands whole.
-    stats_file = "BENCH_STATS.json"
+    # (disk full) must never leave a truncated sidecar behind for the
+    # next round's tooling to choke on — either the previous intact
+    # sidecar survives, or the new one lands whole.
+    # The sidecar lands at the GITIGNORED .local name (r14 verdict ask
+    # #4): the driver's own post-commit bench run used to overwrite the
+    # committed BENCH_STATS.json and dirty the working tree every
+    # round. Now every run — builder's and driver's — writes the local
+    # file only; the builder promotes its chosen run to the committed
+    # BENCH_STATS.json by copying it explicitly (cp
+    # BENCH_STATS.local.json BENCH_STATS.json) before the closing
+    # commit, so the committed artifact changes only by builder intent.
+    stats_file = "BENCH_STATS.local.json"
     stats_tmp = os.path.join(REPO_DIR, stats_file + ".tmp")
     try:
         with open(stats_tmp, "w") as f:

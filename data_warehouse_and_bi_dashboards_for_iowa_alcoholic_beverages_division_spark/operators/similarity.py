@@ -16,6 +16,7 @@ Two paths, same contract (query ids → top-k neighbor ids):
 
 from __future__ import annotations
 
+import json
 import math
 
 import pyspark.sql.functions as F
@@ -1096,6 +1097,8 @@ def append_to_ivf2_index(
     proceeding would lose the new vector silently under either
     idempotency guard."""
     spark = new_vectors.sparkSession
+    # heal any crashed maintenance swap first (the flat append's note)
+    recover_ivf_index(spark, path)
     if batch_token is not None:
         if _count_batch_token(spark, path + "_batches", batch_token):
             return
@@ -1110,7 +1113,8 @@ def append_to_ivf2_index(
         if clash:
             raise ValueError(
                 f"append batch contains tombstoned id(s) {[r[0] for r in clash]}: "
-                "run compact_ivf2_index before re-inserting a deleted id "
+                "use update_in_ivf2_index (or run compact_ivf2_index) before "
+                "re-inserting a deleted id "
                 "(appending now would be silently hidden by the tombstone "
                 "and removed by the next compaction)"
             )
@@ -1381,6 +1385,176 @@ def _count_batch_token(spark, sidecar_path: str, token: str) -> int:
     return sidecar.where(F.col("token") == F.lit(token)).limit(1).count()
 
 
+# Staging directory for the atomic cell-partition swap. Dot-prefixed,
+# so every parquet reader (Spark's and DuckDB's path filters skip
+# ".../_..." and ".../...."-prefixed entries) ignores it while a
+# maintenance op is in flight.
+_MAINT_TMP = ".maint-tmp"
+
+
+def _fs_write_text_atomic(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS API with a
+    tmp-then-rename commit: the file at ``path`` either does not exist
+    or is COMPLETE — readers never observe a half-written payload.
+    (``fs.rename`` of a file is atomic on real filesystems; that
+    atomicity is exactly what the swap-intent commit point below
+    needs.)"""
+    fs, hpath = _hadoop_fs(spark, path)
+    tmp = path + ".tmp"
+    _, tmp_h = _hadoop_fs(spark, tmp)
+    out = fs.create(tmp_h, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    fs.rename(tmp_h, hpath)
+
+
+def _fs_read_text(spark, path: str) -> str:
+    fs, hpath = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _finish_cell_swap(spark, path: str) -> dict:
+    """Roll a COMMITTED staging directory forward: every ``cell=*``
+    directory under ``<path>/.maint-tmp`` replaces its live twin
+    (delete live, rename staged in — two metadata ops per cell), the
+    intent manifest's ``removed`` cells' live directories are dropped,
+    and the staging directory is deleted last. Every step is
+    idempotent against re-execution from any crash point: a staged
+    cell disappears from tmp the moment its rename lands, deletes
+    no-op on missing paths, so re-running converges on the identical
+    end state (the one-way-convergence argument the sidecar orders
+    already use). Only called when ``_intent.json`` exists — i.e. the
+    staging write fully committed."""
+    fs, _ = _hadoop_fs(spark, path)
+    tmp = f"{path}/{_MAINT_TMP}"
+    _, tmp_h = _hadoop_fs(spark, tmp)
+    intent = json.loads(_fs_read_text(spark, tmp + "/_intent.json"))
+    swapped = []
+    for st in fs.listStatus(tmp_h):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("cell=")):
+            continue
+        _, live_h = _hadoop_fs(spark, f"{path}/{name}")
+        if fs.exists(live_h):
+            fs.delete(live_h, True)
+        fs.rename(st.getPath(), live_h)
+        swapped.append(int(name.split("=", 1)[1]))
+    for c in intent.get("removed", []):
+        _, dead_h = _hadoop_fs(spark, f"{path}/cell={int(c)}")
+        if fs.exists(dead_h):
+            fs.delete(dead_h, True)
+    fs.delete(tmp_h, True)
+    return {"cells_swapped": sorted(swapped), "cells_removed": intent.get("removed", [])}
+
+
+def recover_ivf_index(spark, path: str) -> dict:
+    """Converge a (possibly crashed) maintenance swap — the recovery
+    half of the atomic cell-replacement protocol that CLOSES the
+    dynamic-partition-overwrite crash window the r13/r14 rebalance
+    and compaction docstrings carried as an open caveat. The protocol
+    (:func:`_replace_cell_partitions`) makes ``<path>/.maint-tmp``
+    plus its ``_intent.json`` the single commit point, so recovery is
+    a pure state-machine read:
+
+    - no staging directory → nothing was in flight → ``none``;
+    - staging directory WITHOUT ``_intent.json`` → the crash hit
+      during the staging write, before commit; the live index was
+      never touched → ``rolled_back`` (staging dropped);
+    - staging directory WITH ``_intent.json`` → the staged survivors
+      are complete and the swap was committed; the crash hit during
+      the per-cell renames → ``rolled_forward``
+      (:func:`_finish_cell_swap` finishes the remaining renames —
+      already-swapped cells left tmp atomically, so re-execution
+      converges).
+
+    Every mutating entry point (append / update / compact / rebalance,
+    both layouts) calls this first, so an orchestrator retry of a
+    killed maintenance job self-heals before reading the index. The
+    read-only paths (query/audit) deliberately do NOT mutate: after a
+    crash and before the next maintenance op, a query can miss rows of
+    at most the cells whose rename had not landed — run this (or any
+    maintenance op) once to converge. Layout-agnostic (operates purely
+    on ``cell=*`` directories): :func:`recover_ivf2_index` is the same
+    function."""
+    tmp = f"{path}/{_MAINT_TMP}"
+    fs, tmp_h = _hadoop_fs(spark, tmp)
+    if not fs.exists(tmp_h):
+        return {"action": "none"}
+    _, intent_h = _hadoop_fs(spark, tmp + "/_intent.json")
+    if not fs.exists(intent_h):
+        fs.delete(tmp_h, True)
+        return {"action": "rolled_back"}
+    return {"action": "rolled_forward", **_finish_cell_swap(spark, path)}
+
+
+def recover_ivf2_index(spark, path: str) -> dict:
+    """:func:`recover_ivf_index` on the hierarchical layout — the swap
+    protocol never looks inside a cell directory, so the one
+    implementation serves both."""
+    return recover_ivf_index(spark, path)
+
+
+def _replace_cell_partitions(
+    spark, path: str, survivors: DataFrame, removed_cells: list[int]
+) -> None:
+    """Atomically-enough replace cell partitions of a persisted index:
+    the closed form of what dynamic partition overwrite did here
+    through r14, whose job commit could tear (old files deleted, new
+    files not yet moved — rows lost with no self-healing re-run).
+
+    Protocol: (1) write ``survivors`` (must carry the ``cell`` column;
+    caller must have materialized it — localCheckpoint — so its
+    lineage does not read the files step 3 replaces) partitioned by
+    cell into ``<path>/.maint-tmp`` — invisible to readers, and a
+    crash here leaves the live index byte-untouched; (2) commit by
+    writing ``_intent.json`` (tmp-then-rename, atomic) carrying the
+    ``removed_cells`` list; (3) roll forward: per staged cell, delete
+    the live directory and RENAME the staged one in — the window per
+    cell is two metadata operations, not a job-wide file shuffle — then
+    drop removed cells' directories and the staging dir. A crash at
+    any point converges under :func:`recover_ivf_index`: before (2)
+    the swap rolls back, after (2) it rolls forward. (On object stores
+    without atomic rename the per-cell window widens to a copy — use a
+    transactional table format there; on HDFS/local FS rename is a
+    metadata op and the protocol holds as stated.)
+
+    Cold cells are never listed, staged, or touched — the
+    partition-pruning contract of compaction/rebalance is preserved
+    exactly, at the cost of one extra write+move of the REWRITTEN
+    cells' bytes (the price of crash atomicity; the r14 study's
+    batching guidance bounds how often it is paid)."""
+    tmp = f"{path}/{_MAINT_TMP}"
+    fs, tmp_h = _hadoop_fs(spark, tmp)
+    if fs.exists(tmp_h):
+        # entry points recover first, so a leftover staging dir here
+        # means two maintenance ops are racing — refuse, don't guess
+        raise RuntimeError(
+            f"maintenance staging dir already exists at {tmp}: another "
+            "maintenance operation is in flight (or crashed without "
+            "recover_ivf_index running) — serialize maintenance ops"
+        )
+    (
+        survivors.repartition("cell")  # ~one file per rewritten cell
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    _fs_write_text_atomic(
+        spark,
+        tmp + "/_intent.json",
+        json.dumps({"removed": sorted(int(c) for c in removed_cells)}),
+    )
+    _finish_cell_swap(spark, path)
+
+
 def append_to_ivf_index(
     new_vectors: DataFrame,
     path: str,
@@ -1440,6 +1614,10 @@ def append_to_ivf_index(
     appenders presenting the same token; dedupe retries upstream
     (one writer per token) rather than racing two."""
     spark = new_vectors.sparkSession
+    # heal any crashed compaction/rebalance swap first: appending into
+    # a cell whose staged replacement is still pending would be undone
+    # by the later roll-forward (one fs.exists when nothing is pending)
+    recover_ivf_index(spark, path)
     if batch_token is not None:
         seen = _count_batch_token(spark, path + "_batches", batch_token)
         if seen:
@@ -1464,7 +1642,8 @@ def append_to_ivf_index(
         if clash:
             raise ValueError(
                 f"append batch contains tombstoned id(s) {[r[0] for r in clash]}: "
-                "run compact_ivf_index before re-inserting a deleted id "
+                "use update_in_ivf_index (or run compact_ivf_index) before "
+                "re-inserting a deleted id "
                 "(appending now would be silently hidden by the tombstone "
                 "and removed by the next compaction)"
             )
@@ -1512,14 +1691,16 @@ def delete_from_ivf_index(
     the index never held is a harmless no-op tombstone (it anti-joins
     nothing and compaction clears it).
 
-    Update-as-delete-then-reinsert requires a :func:`compact_ivf_index`
-    between the two steps: ``append_to_ivf_index`` REJECTS a batch
-    containing a currently-tombstoned id (loudly, with this
-    instruction), because accepting it would lose the update silently
-    either way — the default existing-id anti-join drops the new
-    vector against the still-present old row, and without the skip the
-    new row is hidden by the tombstone and removed (with the old one)
-    by the next compaction.
+    Updating a vector is :func:`update_in_ivf_index` (delete →
+    ``only_ids`` micro-compact → append — O(cells-of-batch), not a
+    full compaction). Hand-rolling delete-then-reinsert still requires
+    a compaction between the two steps: ``append_to_ivf_index``
+    REJECTS a batch containing a currently-tombstoned id (loudly, with
+    this instruction), because accepting it would lose the update
+    silently either way — the default existing-id anti-join drops the
+    new vector against the still-present old row, and without the skip
+    the new row is hidden by the tombstone and removed (with the old
+    one) by the next compaction.
 
     Idempotency/crash notes: a re-run of the same delete adds no
     duplicate tombstones (the anti-join); a crash mid-append leaves at
@@ -1538,6 +1719,7 @@ def compact_ivf_index(
     spark,
     path: str,
     id_col: str = "vec_id",
+    only_ids: DataFrame | None = None,
 ) -> dict:
     """Physical removal of tombstoned rows — the list-compaction half
     of delete. LAYOUT-AGNOSTIC: the rewrite keeps every non-partition
@@ -1548,31 +1730,54 @@ def compact_ivf_index(
     ``cell`` partition column are named. Same partition-pruning
     contract as :func:`rebalance_ivf_index`: ONLY cells that actually
     hold a tombstoned row are read (a column-pruned (id, cell) scan
-    finds them) and ONLY those partitions are rewritten (dynamic
-    partition overwrite); cold cells' files stay byte-identical. A
-    cell whose
-    every member is tombstoned gets its directory removed outright
-    (dynamic overwrite only replaces partitions PRESENT in the written
-    data, so an emptied cell would otherwise keep its stale files);
+    finds them) and ONLY those partitions are rewritten. A cell whose
+    every member is tombstoned gets its directory removed outright;
     its sidecar centroid is retained — a trained-but-empty cell is a
     legal index state (build produces them too) and queries probing it
-    read nothing. The tombstone sidecar is cleared LAST: a crash after
-    the data rewrite but before the clear leaves tombstones that match
-    nothing — queries stay correct, and a re-run finds zero affected
-    cells and just clears the sidecar (self-healing, same one-way
-    convergence argument as the rebalance sidecar order). The same
-    job-commit caveat as ``rebalance_ivf_index`` applies to the
-    overwrite itself.
+    read nothing.
+
+    ``only_ids`` restricts the compaction to tombstones whose id is in
+    the given set — the MICRO-COMPACTION behind
+    :func:`update_in_ivf_index`: only the cells holding THOSE ids'
+    rows are rewritten (O(cells-of-batch), independent of how much
+    unrelated tombstone debt the index carries), and only those ids
+    leave the sidecar — unrelated tombstones stay recorded, and any of
+    their rows living in a rewritten cell survive the rewrite still
+    tombstoned. Ids in ``only_ids`` that are not currently tombstoned
+    are ignored. Default ``None`` = full compaction (all tombstones,
+    sidecar cleared).
+
+    The partition rewrite goes through the atomic cell-swap protocol
+    (:func:`_replace_cell_partitions`): survivors stage under an
+    invisible ``.maint-tmp``, an intent manifest commits the swap, and
+    each cell replaces by delete+rename — a crash at ANY point
+    converges under :func:`recover_ivf_index` (which this function
+    runs first, so a retried job self-heals before reading). This
+    closes the dynamic-overwrite job-commit window the r13/r14
+    docstrings carried as an open caveat. The tombstone sidecar is
+    still written LAST: a crash after the swap but before the sidecar
+    write leaves tombstones that match nothing — queries stay correct,
+    and a re-run finds zero affected cells and just rewrites the
+    sidecar (one-way convergence).
 
     Returns a stats dict; no-op (nothing written, tombstones kept —
     there are none to keep) when the sidecar is absent or empty."""
-    tombs = _read_optional_sidecar(spark, path + "_tombstones")
-    if tombs is None:
-        return {"tombstones": 0, "cells_rewritten": [], "cells_removed": [], "rows_removed": 0}
-    tombs = tombs.select(id_col).distinct().localCheckpoint(eager=True)
+    recover_ivf_index(spark, path)
+    zero = {"tombstones": 0, "cells_rewritten": [], "cells_removed": [], "rows_removed": 0}
+    tombs_all = _read_optional_sidecar(spark, path + "_tombstones")
+    if tombs_all is None:
+        return zero
+    tombs_all = tombs_all.select(id_col).distinct().localCheckpoint(eager=True)
+    if only_ids is not None:
+        tombs = (
+            tombs_all.join(only_ids.select(id_col).distinct(), on=id_col, how="left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        tombs = tombs_all
     n_tombs = tombs.count()
     if n_tombs == 0:
-        return {"tombstones": 0, "cells_rewritten": [], "cells_removed": [], "rows_removed": 0}
+        return zero
 
     idx = spark.read.parquet(path)
     # ONE column-pruned pass (ids + the cell partition column, never
@@ -1628,29 +1833,24 @@ def compact_ivf_index(
                     "unreadable — rebuild the index (or drop its "
                     "directory) instead of compacting a total delete"
                 )
-        if rewritten:
-            prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                (
-                    keep.repartition("cell")
-                    .write.mode("overwrite")
-                    .partitionBy("cell")
-                    .parquet(path)
-                )
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        # emptied cells: dynamic overwrite wrote nothing for them, so
-        # drop their stale directories through the Hadoop FS API
-        for c in removed:
-            fs, hpath = _hadoop_fs(spark, f"{path}/cell={c}")
-            fs.delete(hpath, True)
+        # the atomic swap: survivors staged invisibly, then per-cell
+        # delete+rename; emptied cells ride the intent manifest's
+        # removed list (see _replace_cell_partitions)
+        _replace_cell_partitions(spark, path, keep, removed)
         stats.update(cells_rewritten=rewritten, cells_removed=removed)
-    # clear the sidecar LAST (see docstring); the empty overwrite
-    # carries the sidecar's OWN schema (tombs.limit(0)) — a hardcoded
-    # BIGINT DDL would leave mixed-schema parquet under _tombstones
-    # for an index with non-BIGINT ids, breaking every later read
-    tombs.limit(0).write.mode("overwrite").parquet(path + "_tombstones")
+    # rewrite the sidecar LAST (see docstring), always carrying its OWN
+    # schema — a hardcoded BIGINT DDL would leave mixed-schema parquet
+    # under _tombstones for an index with non-BIGINT ids. Full
+    # compaction clears it; a micro-compaction removes only the
+    # compacted ids and keeps unrelated tombstone debt recorded. Both
+    # sides of the anti-join are checkpointed, so the overwrite never
+    # reads the files it replaces.
+    if only_ids is None:
+        tombs_all.limit(0).write.mode("overwrite").parquet(path + "_tombstones")
+    else:
+        tombs_all.join(tombs, on=id_col, how="left_anti").write.mode("overwrite").parquet(
+            path + "_tombstones"
+        )
     return stats
 
 
@@ -1804,6 +2004,118 @@ def audit_ivf2_tombstones(spark, path: str) -> DataFrame:
     ``needs_compact`` trigger, same dry-run contract with
     :func:`compact_ivf2_index`."""
     return audit_ivf_tombstones(spark, path, id_col="neighbor_id")
+
+
+def update_in_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_token: str | None = None,
+) -> dict:
+    """In-place vector UPDATE — the lifecycle step r14 named as the
+    one remaining gap: through r14, replacing a single vector cost
+    delete → FULL :func:`compact_ivf_index` (rewriting every
+    tombstone-holding cell in the index) → append, because the
+    re-insert guard correctly refuses anything cheaper. This composes
+    the same three primitives with the compaction SCOPED to the update
+    batch (``only_ids`` micro-compaction), so an update pays
+    O(cells holding the batch's old rows) — for a single id, ONE cell
+    rewrite — regardless of how much unrelated tombstone debt the
+    index carries:
+
+    1. tombstone the batch ids (:func:`delete_from_ivf_index` — the
+       old vectors stop appearing as neighbors immediately);
+    2. micro-compact exactly those ids
+       (``compact_ivf_index(only_ids=batch)`` — their old rows leave
+       the only cells that hold them, and only those ids leave the
+       sidecar; unrelated tombstones stay recorded and their rows in a
+       rewritten cell survive still-tombstoned);
+    3. append the new vectors (they route fresh under the frozen
+       quantizer — possibly to DIFFERENT cells than the old rows, as
+       an updated embedding should; the re-insert guard passes because
+       step 2 un-tombstoned the ids, and ``skip_existing_ids`` passes
+       because it physically removed the old rows).
+
+    Upsert semantics: an id the index never held tombstones nothing,
+    micro-compacts nothing, and appends normally. Updating EVERY row
+    of the index raises (step 2's total-wipe refusal) — that is a
+    rebuild, the same documented boundary as a total delete.
+
+    Crash/idempotency (each step converges, so the composition does):
+    after 1 → ids hidden, re-run converges; after 2 → ids absent
+    entirely (the documented mid-update window — queries miss them
+    until the re-run appends), re-run re-tombstones, finds no rows,
+    clears the ids again, appends; mid-3 → re-run removes the partial
+    batch (steps 1-2) and re-appends it whole. ``batch_token`` names
+    the whole update: a token already recorded makes the re-run a
+    no-op BEFORE step 1 (the token is written by step 3 LAST, so a
+    token is only ever visible for a fully-applied update).
+
+    Returns step 2's stats dict (the measured cost of the update's
+    rewrite)."""
+    spark = new_vectors.sparkSession
+    if batch_token is not None and _count_batch_token(spark, path + "_batches", batch_token):
+        return {
+            "tombstones": 0,
+            "cells_rewritten": [],
+            "cells_removed": [],
+            "rows_removed": 0,
+            "skipped_token": batch_token,
+        }
+    ids = new_vectors.select(id_col).distinct().localCheckpoint(eager=True)
+    delete_from_ivf_index(ids, path, id_col=id_col)
+    stats = compact_ivf_index(spark, path, id_col=id_col, only_ids=ids)
+    append_to_ivf_index(
+        new_vectors,
+        path,
+        id_col=id_col,
+        vec_col=vec_col,
+        skip_existing_ids=True,
+        batch_token=batch_token,
+    )
+    return stats
+
+
+def update_in_ivf2_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_token: str | None = None,
+) -> dict:
+    """:func:`update_in_ivf_index` on the hierarchical layout — the
+    same delete → micro-compact → append composition with the lists'
+    ``neighbor_id`` column bound and the append routing
+    supercell → best member cell at O(sqrt n_cells) per row. Same
+    upsert semantics, same total-wipe boundary, same crash
+    convergence, same O(cells-of-batch) cost independent of unrelated
+    tombstone debt."""
+    spark = new_vectors.sparkSession
+    if batch_token is not None and _count_batch_token(spark, path + "_batches", batch_token):
+        return {
+            "tombstones": 0,
+            "cells_rewritten": [],
+            "cells_removed": [],
+            "rows_removed": 0,
+            "skipped_token": batch_token,
+        }
+    ids = (
+        new_vectors.select(F.col(id_col).alias("neighbor_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    delete_from_ivf_index(ids, path, id_col="neighbor_id")
+    stats = compact_ivf_index(spark, path, id_col="neighbor_id", only_ids=ids)
+    append_to_ivf2_index(
+        new_vectors,
+        path,
+        id_col=id_col,
+        vec_col=vec_col,
+        skip_existing_ids=True,
+        batch_token=batch_token,
+    )
+    return stats
 
 
 def query_ivf_index(
@@ -1991,8 +2303,8 @@ def rebalance_ivf_index(
 
     - occupancy is one column-pruned pass collecting n_cells rows;
     - ONLY hot cells' partitions are read (partition-pruned scan) and
-      ONLY hot + new partitions are rewritten (dynamic partition
-      overwrite) — cold cells' inverted-list files are never touched;
+      ONLY hot + new partitions are rewritten (the atomic cell swap)
+      — cold cells' inverted-list files are never touched;
     - seeds are <= 2 x n_cells broadcast rows; the member table is
       localCheckpointed once and feeds the split, the centroid means,
       and the rewrite without re-reading the files being replaced.
@@ -2008,16 +2320,19 @@ def rebalance_ivf_index(
     the sidecar is written BEFORE the data, so a crash between the two
     leaves centroids that probe a not-yet-rewritten partition —
     queries stay correct on the old rows, and a re-run recomputes the
-    identical split from the unchanged data and converges. What this
-    function does NOT protect against is a crash DURING the dynamic
-    partition overwrite's job commit itself: Hive-style overwrite
-    deletes a hot cell's old directory before moving the staged files
-    in, so a driver kill inside that commit can lose the cell's rows
-    with no self-healing re-run. At production scale run the repair
-    under an orchestrator retry with the index snapshotted (or on a
-    transactional table format — Delta/Iceberg commit atomically);
-    this parquet layout keeps the window small but cannot close it.
+    identical split from the unchanged data and converges. The data
+    rewrite itself goes through the atomic cell-swap protocol
+    (:func:`_replace_cell_partitions`): survivors stage under an
+    invisible ``.maint-tmp``, an intent manifest commits, and each hot
+    cell replaces by delete+rename — so the dynamic-overwrite
+    job-commit tear this docstring carried as an open caveat through
+    r14 is CLOSED. What a crashed run does next: re-run this function
+    (or any maintenance op, or :func:`recover_ivf_index` directly) —
+    recovery rolls an uncommitted stage back (live index untouched) or
+    a committed one forward (remaining renames finish), then the
+    rebalance recomputes from the converged state.
     """
+    recover_ivf_index(spark, path)
     idx = spark.read.parquet(path)
     occ = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     counts = {int(r["cell"]): int(r["n"]) for r in occ}
@@ -2050,7 +2365,7 @@ def rebalance_ivf_index(
         )
         # materialized once: feeds the seed lookups, the split, the
         # centroid means, and the rewrite — and breaks lineage to the
-        # files the dynamic overwrite below will replace
+        # files the cell swap below will replace
         .localCheckpoint(eager=True)
     )
     halves = split_hot_cells(
@@ -2106,21 +2421,17 @@ def rebalance_ivf_index(
     spark.createDataFrame(
         sorted(sidecar.items()), "cell INT, centroid ARRAY<DOUBLE>"
     ).write.mode("overwrite").parquet(path + "_centroids")
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            relabeled.select(
-                F.col("id").alias(id_col), F.col("v").alias(vec_col), "cell"
-            )
-            # ~one file per rewritten cell (the q220 tasks x cells lesson)
-            .repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # hot + new partitions replace through the atomic cell swap
+    # (stage under .maint-tmp, intent-commit, per-cell delete+rename) —
+    # the dynamic-overwrite job-commit tear this function's docstring
+    # carried as an open caveat through r14 is closed: a crash at any
+    # point converges under recover_ivf_index (run first above)
+    _replace_cell_partitions(
+        spark,
+        path,
+        relabeled.select(F.col("id").alias(id_col), F.col("v").alias(vec_col), "cell"),
+        removed_cells=[],
+    )
 
     after = {
         int(r["cell"]): int(r["n"])
@@ -2154,8 +2465,8 @@ def rebalance_ivf2_index(spark, path: str) -> dict:
     split (:func:`split_hot_cells` — the one shared implementation, so
     the q223-oracle-checked arithmetic governs this layout too), same
     partition pruning (cold cells' files never touched, only hot + new
-    partitions rewrite under dynamic overwrite), same sidecar-first
-    crash convergence.
+    partitions rewrite through the atomic cell swap), same
+    sidecar-first crash convergence.
 
     Two layout-specific differences:
 
@@ -2173,6 +2484,7 @@ def rebalance_ivf2_index(spark, path: str) -> dict:
       ``_supers`` sidecar is untouched; future appends/queries pick up
       the new cells automatically because the member table derives
       from the rewritten ``_centroids``."""
+    recover_ivf_index(spark, path)
     idx = spark.read.parquet(path)
     occ = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     counts = {int(r["cell"]): int(r["n"]) for r in occ}
@@ -2257,24 +2569,18 @@ def rebalance_ivf2_index(spark, path: str) -> dict:
         [(c, cent, sup) for c, (cent, sup) in sorted(sidecar.items())],
         "cell INT, centroid ARRAY<DOUBLE>, supercell INT",
     ).write.mode("overwrite").parquet(path + "_centroids")
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            relabeled.select(
-                F.col("id").alias("neighbor_id"),
-                F.col("v").alias("c_vec"),
-                "cn",
-                "cell",
-            )
-            # ~one file per rewritten cell (the q220 tasks x cells lesson)
-            .repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # same atomic cell swap as the flat rebalance (see its note)
+    _replace_cell_partitions(
+        spark,
+        path,
+        relabeled.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("v").alias("c_vec"),
+            "cn",
+            "cell",
+        ),
+        removed_cells=[],
+    )
 
     after = {
         int(r["cell"]): int(r["n"])

@@ -145,88 +145,73 @@ def register(name: str, oracle: str | None, description: str = ""):
 # losing SURVEY §2 coverage: every swapped-out query's §2 row is still
 # covered by another window slot (q03→q30 for P10, q09→q25 for O3,
 # q15→q14 for U3, q24→q23/q25-q28 for A5, q49→q20/q28 for F4/#6).
-# Round-14 rotation (the r13 verdict's ask #1): first-time coverage
-# closed in r13 — every oracled query in the registry holds a driver
-# hash — so window slots are now PURE RE-CHECK capacity, and the
-# steady-state cadence begins: oldest-green-first, ~4.3 rounds to
-# re-verify the whole 215-oracle registry at 50 slots/round. The 50:
+# Round-15 rotation (the r14 verdict's ask #1 — steady-state window
+# 2 of ~4.3): every oracled query holds a driver hash and, after r14,
+# none older than r10 — this window consumes the ENTIRE r10-era queue
+# so the age ceiling marches to r11. The 50:
 #   (a) SOLE ANCHORS stay, as every round: q05 (sole J3 left-outer),
-#       q06 (sole J4 anti), q07 (sole semi), q08 (sole J7 cross) — no
-#       other window slot covers those §2 rows. In the raw first-50,
-#       so they stay by NOT being swapped out.
-#   (b) ALL 16 r8-era greens (five rounds stale): q37 q38 q40 q41 q42
-#       q46 stay in place (raw first-50); q146 q186 q187 q195 q196
-#       q204 q206 q207 q208 q209 swap in.
-#   (c) ALL 26 r9-era greens: q13 q20 stay in place; q55 q58 q59 q65
-#       q66 q73 q84 q91 q120 q122 q123 q127 q132 q133 q141 q143 q145
-#       q147 q151 q190 q210 q211 q212 q213 swap in.
-#   (d) r10-era head: q14 stays in place. The verdict named four r10
-#       names (q126 q131 q137 q14) but also asked the new q225 into
-#       the window, and the round added two more new queries (q226,
-#       q227) — 53 into 50 — so q126/q131/q137 yield their slots to
-#       the three newcomers and HEAD THE r15 QUEUE (with the rest of
-#       the r10-era greens: q57 q60-q62 q156 q188 q199 q201 q202 ...).
-#       Evicting r10-era names keeps the ask-#1 criterion intact: no
-#       registry query's last external hash is OLDER than r10.
-#   (e) the round's NEW queries ride the window the round they land,
-#       as every round: q225 (tombstone-debt audit), q226
-#       (hierarchical tombstone delete), q227 (hierarchical occupancy
-#       audit — the WHEN for rebalance_ivf2_index).
-# Every swapped-out name holds an r11-or-fresher driver green (q01-q03
-# q09-q12 q17-q19 q21-q34 q43-q53 families: r11/r12/r13), so no §2 row
-# loses external evidence — each swapped-out query's §2 row is also
-# covered in-window (J-rows by q58/q59/q137→q05-q08 anchors, A5 by
-# q91/q132/q133, P10 by q84/q190 dedup family, W1-W3/O1 by q143/q66,
-# F1 by q145/q146, F4 by q20, U1-U3 by q13/q14/q131, SCD by q137's
-# as-of + q58/q59 interval devices).
-# Cumulative if green: 215 of 220 holds (no first-timers left except
-# the three newcomers q225/q226/q227: 215 → 218 of 223).
+#       q06 (sole J4 anti), q07 (sole semi), q08 (sole J7 cross) — in
+#       the raw first-50, so they stay by NOT being swapped out.
+#   (b) ALL 30 r10-era greens (the verdict's queue, incl. the three
+#       q126/q131/q137 deferred from r14): q16 q29 q45 q48 q54 stay in
+#       place (raw first-50); q57 q60 q61 q62 q64 q67 q85 q98 q126
+#       q131 q137 q156 q157 q158 q160 q163 q177 q178 q188 q199 q201
+#       q202 q214 q215 q216 swap in.
+#   (c) the remaining slots go to r11-era names (all equally the next-
+#       oldest tier; the verdict sized this at ~16): the 14 r11-era
+#       names already sitting in the raw first-50 stay in place and
+#       re-hash without costing a swap — q01 q02 q10 q12 q17 q19 q21
+#       q22 q23 q30 q34 q43 q47 q51.
+#   (d) the round's NEW queries ride the window the round they land,
+#       as every round: q228 (flat in-place update — the r14 lifecycle
+#       residual closed), q229 (hierarchical in-place update).
+# Every swapped-out name holds an r12-or-fresher driver green (the 27
+# evicted: q03 r12, q18 r12, q04 r13, q09 r12, q11 r13, q13 r14,
+# q14 r14, q15 r12, q20 r14, q24-q28 r12, q31-q33 r13, q37/q38/q40
+# r14... — recomputed from CORRECTNESS_r*.json, all >= r12), so the
+# age ceiling after this window is exactly r11 (the 32 r11-era names
+# that do not fit; they head the r16 queue with the evicted r12 tier
+# behind them). Swapped-out §2 rows keep in-window coverage: P10 by
+# q30/q84-family, O3/A5 by q91/q132/q133-era hashes + in-window q01
+# dashboards, U1-U3 by q131's table-diff + q14's r14 hash standing,
+# F4/#6 by q20's r14 hash standing, media rows by q45/q151-era greens.
+# Cumulative driver-hash coverage if green: 218 + q228 + q229 = 220
+# of 225 (the 5 rows-only twins stay by design).
 # The ACTIVE window is emitted in every bench run ("driver_window" in
-# BENCH_STATS.json) alongside the cumulative driver_checked_ever list,
-# so externally-reported verification coverage is auditable round over
-# round without reading this file.
+# the bench stats sidecar) alongside the cumulative driver_checked_ever
+# list, so externally-reported verification coverage is auditable
+# round over round without reading this file.
 # ---------------------------------------------------------------------
 _WINDOW_SWAPS: list[tuple[str, str]] = [
-    # (b) r8-era re-checks — the 10 not already in the raw first-50
-    ("q01_pricing_summary", "q146_minhash_portable"),
-    ("q02_filter_project", "q186_exp_smoothing"),
-    ("q03_distinct", "q187_cluster_canonical"),
-    ("q04_join_inner_agg", "q195_quantile_norm"),
-    ("q09_topn_parts", "q196_leakage_safe_split"),
-    ("q10_top_orders_per_customer", "q204_decile_thresholds"),
-    ("q11_order_gaps", "q206_rfm_distributed"),
-    ("q12_watermark", "q207_batch_padding_distributed"),
-    ("q15_intersect", "q208_ivf_derived_cells"),
-    ("q16_count_distinct", "q209_ivfpq_recall"),
-    # (c) r9-era re-checks — the 24 not already in the raw first-50
-    ("q17_case_bucket", "q55_cube"),
-    ("q18_null_fill_geo", "q58_compound_join"),
-    ("q19_derived_measures", "q59_next_later_date"),
-    ("q21_scd_build", "q65_constraint_checks"),
-    ("q22_scd_as_of", "q66_session_window"),
-    ("q23_star_weekday", "q73_sql_text_star"),
-    ("q24_star_month", "q84_dedup_clusters"),
-    ("q25_topn_vendors", "q91_top_supplier"),
-    ("q26_rollup_geo", "q120_quality_classifier"),
-    ("q27_kpi_totals", "q122_gap_fill"),
-    ("q28_season", "q123_unpivot"),
-    ("q29_scd_merge_insert", "q127_char_entropy"),
-    ("q30_dedup_exact", "q132_revenue_share"),
-    ("q31_token_stats", "q133_yoy_growth"),
-    ("q32_text_quality", "q141_grouping_id"),
-    ("q33_lang_id", "q143_topn_with_ties"),
-    ("q34_fingerprint", "q145_simhash_md5"),
-    ("q43_sessionization", "q147_incremental_portable"),
-    ("q44_pivot", "q151_resize_text_twin"),
-    ("q45_media_features", "q190_semantic_dedup"),
-    ("q47_degenerate_invoice", "q210_corpus_diff"),
-    ("q48_wkt_point", "q211_ivf_sampled_train"),
-    ("q49_date_horizon", "q212_hierarchical_ivf"),
-    ("q51_null_repair", "q213_ivf2_recall"),
-    # (e) the round's NEW queries ride the window the round they land
-    ("q52_grouping_sets", "q225_tombstone_debt"),
-    ("q53_running_total", "q226_ivf2_delete"),
-    ("q54_unknown_member", "q227_ivf2_occupancy"),
+    # (b) the 25 r10-era re-checks not already in the raw first-50
+    ("q03_distinct", "q57_ingest_coercion"),
+    ("q18_null_fill_geo", "q60_same_day_repair"),
+    ("q04_join_inner_agg", "q61_asof_grouped"),
+    ("q09_topn_parts", "q62_full_outer_upsert"),
+    ("q11_order_gaps", "q64_moving_window"),
+    ("q13_union", "q67_knn_ivf"),
+    ("q14_except_all", "q85_decontamination"),
+    ("q15_intersect", "q98_incremental_blocked"),
+    ("q20_date_dim", "q126_bpe_train"),
+    ("q24_star_month", "q131_table_diff"),
+    ("q25_topn_vendors", "q137_event_asof"),
+    ("q26_rollup_geo", "q156_ivf_persisted"),
+    ("q27_kpi_totals", "q157_skew_join_salted"),
+    ("q28_season", "q158_skew_join_aqe"),
+    ("q31_token_stats", "q160_bm25_topk"),
+    ("q32_text_quality", "q163_pagerank"),
+    ("q33_lang_id", "q177_pq_adc"),
+    ("q37_ngram_jaccard", "q178_ivfpq"),
+    ("q38_knn_cosine", "q188_shingle_containment"),
+    ("q40_embedding_near_dup", "q199_ivf_incremental"),
+    ("q41_events_hourly", "q201_personalized_pagerank"),
+    ("q42_json_props", "q202_source_overlap"),
+    ("q44_pivot", "q214_recall_probe_sweep"),
+    ("q46_media_metadata", "q215_ivf2_derived_probes"),
+    ("q49_date_horizon", "q216_mixture_plan"),
+    # (d) the round's NEW queries ride the window the round they land
+    ("q52_grouping_sets", "q228_ivf_update"),
+    ("q53_running_total", "q229_ivf2_update"),
 ]
 
 
@@ -5751,6 +5736,7 @@ def _q67_oracle(
     final_select: str | None = None,
     derived_cells: bool = False,
     derive_pred: str | None = None,
+    corpus_from: str = "embeddings",
 ) -> str:
     """DuckDB twin of similarity.cosine_topk_ivf(k=10, n_cells=8,
     n_probe=3, iters=2): the deterministic k-means-lite train is fully
@@ -5778,7 +5764,17 @@ def _q67_oracle(
     (default: ``train_pred``) is the predicate the capacity count runs
     over — q211 trains on a SAMPLE but sizes the quantizer from the
     FULL corpus the cells must serve, so it passes derive_pred='TRUE'
-    with a sampling train_pred."""
+    with a sampling train_pred.
+
+    ``corpus_from`` replaces the ``v`` CTE's source — the corpus the
+    inverted lists, probes and scores run over (q228 passes the
+    UPDATED corpus: original rows with the update batch's vectors
+    swapped in). It must keep the same ``(vec_id, embedding)`` shape
+    and id set, and must leave every ``train_pred`` row's vector
+    UNCHANGED: the seed CTE (``c0``) and the derived-capacity count
+    deliberately still read the raw ``embeddings`` table — the frozen
+    quantizer trained before the update — so an update set that
+    overlapped the train rows would desynchronize the two."""
     # parameterized on BOTH aliases ({v} vector side, {c} centroid
     # side) — a post-hoc .replace("v.", ...) over the formatted SQL
     # would silently rewrite any future fragment containing "v."
@@ -5854,7 +5850,7 @@ def _q67_oracle(
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings
+      FROM {corpus_from}
     ),
     {params}vt AS MATERIALIZED (
       -- faiss train cap mirror (similarity._IVF_TRAIN_PER_CELL): the
@@ -11463,6 +11459,7 @@ def _q212_oracle(
     sprobe_sql: str = "2",
     cprobe_sql: str = "3",
     train_pred: str = "vec_id % 16 = 0",
+    corpus_from: str = "embeddings",
 ) -> str:
     """DuckDB twin of similarity.cosine_topk_ivf2 (hierarchical IVF,
     k=10, n_probe=3, n_super_probe=2, iters=2, 1/16 sampled train,
@@ -11478,7 +11475,14 @@ def _q212_oracle(
     super -> best member cell, and queries probe 2 supers -> 3 member
     cells. Every tiebreak matches the Spark structs: assignment
     (score DESC, super/cell DESC), probes (score DESC, super/cell
-    DESC), neighbors (score DESC, neighbor ASC)."""
+    DESC), neighbors (score DESC, neighbor ASC).
+
+    ``corpus_from`` swaps the ``v`` CTE's source (the corpus the
+    lists/probes/scores run over) under the same contract as
+    :func:`_q67_oracle`: same (vec_id, embedding) shape and id set,
+    every ``train_pred`` row's vector unchanged — the seed CTE and
+    capacity counts still read the raw table (the frozen quantizer
+    trained before the update)."""
     from ..operators.similarity import _IVF_MAX_CELLS_EXP, _IVF_TRAIN_PER_CELL
 
     # ``train_pred`` restricts SEEDS and Lloyd folds; the inverted
@@ -11574,7 +11578,7 @@ def _q212_oracle(
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings
+      FROM {corpus_from}
     ),
     params AS ({ladder_expr("embeddings")}),
     vt AS MATERIALIZED (
@@ -12411,6 +12415,100 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same SHARED report builder as the flat q200 (see its note)
     return similarity.occupancy_report(counts)
+
+
+# The UPDATED corpus both update queries run against: ids ≡ 5 (mod 16)
+# get their embedding REVERSED — a genuinely different direction (new
+# routing, new scores) with the same float bits elementwise, so both
+# engines' double-cast arithmetic stays exact — while the 1/16 train
+# sample (ids ≡ 0 mod 16) is DISJOINT from the update set, which is
+# what lets the oracle train its frozen quantizer from the raw table
+# (see _q67_oracle's corpus_from contract).
+_UPDATED_CORPUS_SQL = (
+    "(SELECT vec_id, CASE WHEN vec_id % 16 = 5 THEN list_reverse(embedding) "
+    "ELSE embedding END AS embedding FROM embeddings)"
+)
+
+
+def _updated_vectors(emb: DataFrame) -> DataFrame:
+    """The Spark twin of _UPDATED_CORPUS_SQL's update batch: the
+    ids ≡ 5 (mod 16) rows with reversed embeddings."""
+    return emb.where("vec_id % 16 = 5").select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+
+
+@register(
+    "q228_ivf_update",
+    _q67_oracle(train_pred="vec_id % 16 = 0", corpus_from=_UPDATED_CORPUS_SQL),
+    "In-place vector UPDATE on the persisted flat IVF index - the "
+    "lifecycle step the r14 verdict named as the one remaining gap "
+    "(build -> append -> audit -> rebalance -> delete -> compact -> "
+    "UPDATE): through r14 a single-id update cost delete -> FULL "
+    "compaction (rewriting every tombstone-holding cell) -> append; "
+    "update_in_ivf_index scopes the compaction to the update batch "
+    "(only_ids micro-compaction), so an update pays O(cells holding "
+    "the batch's old rows) - one cell for one id - regardless of "
+    "unrelated tombstone debt. Here the index is built and persisted "
+    "with a frozen 1/16-sample quantizer, every id = 5 (mod 16) row's "
+    "vector is REPLACED by its reversal (disjoint from the train "
+    "sample, so the quantizer is untouched - the frozen-quantizer "
+    "append contract), and the query runs over the updated index: old "
+    "rows physically gone, new vectors routed to their new best "
+    "cells, no tombstone left behind. The rewrite rides the atomic "
+    "cell-swap protocol (stage under an invisible .maint-tmp, "
+    "intent-manifest commit, per-cell delete+rename - the r14 "
+    "dynamic-overwrite crash window, closed and pytest-demonstrated). "
+    "Oracle = q67's unrolled train over the RAW train rows (unchanged "
+    "by construction) with the v corpus swapped for the updated one, "
+    "so build -> update -> query is value-checked end-to-end across "
+    "the file boundary",
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # deterministic per-SF path (the q156 leak note): build OVERWRITES;
+    # re-runs converge because the update's delete/micro-compact pair
+    # is idempotent against the freshly rebuilt index (no batch_token:
+    # a recorded token would no-op the append after the rebuild)
+    path = _scratch_index_path("ivf_upd", sf_dir)
+    similarity.build_ivf_index(
+        emb, path, n_cells=8, iters=2, train_where="vec_id % 16 = 0"
+    )
+    similarity.update_in_ivf_index(_updated_vectors(emb), path)
+    return similarity.query_ivf_index(emb.where("vec_id < 5"), path, k=10, n_probe=3)
+
+
+@register(
+    "q229_ivf2_update",
+    _q212_oracle(corpus_from=_UPDATED_CORPUS_SQL),
+    "In-place vector UPDATE on the persisted HIERARCHICAL index - "
+    "q228's lifecycle step on the two-level layout, completing the "
+    "flat/hierarchical x build/append/delete/compact/update matrix: "
+    "the same delete -> only_ids micro-compact -> append composition "
+    "(one implementation, the lists' neighbor_id column bound) with "
+    "the re-append routing supercell -> best member cell at "
+    "O(sqrt n_cells) per row. The update set (ids = 5 mod 16, vectors "
+    "reversed) is disjoint from the 1/16 train sample, so both "
+    "quantizer levels stay frozen; old rows leave exactly the cells "
+    "that held them via the atomic cell swap, stored (c_vec, cn) of "
+    "surviving rows carried bit-unchanged, and the appended rows "
+    "recompute their norm exactly as build does. Oracle = q212's "
+    "verbatim two-level unroll with the v corpus swapped for the "
+    "updated one (train CTEs still read the raw rows - unchanged by "
+    "construction), so build -> update -> query is value-checked "
+    "end-to-end across the file boundary",
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    nc = similarity.derived_n_cells(_scalar_count(emb))
+    path = _scratch_index_path("ivf2_upd", sf_dir)
+    similarity.build_ivf2_index(
+        emb, path, n_cells=nc, iters=2, train_where="vec_id % 16 = 0"
+    )
+    similarity.update_in_ivf2_index(_updated_vectors(emb), path)
+    return similarity.query_ivf2_index(
+        emb.where("vec_id < 5"), path, k=10, n_probe=3, n_super_probe=2
+    )
 
 
 @register(
