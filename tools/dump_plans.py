@@ -80,6 +80,8 @@ HEADLINE = [
     ("q215_ivf2_derived_probes", "capacity-derived probing: widths are plan literals derived from the trained quantizer sizes — the probed fraction (and the plan shape) is scale-invariant"),
     ("q217_ppm_decode", "REAL image decode: render + parse as two scan-partitioned Arrow MapInPandas stages — zero exchanges, embarrassingly parallel at any corpus size"),
     ("q219_ppm_frame_sample", "REAL container frame sampling: flat-map MapInPandas (1 stream → N frames) with header-discovered boundaries — zero exchanges"),
+    ("q228_ivf_update", "in-place update: micro-compaction rewrote ONLY the updated ids' cells before this query plan — the query itself is q156's pruned-scan shape (probed-cell PartitionFilters, broadcast query batch)"),
+    ("q229_ivf2_update", "hierarchical in-place update: same micro-compaction + fresh O(sqrt n_cells) routing of the batch; query keeps the two-level PartitionFilters + broadcast probes"),
 ]
 
 
