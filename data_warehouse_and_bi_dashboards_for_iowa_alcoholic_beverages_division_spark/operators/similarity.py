@@ -1392,6 +1392,24 @@ def _count_batch_token(spark, sidecar_path: str, token: str) -> int:
 _MAINT_TMP = ".maint-tmp"
 
 
+def _fs_checked(ok: bool, op: str, src: str, dst: str | None = None) -> None:
+    """Hadoop ``FileSystem.delete``/``rename`` signal failure by
+    returning ``false``, not by raising (RawLocalFileSystem, HDFS) —
+    a swap step that ignores the boolean can purge the staged copy
+    after a failed rename and turn a recoverable state into silent
+    loss. Every swap-protocol FS mutation goes through this check and
+    RAISES on false, leaving the staging directory in place for
+    :func:`recover_ivf_index` to converge once the cause (permissions,
+    open handles) is fixed."""
+    if not ok:
+        target = f"{src} -> {dst}" if dst else src
+        raise RuntimeError(
+            f"filesystem {op} failed (returned false): {target}; the "
+            "maintenance staging directory is left in place — fix the "
+            "cause and re-run the operation (or recover_ivf_index)"
+        )
+
+
 def _fs_write_text_atomic(spark, path: str, text: str) -> None:
     """Write a small text file through the Hadoop FS API with a
     tmp-then-rename commit: the file at ``path`` either does not exist
@@ -1408,8 +1426,8 @@ def _fs_write_text_atomic(spark, path: str, text: str) -> None:
     finally:
         out.close()
     if fs.exists(hpath):
-        fs.delete(hpath, False)
-    fs.rename(tmp_h, hpath)
+        _fs_checked(fs.delete(hpath, False), "delete", path)
+    _fs_checked(fs.rename(tmp_h, hpath), "rename", tmp, path)
 
 
 def _fs_read_text(spark, path: str) -> str:
@@ -1438,20 +1456,26 @@ def _finish_cell_swap(spark, path: str) -> dict:
     _, tmp_h = _hadoop_fs(spark, tmp)
     intent = json.loads(_fs_read_text(spark, tmp + "/_intent.json"))
     swapped = []
+    # every delete/rename checks its boolean (_fs_checked): a false
+    # return mid-swap leaves the staged copy in tmp — after a failed
+    # live-delete the staged dir is the cell's ONLY surviving copy,
+    # and purging tmp regardless would be silent permanent loss
     for st in fs.listStatus(tmp_h):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith("cell=")):
             continue
         _, live_h = _hadoop_fs(spark, f"{path}/{name}")
         if fs.exists(live_h):
-            fs.delete(live_h, True)
-        fs.rename(st.getPath(), live_h)
+            _fs_checked(fs.delete(live_h, True), "delete", f"{path}/{name}")
+        _fs_checked(
+            fs.rename(st.getPath(), live_h), "rename", f"{tmp}/{name}", f"{path}/{name}"
+        )
         swapped.append(int(name.split("=", 1)[1]))
     for c in intent.get("removed", []):
         _, dead_h = _hadoop_fs(spark, f"{path}/cell={int(c)}")
         if fs.exists(dead_h):
-            fs.delete(dead_h, True)
-    fs.delete(tmp_h, True)
+            _fs_checked(fs.delete(dead_h, True), "delete", f"{path}/cell={int(c)}")
+    _fs_checked(fs.delete(tmp_h, True), "delete", tmp)
     return {"cells_swapped": sorted(swapped), "cells_removed": intent.get("removed", [])}
 
 
@@ -1483,7 +1507,21 @@ def recover_ivf_index(spark, path: str) -> dict:
     at most the cells whose rename had not landed — run this (or any
     maintenance op) once to converge. Layout-agnostic (operates purely
     on ``cell=*`` directories): :func:`recover_ivf2_index` is the same
-    function."""
+    function.
+
+    SINGLE-WRITER CONTRACT (load-bearing for the rolled-back branch,
+    a code-review r15 finding): ALL mutating operations on one index —
+    appends and updates included, not just the obviously-"maintenance"
+    compact/rebalance — must be serialized by the caller, the same
+    contract each op's own docstring states for its concurrent twins.
+    Under that contract, any staging directory found at an entry point
+    belongs to a CRASHED run, so rolling an uncommitted stage back is
+    safe. Without it, an append racing a live compaction could roll
+    back the compaction's completed-but-uncommitted stage here; the
+    compaction would then commit an EMPTY swap and clear its
+    tombstones anyway — physically-present rows resurrected with no
+    error anywhere. Run maintenance under one scheduler slot per
+    index."""
     tmp = f"{path}/{_MAINT_TMP}"
     fs, tmp_h = _hadoop_fs(spark, tmp)
     if not fs.exists(tmp_h):
@@ -1612,7 +1650,10 @@ def append_to_ivf_index(
     atomically (e.g. both staged under one directory rename). The
     check-then-write is also not serialized across CONCURRENT
     appenders presenting the same token; dedupe retries upstream
-    (one writer per token) rather than racing two."""
+    (one writer per token) rather than racing two. The serialization
+    requirement extends to EVERY mutating op on the index — an append
+    racing a live compaction/rebalance can roll back its uncommitted
+    stage (see :func:`recover_ivf_index`'s single-writer contract)."""
     spark = new_vectors.sparkSession
     # heal any crashed compaction/rebalance swap first: appending into
     # a cell whose staged replacement is still pending would be undone
@@ -2006,6 +2047,82 @@ def audit_ivf2_tombstones(spark, path: str) -> DataFrame:
     return audit_ivf_tombstones(spark, path, id_col="neighbor_id")
 
 
+def _update_in_index(
+    new_vectors,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    batch_token: str | None,
+    lists_id_col: str,
+    append_fn,
+) -> dict:
+    """The one shared delete → micro-compact → append composition
+    behind :func:`update_in_ivf_index` and :func:`update_in_ivf2_index`
+    — parameterized on the inverted lists' id column and the layout's
+    append (the :func:`delete_from_ivf2_index` pattern), so the stats
+    shape, the guard ordering, and the crash argument live exactly
+    once."""
+    spark = new_vectors.sparkSession
+    # heal any crashed maintenance swap before the pre-check reads the
+    # index (a torn cell could otherwise make the wipe probe misjudge)
+    recover_ivf_index(spark, path)
+    if batch_token is not None and _count_batch_token(spark, path + "_batches", batch_token):
+        return {
+            "tombstones": 0,
+            "cells_rewritten": [],
+            "cells_removed": [],
+            "rows_removed": 0,
+            "skipped_token": batch_token,
+        }
+    ids = (
+        new_vectors.select(F.col(id_col).alias(lists_id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Total-wipe boundary, checked BEFORE any mutation (a code-review
+    # r15 finding: the micro-compaction's own refusal fires only AFTER
+    # step 1 has tombstoned every id — the whole index would sit
+    # hidden behind the sidecar with every retry re-raising, and a
+    # rebuild at the same path would NOT clear it, since build
+    # overwrites only the data and centroid paths, never the sibling
+    # _tombstones). The anti-join probe is cheap in the normal case:
+    # limit(1) short-circuits on the first live id outside the
+    # (broadcast) batch, so only the pathological near-wipe case scans
+    # far.
+    survivor = (
+        spark.read.parquet(path)
+        .select(lists_id_col)
+        .join(F.broadcast(ids), on=lists_id_col, how="left_anti")
+        .limit(1)
+        .count()
+    )
+    if survivor == 0:
+        raise ValueError(
+            "update batch covers every row of the index: an in-place "
+            "update of the whole corpus is a rebuild — run "
+            "build_ivf_index/build_ivf2_index instead (and drop the "
+            "_tombstones sidecar if one exists; a rebuild does not "
+            "clear it)"
+        )
+    delete_from_ivf_index(ids, path, id_col=lists_id_col)
+    stats = compact_ivf_index(spark, path, id_col=lists_id_col, only_ids=ids)
+    # skip_existing_ids=False: the guard would be a no-op by
+    # construction — step 2 just physically removed every batch id's
+    # rows, and a crash re-run re-executes steps 1-2 before reaching
+    # this append — so the O(index ids) anti-join scan it costs would
+    # buy nothing (a code-review r15 finding: that scan was the only
+    # term breaking the documented O(cells-of-batch) update cost).
+    append_fn(
+        new_vectors,
+        path,
+        id_col=id_col,
+        vec_col=vec_col,
+        skip_existing_ids=False,
+        batch_token=batch_token,
+    )
+    return stats
+
+
 def update_in_ivf_index(
     new_vectors: DataFrame,
     path: str,
@@ -2034,13 +2151,17 @@ def update_in_ivf_index(
     3. append the new vectors (they route fresh under the frozen
        quantizer — possibly to DIFFERENT cells than the old rows, as
        an updated embedding should; the re-insert guard passes because
-       step 2 un-tombstoned the ids, and ``skip_existing_ids`` passes
-       because it physically removed the old rows).
+       step 2 un-tombstoned the ids, and the existing-id guard is
+       skipped because step 2 provably removed the old rows — see
+       :func:`_update_in_index`).
 
     Upsert semantics: an id the index never held tombstones nothing,
     micro-compacts nothing, and appends normally. Updating EVERY row
-    of the index raises (step 2's total-wipe refusal) — that is a
-    rebuild, the same documented boundary as a total delete.
+    of the index raises BEFORE any mutation (the total-wipe boundary —
+    that is a rebuild, the same documented boundary as a total
+    delete); the pre-check short-circuits on the first live id outside
+    the batch, so the normal case pays ~one partition probe, not an
+    index scan.
 
     Crash/idempotency (each step converges, so the composition does):
     after 1 → ids hidden, re-run converges; after 2 → ids absent
@@ -2052,29 +2173,16 @@ def update_in_ivf_index(
     no-op BEFORE step 1 (the token is written by step 3 LAST, so a
     token is only ever visible for a fully-applied update).
 
+    Single-writer contract (same as every mutating op on the index —
+    see :func:`recover_ivf_index`): serialize updates against appends,
+    deletes, compactions, and rebalances.
+
     Returns step 2's stats dict (the measured cost of the update's
     rewrite)."""
-    spark = new_vectors.sparkSession
-    if batch_token is not None and _count_batch_token(spark, path + "_batches", batch_token):
-        return {
-            "tombstones": 0,
-            "cells_rewritten": [],
-            "cells_removed": [],
-            "rows_removed": 0,
-            "skipped_token": batch_token,
-        }
-    ids = new_vectors.select(id_col).distinct().localCheckpoint(eager=True)
-    delete_from_ivf_index(ids, path, id_col=id_col)
-    stats = compact_ivf_index(spark, path, id_col=id_col, only_ids=ids)
-    append_to_ivf_index(
-        new_vectors,
-        path,
-        id_col=id_col,
-        vec_col=vec_col,
-        skip_existing_ids=True,
-        batch_token=batch_token,
+    return _update_in_index(
+        new_vectors, path, id_col, vec_col, batch_token,
+        lists_id_col=id_col, append_fn=append_to_ivf_index,
     )
-    return stats
 
 
 def update_in_ivf2_index(
@@ -2085,37 +2193,17 @@ def update_in_ivf2_index(
     batch_token: str | None = None,
 ) -> dict:
     """:func:`update_in_ivf_index` on the hierarchical layout — the
-    same delete → micro-compact → append composition with the lists'
+    same delete → micro-compact → append composition
+    (:func:`_update_in_index`, one implementation) with the lists'
     ``neighbor_id`` column bound and the append routing
     supercell → best member cell at O(sqrt n_cells) per row. Same
-    upsert semantics, same total-wipe boundary, same crash
-    convergence, same O(cells-of-batch) cost independent of unrelated
-    tombstone debt."""
-    spark = new_vectors.sparkSession
-    if batch_token is not None and _count_batch_token(spark, path + "_batches", batch_token):
-        return {
-            "tombstones": 0,
-            "cells_rewritten": [],
-            "cells_removed": [],
-            "rows_removed": 0,
-            "skipped_token": batch_token,
-        }
-    ids = (
-        new_vectors.select(F.col(id_col).alias("neighbor_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    upsert semantics, same pre-mutation total-wipe boundary, same
+    crash convergence, same O(cells-of-batch) cost independent of
+    unrelated tombstone debt."""
+    return _update_in_index(
+        new_vectors, path, id_col, vec_col, batch_token,
+        lists_id_col="neighbor_id", append_fn=append_to_ivf2_index,
     )
-    delete_from_ivf_index(ids, path, id_col="neighbor_id")
-    stats = compact_ivf_index(spark, path, id_col="neighbor_id", only_ids=ids)
-    append_to_ivf2_index(
-        new_vectors,
-        path,
-        id_col=id_col,
-        vec_col=vec_col,
-        skip_existing_ids=True,
-        batch_token=batch_token,
-    )
-    return stats
 
 
 def query_ivf_index(

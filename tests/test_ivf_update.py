@@ -191,15 +191,32 @@ def test_update_with_batch_token_is_noop_on_retry(spark, tmp_path):
     assert _files_by_cell(path) == files  # nothing moved on the retry
 
 
-def test_update_of_entire_index_raises_rebuild(spark, tmp_path):
+def test_update_of_entire_index_raises_rebuild_before_mutating(spark, tmp_path):
+    """The total-wipe boundary fires BEFORE step 1 (code-review r15):
+    the old ordering tombstoned every id first and THEN raised,
+    leaving the whole index hidden behind the sidecar with every
+    retry re-raising — and a rebuild at the same path would not have
+    cleared it (build never touches the sibling _tombstones)."""
     emb = load_table(spark, SF_DIR, "embeddings")
     path = str(tmp_path / "idx")
     small = emb.where("vec_id < 20")
     build_ivf_index(small, path, n_cells=4, iters=2)
+    before = _neighbors_probe(spark, small, path)
     with pytest.raises(ValueError, match="rebuild"):
         update_in_ivf_index(
             small.select("vec_id", F.reverse("embedding").alias("embedding")), path
         )
+    # nothing mutated: no tombstones written, queries unchanged
+    assert _tomb_ids(spark, path) == set()
+    assert _neighbors_probe(spark, small, path) == before
+
+
+def _neighbors_probe(spark, emb, path):
+    res = query_ivf_index(emb.where("vec_id < 2"), path, k=5, n_probe=3)
+    return {
+        (int(r["query_id"]), int(r["rank"])): int(r["neighbor_id"])
+        for r in res.collect()
+    }
 
 
 def test_ivf2_update_replaces_vector_and_clears_debt(spark, tmp_path):

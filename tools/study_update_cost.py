@@ -24,6 +24,7 @@ Usage: python tools/study_update_cost.py [sf_dir ...]
 
 from __future__ import annotations
 
+import shutil
 import sys
 import tempfile
 import time
@@ -63,26 +64,35 @@ def main() -> None:
             )
             results = {}
             for mode in ("update", "old-path"):
+                # fresh dir per point, removed before the next one — an
+                # unfreed index copy per point is many GB of /tmp leak
+                # at sf10 (code-review r15 finding)
                 root = tempfile.mkdtemp(prefix="updstudy-")
-                path = f"{root}/idx"
-                build_ivf_index(emb, path, n_cells=nc, iters=2, train_where="vec_id % 16 = 0")
-                if stride is not None:
-                    delete_from_ivf_index(
-                        emb.where(
-                            (F.col("vec_id") % stride == 3) & (F.col("vec_id") != UPDATE_ID)
-                        ).select("vec_id"),
-                        path,
+                try:
+                    path = f"{root}/idx"
+                    build_ivf_index(
+                        emb, path, n_cells=nc, iters=2, train_where="vec_id % 16 = 0"
                     )
-                t0 = time.monotonic()
-                if mode == "update":
-                    stats = update_in_ivf_index(batch, path)
-                else:
-                    delete_from_ivf_index(batch.select("vec_id"), path)
-                    stats = compact_ivf_index(spark, path)
-                    append_to_ivf_index(batch, path)
-                wall = time.monotonic() - t0
-                touched = len(stats["cells_rewritten"]) + len(stats["cells_removed"])
-                results[mode] = (wall, touched, stats["rows_removed"])
+                    if stride is not None:
+                        delete_from_ivf_index(
+                            emb.where(
+                                (F.col("vec_id") % stride == 3)
+                                & (F.col("vec_id") != UPDATE_ID)
+                            ).select("vec_id"),
+                            path,
+                        )
+                    t0 = time.monotonic()
+                    if mode == "update":
+                        stats = update_in_ivf_index(batch, path)
+                    else:
+                        delete_from_ivf_index(batch.select("vec_id"), path)
+                        stats = compact_ivf_index(spark, path)
+                        append_to_ivf_index(batch, path)
+                    wall = time.monotonic() - t0
+                    touched = len(stats["cells_rewritten"]) + len(stats["cells_removed"])
+                    results[mode] = (wall, touched, stats["rows_removed"])
+                finally:
+                    shutil.rmtree(root, ignore_errors=True)
             (uw, ut, ur), (ow, ot, orr) = results["update"], results["old-path"]
             print(
                 f"{sf_dir.rsplit('/', 1)[-1]} n={n} cells={nc} debt={label}: "
