@@ -423,8 +423,13 @@ def _centroid_array_df(spark, centroids: list[list[float]]) -> DataFrame:
     size is constant in n_cells. Norms are Python-computed
     (``_py_norm``, bit-identical to the interpreted fold) so scoring
     folds only the dot."""
+    # ONE slice: the default parallelize slicing fans this single row
+    # across default.parallelism empty partitions, so every broadcast
+    # build of it ran a 32-task job for one row (r15 profile)
     return spark.createDataFrame(
-        [([(i, [float(x) for x in c], _py_norm(c)) for i, c in enumerate(centroids)],)],
+        spark.sparkContext.parallelize(
+            [([(i, [float(x) for x in c], _py_norm(c)) for i, c in enumerate(centroids)],)], 1
+        ),
         "_cents ARRAY<STRUCT<c: INT, cvec: ARRAY<DOUBLE>, cnorm: DOUBLE>>",
     )
 
@@ -830,8 +835,11 @@ def _member_table_df(spark, l2: list[list[float]], cell2super: dict[int, int]) -
         (s, [(c, l2[c], _py_norm(l2[c])) for c in sorted(cells)])
         for s, cells in sorted(by_super.items())
     ]
+    # one slice — n_super rows total; the broadcast build should not
+    # cost a default.parallelism-task job (the _centroid_array_df note)
     return spark.createDataFrame(
-        rows, "_super INT, _mcents ARRAY<STRUCT<c: INT, cvec: ARRAY<DOUBLE>, cnorm: DOUBLE>>"
+        spark.sparkContext.parallelize(rows, 1),
+        "_super INT, _mcents ARRAY<STRUCT<c: INT, cvec: ARRAY<DOUBLE>, cnorm: DOUBLE>>",
     )
 
 
@@ -1061,19 +1069,22 @@ def build_ivf2_index(
     # task across every cell — tasks x cells files (65k at sf10; at
     # cluster scale, executors x cells — a metadata explosion the
     # serving tier pays on every probe). One corpus shuffle at build
-    # buys ~one file per cell; the flat build keeps the direct write
-    # (n_cells is a small constant there, so tasks x cells stays
-    # bounded).
+    # buys ~one file per cell. The flat build/appends apply the same
+    # device since r15 (measured: the direct write put 391 files under
+    # q199's 2000-row sf0.1 index; the commit's sequential renames and
+    # the per-file footer reads of every later scan dominated walls).
     _ivf2_corpus_lists(corpus, members, l1, id_col, vec_col).repartition(
         F.col("cell")
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
-    spark.createDataFrame(
+    _write_driver_rows(
+        spark,
         [(i, c, cell2super[i]) for i, c in enumerate(l2)],
-        "cell INT, centroid ARRAY<DOUBLE>, supercell INT",
-    ).write.mode("overwrite").parquet(path + "_centroids")
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(l1)], "supercell INT, centroid ARRAY<DOUBLE>"
-    ).write.mode("overwrite").parquet(path + "_supers")
+        _SIDECAR_CENTROIDS2_SCHEMA,
+        path + "_centroids",
+    )
+    _write_driver_rows(
+        spark, [(i, c) for i, c in enumerate(l1)], _SIDECAR_SUPERS_SCHEMA, path + "_supers"
+    )
     return l2, l1, cell2super
 
 
@@ -1118,23 +1129,26 @@ def append_to_ivf2_index(
                 "(appending now would be silently hidden by the tombstone "
                 "and removed by the next compaction)"
             )
-    crows = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    crows = _sidecar_rows(spark, path + "_centroids", _SIDECAR_CENTROIDS2_SCHEMA, "cell")
     l2 = [[float(x) for x in r["centroid"]] for r in crows]
     cell2super = {r["cell"]: r["supercell"] for r in crows}
-    srows = spark.read.parquet(path + "_supers").orderBy("supercell").collect()
+    srows = _sidecar_rows(spark, path + "_supers", _SIDECAR_SUPERS_SCHEMA, "supercell")
     l1 = [[float(x) for x in r["centroid"]] for r in srows]
     members = _member_table_df(spark, l2, cell2super)
     batch = new_vectors
     if skip_existing_ids:
         existing = spark.read.parquet(path).select(F.col("neighbor_id").alias(id_col))
         batch = batch.join(existing, on=id_col, how="left_anti")
-    _ivf2_corpus_lists(batch, members, l1, id_col, vec_col).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(path)
+    # repartition on the partition column before the partitioned write
+    # (the build's device, applied to the append too — without it each
+    # batch adds tasks x touched-cells files to the serving layout)
+    _ivf2_corpus_lists(batch, members, l1, id_col, vec_col).repartition(
+        F.col("cell")
+    ).write.mode("append").partitionBy("cell").parquet(path)
     if batch_token is not None:
-        spark.createDataFrame([(batch_token,)], "token STRING").write.mode(
-            "append"
-        ).parquet(path + "_batches")
+        _write_driver_rows(
+            spark, [(batch_token,)], _SIDECAR_BATCHES_SCHEMA, path + "_batches", mode="append"
+        )
 
 
 def query_ivf2_index(
@@ -1161,17 +1175,20 @@ def query_ivf2_index(
     deletes are visible without any file rewrite, and ranks assigned
     after the exclusion free a deleted neighbor's rank."""
     spark = queries.sparkSession
-    crows = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    crows = _sidecar_rows(spark, path + "_centroids", _SIDECAR_CENTROIDS2_SCHEMA, "cell")
     l2 = [[float(x) for x in r["centroid"]] for r in crows]
     cell2super = {r["cell"]: r["supercell"] for r in crows}
-    srows = spark.read.parquet(path + "_supers").orderBy("supercell").collect()
+    srows = _sidecar_rows(spark, path + "_supers", _SIDECAR_SUPERS_SCHEMA, "supercell")
     l1 = [[float(x) for x in r["centroid"]] for r in srows]
     members = _member_table_df(spark, l2, cell2super)
     q = _ivf2_probe_cells(queries, members, l1, id_col, vec_col, n_super_probe, n_probe)
     # q is consumed twice (probed-cell collect, then the broadcast
     # join); checkpoint so the probe ranking runs once
     q = q.localCheckpoint(eager=True)
-    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    # dedup driver-side: q is ≤ queries x n_probe rows (already
+    # materialized above), and .distinct() before the collect costs an
+    # extra shuffle + AQE job for a set the driver builds in microseconds
+    probed = sorted({r["cell"] for r in q.select("cell").collect()})
     c = spark.read.parquet(path).where(F.col("cell").isin(probed))
     tombs = _read_optional_sidecar(spark, path + "_tombstones")
     if tombs is not None:
@@ -1292,15 +1309,67 @@ def build_ivf_index(
     # — no separate guard pass over the corpus
     # widen the scan before the corpus-wide scoring fold (the
     # cosine_topk_ivf note: single-split embedding scans serialize it)
+    # repartition ON the partition column before the partitioned write
+    # (the build_ivf2_index device, measured to matter here too): the
+    # assignment runs wide (spread above at small SF, the scan's own
+    # splits at scale), so a direct partitionBy write fans every
+    # assignment task across every cell — tasks x cells files (391
+    # four-KB files for q199's sf0.1 index; at a derived capacity of
+    # 2^12 cells, executors x 4096 — a metadata explosion every probe,
+    # audit, and the driver-side job commit pay for). The cell shuffle
+    # moves only (id, vec, cell) rows once and lands ~one file per
+    # cell; the assignment fold itself still runs map-side, before the
+    # exchange.
     with_assigned_cell(
         _spread_narrow_scan(corpus.select(F.col(id_col), F.col(vec_col)), id_col),
         vec_col,
         centroids,
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell INT, centroid ARRAY<DOUBLE>"
-    ).write.mode("overwrite").parquet(path + "_centroids")
+    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_driver_rows(
+        spark,
+        [(i, c) for i, c in enumerate(centroids)],
+        _SIDECAR_CENTROIDS_SCHEMA,
+        path + "_centroids",
+    )
     return centroids
+
+
+# Sidecar schemas are STATIC (this module writes every sidecar), so
+# reads pass them explicitly instead of paying a schema-inference
+# footer job per open — the r15 profile measured one 1-task job plus
+# ~0.1 s of driver planning per inferred read, several times per
+# index operation. (The _tombstones sidecar keeps inference: its id
+# column's name and type follow the caller's DataFrame.)
+_SIDECAR_CENTROIDS_SCHEMA = "cell INT, centroid ARRAY<DOUBLE>"
+_SIDECAR_CENTROIDS2_SCHEMA = "cell INT, centroid ARRAY<DOUBLE>, supercell INT"
+_SIDECAR_SUPERS_SCHEMA = "supercell INT, centroid ARRAY<DOUBLE>"
+_SIDECAR_BATCHES_SCHEMA = "token STRING"
+
+
+def _sidecar_rows(spark, path: str, schema: str, key: str):
+    """Collect a sidecar table ordered by its (unique) integer key.
+    The sort happens driver-side over the collected rows: a sidecar is
+    at most n_cells rows by contract, and ``orderBy(...).collect()``
+    costs a range-partitioner sampling job on top of the collect — the
+    r15 profile showed three jobs per sidecar read where one suffices."""
+    return sorted(spark.read.schema(schema).parquet(path).collect(), key=lambda r: r[key])
+
+
+def _write_driver_rows(spark, rows, schema: str, path: str, mode: str = "overwrite") -> None:
+    """Write a tiny driver-resident row list as a ONE-file sidecar.
+    ``createDataFrame`` alone parallelizes the rows across
+    ``default.parallelism`` slices, so the write ran as a 32-task job
+    (31 of them empty) with more task-deserialization wall than data —
+    and left one file per non-empty slice for every later read to
+    footer-probe. A sidecar is ≤ n_cells rows at any index size; one
+    partition is the correct shape everywhere. The single slice is
+    pinned at ``parallelize`` time: ``coalesce(1)`` on the default
+    slicing was measured at ~4 s per write — its one task re-evaluates
+    all 32 pickled parent partitions through the Python-worker channel
+    serially — where a 1-slice parallelize is ~0.25 s."""
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    ).write.mode(mode).parquet(path)
 
 
 def _hadoop_fs(spark, path: str):
@@ -1335,7 +1404,9 @@ def _sidecar_is_empty_dir(spark, sidecar_path: str) -> bool:
     return True
 
 
-def _read_optional_sidecar(spark, sidecar_path: str) -> DataFrame | None:
+def _read_optional_sidecar(
+    spark, sidecar_path: str, schema: str | None = None
+) -> DataFrame | None:
     """Read a sidecar table that legitimately may not exist yet
     (``_batches``: no tokened append has ever happened; ``_tombstones``:
     no delete has). ONLY the two never-written states map to None — the
@@ -1356,12 +1427,21 @@ def _read_optional_sidecar(spark, sidecar_path: str) -> DataFrame | None:
     carried a scary-looking trace for a handled condition (r13 verdict
     wrong-item #3). The PATH_NOT_FOUND except branch stays as the
     backstop for the probe/read race (sidecar deleted between the two
-    calls)."""
+    calls).
+
+    ``schema``: pass the sidecar's static schema when the caller knows
+    it (``_batches``) — skips the schema-inference footer job per open
+    (the r15 profile's per-read cost). The ``_tombstones`` callers keep
+    inference: that sidecar's id column follows the caller's DataFrame.
+    An explicit schema also cannot hit UNABLE_TO_INFER_SCHEMA on the
+    crash-emptied-dir state — the read just returns an empty frame,
+    which is the same "never written" answer."""
     fs, hpath = _hadoop_fs(spark, sidecar_path)
     if not fs.exists(hpath):
         return None
     try:
-        return spark.read.parquet(sidecar_path)
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.parquet(sidecar_path)
     except AnalysisException as e:
         cond = e.getCondition() if hasattr(e, "getCondition") else None
         msg = str(e)
@@ -1379,7 +1459,7 @@ def _count_batch_token(spark, sidecar_path: str, token: str) -> int:
     append has ever committed. The existence/error discipline lives in
     :func:`_read_optional_sidecar` (one implementation for both
     sidecars, so a new Spark error condition is handled once)."""
-    sidecar = _read_optional_sidecar(spark, sidecar_path)
+    sidecar = _read_optional_sidecar(spark, sidecar_path, schema=_SIDECAR_BATCHES_SCHEMA)
     if sidecar is None:
         return 0
     return sidecar.where(F.col("token") == F.lit(token)).limit(1).count()
@@ -1688,7 +1768,7 @@ def append_to_ivf_index(
                 "(appending now would be silently hidden by the tombstone "
                 "and removed by the next compaction)"
             )
-    cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    cents = _sidecar_rows(spark, path + "_centroids", _SIDECAR_CENTROIDS_SCHEMA, "cell")
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
     # zero-norm batch rows raise inside the assignment expression
     # (_checked_norm) during the append write — no extra guard action
@@ -1696,14 +1776,18 @@ def append_to_ivf_index(
     if skip_existing_ids:
         existing = spark.read.parquet(path).select(F.col(id_col))
         batch = batch.join(existing, on=id_col, how="left_anti")
+    # repartition on the partition column before the partitioned write
+    # (the build_ivf_index note): an append otherwise lands
+    # tasks x touched-cells new files EVERY batch, compounding the
+    # index's file count with each ingest window.
     with_assigned_cell(
         _spread_narrow_scan(batch.select(F.col(id_col), F.col(vec_col)), id_col),
         vec_col,
         centroids,
-    ).write.mode("append").partitionBy("cell").parquet(path)
+    ).repartition(F.col("cell")).write.mode("append").partitionBy("cell").parquet(path)
     if batch_token is not None:
-        spark.createDataFrame([(batch_token,)], "token STRING").write.mode("append").parquet(
-            path + "_batches"
+        _write_driver_rows(
+            spark, [(batch_token,)], _SIDECAR_BATCHES_SCHEMA, path + "_batches", mode="append"
         )
 
 
@@ -1753,7 +1837,9 @@ def delete_from_ivf_index(
     existing = _read_optional_sidecar(spark, path + "_tombstones")
     if existing is not None:
         batch = batch.join(existing.select(id_col), on=id_col, how="left_anti")
-    batch.write.mode("append").parquet(path + "_tombstones")
+    # one file per delete batch: the sidecar is tiny by contract, and
+    # the distinct() above otherwise fans it across the shuffle width
+    batch.coalesce(1).write.mode("append").parquet(path + "_tombstones")
 
 
 def compact_ivf_index(
@@ -2224,7 +2310,7 @@ def query_ivf_index(
     without any file rewrite; ranks are assigned AFTER the exclusion
     (a deleted neighbor frees its rank for the next-best row)."""
     spark = queries.sparkSession
-    cents = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    cents = _sidecar_rows(spark, path + "_centroids", _SIDECAR_CENTROIDS_SCHEMA, "cell")
     centroids = [[float(x) for x in r["centroid"]] for r in cents]
 
     q = (
@@ -2245,7 +2331,10 @@ def query_ivf_index(
     # checkpoint so the n_cells-per-row centroid scoring runs once
     q = q.localCheckpoint(eager=True)
 
-    probed_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+    # dedup driver-side: q is ≤ queries x n_probe rows (already
+    # materialized above), and .distinct() before the collect costs an
+    # extra shuffle + AQE job for a set the driver builds in microseconds
+    probed_cells = sorted({r["cell"] for r in q.select("cell").collect()})
     c = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
     tombs = _read_optional_sidecar(spark, path + "_tombstones")
     if tombs is not None:
@@ -2434,7 +2523,9 @@ def rebalance_ivf_index(
     if not hot:
         stats.update(
             n_cells_after=ncells,
-            sidecar_cells_after=spark.read.parquet(path + "_centroids").count(),
+            sidecar_cells_after=len(
+                _sidecar_rows(spark, path + "_centroids", _SIDECAR_CENTROIDS_SCHEMA, "cell")
+            ),
             max_after=stats["max_before"],
             new_cells=[],
         )
@@ -2467,7 +2558,7 @@ def rebalance_ivf_index(
     # trained-but-empty cell can hold the highest id — allocating from
     # data partitions alone would collide with it and silently
     # repurpose its trained centroid (the r12 ADVICE finding)
-    old = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    old = _sidecar_rows(spark, path + "_centroids", _SIDECAR_CENTROIDS_SCHEMA, "cell")
     sidecar = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in old}
     b_cells = sorted(
         int(r["cell"])
@@ -2506,9 +2597,9 @@ def rebalance_ivf_index(
     # would strand the 'b' halves unreachable (rows in partitions no
     # centroid ever probes) with no self-healing re-run: occupancy
     # would read the new layout while the sidecar lags it.
-    spark.createDataFrame(
-        sorted(sidecar.items()), "cell INT, centroid ARRAY<DOUBLE>"
-    ).write.mode("overwrite").parquet(path + "_centroids")
+    _write_driver_rows(
+        spark, sorted(sidecar.items()), _SIDECAR_CENTROIDS_SCHEMA, path + "_centroids"
+    )
     # hot + new partitions replace through the atomic cell swap
     # (stage under .maint-tmp, intent-commit, per-cell delete+rename) —
     # the dynamic-overwrite job-commit tear this function's docstring
@@ -2583,7 +2674,7 @@ def rebalance_ivf2_index(spark, path: str) -> dict:
         "n_cells_before": ncells,
         "max_before": max(counts.values(), default=0),
     }
-    old = spark.read.parquet(path + "_centroids").orderBy("cell").collect()
+    old = _sidecar_rows(spark, path + "_centroids", _SIDECAR_CENTROIDS2_SCHEMA, "cell")
     sidecar = {
         int(r["cell"]): (
             [float(x) for x in r["centroid"]],
@@ -2653,10 +2744,12 @@ def rebalance_ivf2_index(spark, path: str) -> dict:
         sidecar[cell] = (cent, sup)
 
     # sidecar FIRST, data second (the flat rebalance crash argument)
-    spark.createDataFrame(
+    _write_driver_rows(
+        spark,
         [(c, cent, sup) for c, (cent, sup) in sorted(sidecar.items())],
-        "cell INT, centroid ARRAY<DOUBLE>, supercell INT",
-    ).write.mode("overwrite").parquet(path + "_centroids")
+        _SIDECAR_CENTROIDS2_SCHEMA,
+        path + "_centroids",
+    )
     # same atomic cell swap as the flat rebalance (see its note)
     _replace_cell_partitions(
         spark,
