@@ -83,7 +83,16 @@ def _star_components(vertices: DataFrame, edges: DataFrame, max_iter: int) -> Da
     insensitive hash checksum, then a final star-shape assertion that
     every non-center node has exactly one center — so a checksum
     collision cannot return a mislabeled result silently)."""
-    e = _canonical_edges(edges).localCheckpoint(eager=True)
+    # lazy checkpoint (eager=False): the checksum aggregate right below
+    # is the materializing action — its full-scan agg computes and
+    # caches every partition, and the job-end doCheckpoint truncates
+    # the lineage using those cached blocks. eager=True would run a
+    # SEPARATE materialization job before the checksum's, doubling the
+    # per-round job count; the r15 profile measured the driver gap
+    # between these tiny jobs (planning + submit, ~0.1-0.3 s each) as
+    # the dominant wall of the whole loop (q190: 70 jobs, 4.3 s gap of
+    # a 7.3 s wall).
+    e = _canonical_edges(edges).localCheckpoint(eager=False)
 
     def checksum(df: DataFrame):
         # bit_xor: order-insensitive and overflow-free under ANSI mode
@@ -96,7 +105,9 @@ def _star_components(vertices: DataFrame, edges: DataFrame, max_iter: int) -> Da
     prev_sum = checksum(e)
     converged = False
     for _ in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # eager=False: this round's checksum below materializes the
+        # checkpoint in the same job (see the note on `e` above)
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # NB: unpersist() does NOT free localCheckpoint blocks (they
         # live in the checkpoint RDD, not the Dataset cache); it only
         # clears any cache-manager entry. The checkpoint blocks are
@@ -153,13 +164,43 @@ def connected_components(
         return _star_components(vertices, edges, max_iter)
     if algorithm != "min_label":
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # both orientations in ONE pass over the edge lineage (explode of a
+    # two-struct array) — the former unionByName evaluated the upstream
+    # edge pipeline twice inside the materializing job
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        # edge list is reused every round — materialized once, by the
+        # first round's convergence aggregate (lazy checkpoint; see the
+        # _star_components note on eager=False job fusion)
+        .localCheckpoint(eager=False)
     )
-    # edge list is reused every round — keep it materialized once
-    sym = sym.localCheckpoint(eager=True)
 
-    comp = vertices.select("node", F.col("node").alias("comp")).localCheckpoint(eager=True)
+    comp = vertices.select("node", F.col("node").alias("comp")).localCheckpoint(eager=False)
+
+    def label_sum(df: DataFrame):
+        # Convergence probe in the SAME job that materializes the
+        # round's checkpoint: labels only ever DECREASE (min-fold), so
+        # a round changed nothing iff the label total is unchanged.
+        # decimal(38,0) keeps the sum EXACT (no float drift, no bigint
+        # overflow until ~1e38, far past any id-sum at 100 TB), so the
+        # equality is as rigorous as the former row-by-row join compare
+        # — at one aggregate instead of a join + count per round (the
+        # r15 profile: the loop's tiny jobs' driver gaps WERE the wall).
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev = label_sum(comp)
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -172,19 +213,14 @@ def connected_components(
             comp.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        cur = label_sum(new_comp)
         comp = new_comp
-        if changed == 0:
+        if cur == prev:
             converged = True
             break
+        prev = cur
     if not converged:
         raise RuntimeError(
             f"min-label connected-components did not converge in {max_iter} "

@@ -8922,15 +8922,39 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
     # study); 8 hex = 2^32 blocks keeps pair volume linear at any SF.
     # Near-dups that differ under the normalizer are q35's MinHash-band
     # territory, not this block's.
-    n = docs.select(
+    #
+    # The md5 normalizer runs WIDE (per-branch _spread_narrow_scan —
+    # each branch is scan-shaped, so the device shuffles the small-SF
+    # text once and is a no-op at scale where scans are already wide):
+    # fused into the raw scan it ran as 3 tasks of ~1.1 s each (the r15
+    # profile's largest q187 stage). Spreading the UNION would instead
+    # repartition unconditionally — a full corpus-text shuffle at scale.
+    spread = dedup._spread_narrow_scan
+    wide = (
+        spread(base.select("doc_id", "text"), "doc_id")
+        .unionByName(spread(case_dupes.select("doc_id", "text"), "doc_id"))
+        .unionByName(spread(pad_dupes.select("doc_id", "text"), "doc_id"))
+    )
+    n = wide.select(
         "doc_id", F.substring(F.md5(text.normalized_text_expr("text")), 1, 8).alias("blk")
     )
-    a = n.select(F.col("doc_id").alias("id_a"), "blk")
-    b = n.select(F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"))
-    cand = a.join(
-        b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
-    matched = ngram_jaccard_pairs(docs, cand, "doc_id").where(F.col("jaccard") >= 0.5)
+    # pairs via groupBy + inline array comprehension (the
+    # minhash_lsh_candidates device), not a blk self-join: the join's
+    # two legs each re-evaluate the full md5-normalization lineage,
+    # and the shuffle moves the stream twice. Here the block key is
+    # computed once, the only shuffle is tiny (blk, doc_id) rows, and
+    # the sorted-members pair expansion emits exactly the id_a < id_b
+    # pairs the self-join produced.
+    cand = (
+        n.groupBy("blk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_docs"))
+        .where(F.size("_docs") > 1)
+        .select(F.explode(dedup._bucket_pairs_expr(F.col("_docs"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    matched = ngram_jaccard_pairs(
+        docs, cand, "doc_id", persist_fn=lambda df: _persist(df, eager=True)
+    ).where(F.col("jaccard") >= 0.5)
     labeled = dedup_clusters(docs, matched.select("id_a", "id_b")).select("doc_id", "cluster_id")
     sized = labeled.join(docs.select("doc_id", "n_chars"), "doc_id")
     w_cl = Window.partitionBy("cluster_id")
