@@ -54,10 +54,16 @@ def build_date_dim(spark: SparkSession, min_date: Column | str, max_date: Column
     """
     lo = F.to_date(F.lit(min_date) if isinstance(min_date, str) else min_date)
     hi = F.to_date(F.lit(max_date) if isinstance(max_date, str) else max_date)
+    # One partition on purpose: a calendar is domain-bounded (a full
+    # century is ~36.5k rows) and the 14 derived attributes are scalar
+    # expressions — sub-millisecond work at any realistic range. Every
+    # consumer either broadcasts the dim onto a fact (q23/q24, the
+    # warehouse pipeline) or materializes the tiny table itself (q20;
+    # the pipeline write gets ONE output file instead of 32 near-empty
+    # ones). The repartition this replaces added a round-robin
+    # Exchange + a 32-task stage to every consumer for zero gain —
+    # the r15 profile measured it as one of q23's 7 driver-gap jobs.
     spine = spark.range(1).select(F.explode(F.sequence(lo, hi)).alias("FullDate"))
-    # repartition the exploded spine: sequence+explode yields one input
-    # row, so without this the whole calendar sits in one partition
-    spine = spine.repartition(spark.sparkContext.defaultParallelism)
 
     iso_dow = F.weekday("FullDate") + 1  # 1=Mon .. 7=Sun
     return spine.select(

@@ -458,9 +458,14 @@ def ngram_jaccard_pairs(
     cross-engine parity is exact by construction even then.
     """
     # only shingle documents that appear in some candidate pair — the
-    # expensive set materialization never touches the full corpus
-    member_ids = candidate_pairs.select(F.col("id_a").alias("doc")).unionByName(
-        candidate_pairs.select(F.col("id_b").alias("doc"))
+    # expensive set materialization never touches the full corpus.
+    # Both pair columns explode out of ONE pass over the pair table
+    # (the r15 profile: the union-of-two-projections form read the
+    # cached pair table twice — a 64-task broadcast-build stage where
+    # 32 suffice; same device as connected_components' one-pass
+    # symmetric edge list).
+    member_ids = candidate_pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc")
     ).distinct()
     shingle = F.array_distinct(
         F.expr(

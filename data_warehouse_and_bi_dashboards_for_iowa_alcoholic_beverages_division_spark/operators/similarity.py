@@ -373,6 +373,49 @@ def ivf_train_centroids_local(
     return centroids
 
 
+def _sql_double(v: float) -> str:
+    """A Python float as a Spark SQL DOUBLE literal. ``repr`` is the
+    shortest round-tripping decimal form and both runtimes parse
+    decimal strings correctly rounded, so the parsed literal is the
+    bit-identical double."""
+    x = float(v)
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite vector component: {v!r}")
+    return repr(x) + "D"
+
+
+def _sql_double_array(vec: list[float]) -> str:
+    return "array(" + ", ".join(_sql_double(v) for v in vec) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """SQL text parsing to the exact ``dot_expr`` tree (same HOF nodes,
+    same casts, same 0.0D seed)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sql_floor6(e: str) -> str:
+    """SQL text parsing to the exact ``floor_round6`` tree (int 1000000
+    multiplier, 0.5D addend, 1000000.0D divisor — operand types matter
+    for bit parity)."""
+    return f"(FLOOR(({e}) * 1000000 + 0.5D) / 1000000.0D)"
+
+
+def _sql_checked_norm(vec_sql: str) -> str:
+    """SQL text parsing to ``_checked_norm(norm_expr(vec))``: the norm
+    fold appears in both the predicate and the ELSE arm, exactly like
+    the Column form's CaseWhen tree."""
+    nrm = f"SQRT({_sql_dot(vec_sql, vec_sql)})"
+    return (
+        f"CASE WHEN {nrm} = 0.0D THEN CAST(raise_error('zero-norm vector "
+        f"in IVF assignment: cosine assignment is undefined "
+        f"— filter them before indexing') AS DOUBLE) ELSE {nrm} END"
+    )
+
+
 def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     """Cell id with the highest cosine to ``vec_col``, as a pure JVM
     expression: an array of (score, cell) structs reduced by
@@ -390,19 +433,30 @@ def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     run interpreted with no codegen subexpression elimination, so
     naming the norm as a lambda variable is what makes the 8
     references one fold. n_cells=8: 24 folds/row -> 9. The score
-    stays dot/(nrm_v * nrm_c), same grouping, values unchanged."""
+    stays dot/(nrm_v * nrm_c), same grouping, values unchanged.
+
+    Built as ONE ``F.expr`` SQL string, not nested Column calls: the
+    Column form issued a py4j round trip per literal/lambda — n_cells
+    x dim ``F.lit`` nodes ≈ thousands of ~1 ms driver socket calls
+    PER CALL SITE (the r15 q212 cProfile: 11.2k py4j sends, ~12 s of
+    a 14 s wall, all plan construction). The SQL text parses JVM-side
+    in one call to the IDENTICAL expression tree (same HOF nodes,
+    same literal doubles via shortest-round-trip repr, same struct
+    field order), so values are unchanged by construction."""
     norms = [_py_norm(c) for c in centroids]
-
-    def entries(nv: Column) -> Column:
-        scored = []
-        for i, (cent, nc) in enumerate(zip(centroids, norms)):
-            lit_c = F.array(*[F.lit(v) for v in cent])
-            s = floor_round6(dot_expr(F.col(vec_col), lit_c) / (nv * F.lit(nc)))
-            scored.append(F.struct(s.alias("s"), F.lit(i).alias("c")))
-        return F.array_max(F.array(*scored))["c"]
-
-    return F.element_at(
-        F.transform(F.array(_checked_norm(norm_expr(F.col(vec_col)))), entries), 1
+    v = f"`{vec_col}`"
+    entries = ", ".join(
+        "named_struct('s', {s}, 'c', {i})".format(
+            s=_sql_floor6(
+                f"{_sql_dot(v, _sql_double_array(cent))} / (nv * {_sql_double(nc)})"
+            ),
+            i=i,
+        )
+        for i, (cent, nc) in enumerate(zip(centroids, norms))
+    )
+    return F.expr(
+        f"element_at(transform(array({_sql_checked_norm(v)}), "
+        f"nv -> array_max(array({entries})).c), 1)"
     )
 
 
@@ -461,17 +515,30 @@ def with_probe_cells(
     ``_py_norm`` contract, and ranking is array_sort + reverse + slice
     on (s, c) structs in both."""
     if len(centroids) <= _ASSIGN_JOIN_THRESHOLD:
-        cell_scores = [
-            F.struct(
-                floor_round6(
-                    cosine_expr(F.col(vec_col), F.array(*[F.lit(v) for v in cent]))
-                ).alias("s"),
-                F.lit(i).alias("c"),
+        # one F.expr string mirroring the former per-centroid
+        # cosine_expr Columns exactly (same dot/(sqrt*sqrt) grouping,
+        # same literal doubles) — the Column form cost a py4j round
+        # trip per literal/lambda at plan-construction time (the
+        # _argmax_cell_expr note)
+        v = f"`{vec_col}`"
+        cell_scores = ", ".join(
+            "named_struct('s', {s}, 'c', {i})".format(
+                s=_sql_floor6(
+                    "{dot} / (SQRT({vv}) * SQRT({cc}))".format(
+                        dot=_sql_dot(v, _sql_double_array(cent)),
+                        vv=_sql_dot(v, v),
+                        cc=_sql_dot(_sql_double_array(cent), _sql_double_array(cent)),
+                    )
+                ),
+                i=i,
             )
             for i, cent in enumerate(centroids)
-        ]
+        )
         return df.withColumn(
-            out_col, F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, n_probe)
+            out_col,
+            F.expr(
+                f"slice(reverse(array_sort(array({cell_scores}))), 1, {int(n_probe)})"
+            ),
         )
     cent1 = _centroid_array_df(df.sparkSession, centroids)
 

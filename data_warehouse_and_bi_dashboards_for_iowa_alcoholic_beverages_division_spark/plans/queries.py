@@ -9112,20 +9112,32 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup.md5_token_hash,
         )
     )
-    member_ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
+    # one pass over the cached pair table (ngram_jaccard_pairs' r15
+    # explode device) instead of a union of two projections reading
+    # the cache twice
+    member_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
     # explicit width: AQE coalesces the small semi-join output by
     # bytes, serializing the compute-heavy shingle stage (the
     # dedup._compute_width note; measured 25 s -> 2.2 s on q202's
     # equivalent member set)
-    fsh = (
+    #
+    # eagerly persisted like q202's member table (the ngram_jaccard_
+    # pairs persist_fn device): fsh feeds BOTH verify-join legs, and
+    # un-cached each leg re-evaluated the whole semi-join + shingle
+    # pipeline — and because the semi-join pushes through corpus's
+    # 2-branch union, each leg also built its OWN member_ids broadcast
+    # per branch. The r15 profile measured 4 identical broadcast-build
+    # stages (64 tasks each, ~70 s summed executor-run of the query's
+    # ~230 s total) plus 2x the member shingle stage; the cache cuts
+    # both to one.
+    fsh = _persist(
         corpus.join(member_ids, "doc_id", "left_semi")
         .repartition(dedup._compute_width(corpus), "doc_id")
         .select("doc_id", F.length("text").alias("L"), F.lower("text").alias("lt"))
-        .select("doc_id", "L", shingle.alias("sh"))
+        .select("doc_id", "L", shingle.alias("sh")),
+        eager=True,
     )
     joined = cand.join(
         fsh.select(F.col("doc_id").alias("id_a"), F.col("L").alias("la"), F.col("sh").alias("sa")),
