@@ -617,6 +617,7 @@ def incremental_dedup(
     base_hash=None,
     family=None,
     band_bucket=None,
+    persist_fn=None,
 ) -> DataFrame:
     """Near-duplicates of ``incoming`` documents against an existing
     ``corpus`` — the per-batch dedup a continuously-ingesting training
@@ -654,7 +655,12 @@ def incremental_dedup(
     # from one id space, as in a corpus with a monotonically growing id)
     all_docs = incoming.unionByName(corpus)
     pairs = cand.select(F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b"))
-    verified = ngram_jaccard_pairs(all_docs, pairs, id_col, text_col, shingle_k)
+    # the pair table feeds the member restriction AND the verify join;
+    # cached via the caller's tracked hook so the banding lineage runs
+    # once (same persist_fn contract as ngram_jaccard_pairs)
+    if persist_fn is not None:
+        pairs = persist_fn(pairs)
+    verified = ngram_jaccard_pairs(all_docs, pairs, id_col, text_col, shingle_k, persist_fn)
     return (
         verified.where(F.col("jaccard") >= min_jaccard)
         .select(

@@ -166,7 +166,23 @@ def connected_components(
         raise ValueError(f"unknown algorithm {algorithm!r}")
     # both orientations in ONE pass over the edge lineage (explode of a
     # two-struct array) — the former unionByName evaluated the upstream
-    # edge pipeline twice inside the materializing job
+    # edge pipeline twice inside the materializing job.
+    #
+    # SELF-LOOPS are appended once (one narrow pass over the vertex
+    # list): min over N(v) ∪ {v} is then exactly one join + one
+    # groupBy per round, where the loop used to also union the previous
+    # labels back in and re-aggregate — a second |V|-row exchange per
+    # round whose only job was keeping each node's own label in the
+    # min-fold. The sym table is additionally PRE-PARTITIONED on the
+    # join key before its checkpoint: every round's join re-shuffled
+    # the (static) edge list by dst; localCheckpoint captures the
+    # partitioning, so all rounds reuse it — one up-front shuffle of
+    # (2|E| + |V|) rows replaces one per round. r16 interleaved A/B at
+    # sf0.1 (5-rep medians): 4.22 s → 3.43 s (self-loops) → 2.90 s
+    # (+pre-partition); identical labels on every tested graph. (The
+    # measured-rejected alternatives live in OPTIMIZATION_r16.md:
+    # double contraction regressed both loops.)
+    width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sym = (
         edges.select(
             F.explode(
@@ -177,6 +193,10 @@ def connected_components(
             ).alias("_e")
         )
         .select("_e.src", "_e.dst")
+        .unionByName(
+            vertices.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        .repartition(width, "dst")
         # edge list is reused every round — materialized once, by the
         # first round's convergence aggregate (lazy checkpoint; see the
         # _star_components note on eager=False job fusion)
@@ -203,16 +223,14 @@ def connected_components(
     prev = label_sum(comp)
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
+        # min over N(v) ∪ {v}: the self-loops in sym carry each node's
+        # own previous label into the fold, so the single groupBy IS the
+        # full min-label step (see the sym construction note above)
+        new_comp = (
             sym.join(comp, sym["dst"] == comp["node"])
             .groupBy("src")
             .agg(F.min("comp").alias("comp"))
             .select(F.col("src").alias("node"), "comp")
-        )
-        new_comp = (
-            comp.unionByName(neighbor_min)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
         cur = label_sum(new_comp)

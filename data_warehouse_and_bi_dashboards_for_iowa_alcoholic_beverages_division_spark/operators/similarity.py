@@ -18,10 +18,12 @@ from __future__ import annotations
 
 import json
 import math
+import re
 
 import pyspark.sql.functions as F
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import StructField, StructType
 
 from ..functions.rounding import floor_round6
 from .dedup import _spread_narrow_scan
@@ -390,10 +392,15 @@ def _sql_double_array(vec: list[float]) -> str:
 
 def _sql_dot(a: str, b: str) -> str:
     """SQL text parsing to the exact ``dot_expr`` tree (same HOF nodes,
-    same casts, same 0.0D seed)."""
+    same casts, same 0.0D seed). Lambda variables carry a collision-
+    proof ``__ivf_`` prefix so a caller column named ``x``/``v``/...
+    can never be silently shadowed inside the lambda body (the r15
+    ADVICE hazard — backticks do not protect a reference from
+    lambda-variable resolution; lambda names are binding-only, so the
+    rename leaves the resolved tree and every value unchanged)."""
     return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
-        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+        f"aggregate(zip_with({a}, {b}, (__ivf_x, __ivf_y) -> CAST(__ivf_x AS DOUBLE) * "
+        f"CAST(__ivf_y AS DOUBLE)), 0.0D, (__ivf_acc, __ivf_v) -> __ivf_acc + __ivf_v)"
     )
 
 
@@ -414,6 +421,30 @@ def _sql_checked_norm(vec_sql: str) -> str:
         f"in IVF assignment: cosine assignment is undefined "
         f"— filter them before indexing') AS DOUBLE) ELSE {nrm} END"
     )
+
+
+# Lambda variables bound inside the literal-SQL encodings below. The
+# r15 ADVICE hazard: a vec_col named like a bound lambda variable is
+# SHADOWED inside the lambda body (backticks quote an identifier but do
+# not protect a reference from lambda-variable resolution), and a
+# backtick in the name breaks the quoted identifier — both
+# silent-wrong-values failure modes. Two defenses: the lambda names
+# carry a collision-proof ``__ivf_`` prefix (a real caller legitimately
+# used ``v`` — renaming the LAMBDAS, not restricting callers, is the
+# fix; lambda names are binding-only so values are untouched), and the
+# guard below still rejects the prefixed names plus anything a plain
+# identifier can't express.
+_SQL_LAMBDA_VARS = frozenset({"__ivf_nv", "__ivf_x", "__ivf_y", "__ivf_acc", "__ivf_v"})
+
+
+def _check_vec_identifier(vec_col: str) -> None:
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec_col) or vec_col in _SQL_LAMBDA_VARS:
+        raise ValueError(
+            f"vec_col {vec_col!r} cannot be used in the literal-SQL cell "
+            "scoring expressions: it must be a plain identifier and not "
+            f"one of the bound lambda variables {sorted(_SQL_LAMBDA_VARS)} "
+            "— rename the column before indexing"
+        )
 
 
 def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
@@ -443,12 +474,13 @@ def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     in one call to the IDENTICAL expression tree (same HOF nodes,
     same literal doubles via shortest-round-trip repr, same struct
     field order), so values are unchanged by construction."""
+    _check_vec_identifier(vec_col)
     norms = [_py_norm(c) for c in centroids]
     v = f"`{vec_col}`"
     entries = ", ".join(
         "named_struct('s', {s}, 'c', {i})".format(
             s=_sql_floor6(
-                f"{_sql_dot(v, _sql_double_array(cent))} / (nv * {_sql_double(nc)})"
+                f"{_sql_dot(v, _sql_double_array(cent))} / (__ivf_nv * {_sql_double(nc)})"
             ),
             i=i,
         )
@@ -456,7 +488,7 @@ def _argmax_cell_expr(vec_col: str, centroids: list[list[float]]) -> Column:
     )
     return F.expr(
         f"element_at(transform(array({_sql_checked_norm(v)}), "
-        f"nv -> array_max(array({entries})).c), 1)"
+        f"__ivf_nv -> array_max(array({entries})).c), 1)"
     )
 
 
@@ -520,6 +552,7 @@ def with_probe_cells(
         # same literal doubles) — the Column form cost a py4j round
         # trip per literal/lambda at plan-construction time (the
         # _argmax_cell_expr note)
+        _check_vec_identifier(vec_col)
         v = f"`{vec_col}`"
         cell_scores = ", ".join(
             "named_struct('s', {s}, 'c', {i})".format(
@@ -1140,9 +1173,12 @@ def build_ivf2_index(
     # device since r15 (measured: the direct write put 391 files under
     # q199's 2000-row sf0.1 index; the commit's sequential renames and
     # the per-file footer reads of every later scan dominated walls).
-    _ivf2_corpus_lists(corpus, members, l1, id_col, vec_col).repartition(
-        F.col("cell")
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    lists = _ivf2_corpus_lists(corpus, members, l1, id_col, vec_col)
+    # drop a previous build's schema pin before the data overwrite,
+    # re-record after (the build_ivf_index note)
+    _drop_index_schema(spark, path)
+    lists.repartition(F.col("cell")).write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_index_schema(spark, path, lists)
     _write_driver_rows(
         spark,
         [(i, c, cell2super[i]) for i, c in enumerate(l2)],
@@ -1204,7 +1240,7 @@ def append_to_ivf2_index(
     members = _member_table_df(spark, l2, cell2super)
     batch = new_vectors
     if skip_existing_ids:
-        existing = spark.read.parquet(path).select(F.col("neighbor_id").alias(id_col))
+        existing = _read_index(spark, path).select(F.col("neighbor_id").alias(id_col))
         batch = batch.join(existing, on=id_col, how="left_anti")
     # repartition on the partition column before the partitioned write
     # (the build's device, applied to the append too — without it each
@@ -1256,7 +1292,7 @@ def query_ivf2_index(
     # materialized above), and .distinct() before the collect costs an
     # extra shuffle + AQE job for a set the driver builds in microseconds
     probed = sorted({r["cell"] for r in q.select("cell").collect()})
-    c = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    c = _read_index(spark, path).where(F.col("cell").isin(probed))
     tombs = _read_optional_sidecar(spark, path + "_tombstones")
     if tombs is not None:
         # tiny sidecar (compaction resets it) — broadcast anti-join,
@@ -1387,11 +1423,17 @@ def build_ivf_index(
     # moves only (id, vec, cell) rows once and lands ~one file per
     # cell; the assignment fold itself still runs map-side, before the
     # exchange.
-    with_assigned_cell(
+    lists = with_assigned_cell(
         _spread_narrow_scan(corpus.select(F.col(id_col), F.col(vec_col)), id_col),
         vec_col,
         centroids,
-    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy("cell").parquet(path)
+    )
+    # stale-schema window closed: drop any previous build's schema pin
+    # BEFORE overwriting the data, re-record it after (readers between
+    # the two fall back to inference — see _write_index_schema)
+    _drop_index_schema(spark, path)
+    lists.repartition(F.col("cell")).write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_index_schema(spark, path, lists)
     _write_driver_rows(
         spark,
         [(i, c) for i, c in enumerate(centroids)],
@@ -1420,6 +1462,46 @@ def _sidecar_rows(spark, path: str, schema: str, key: str):
     costs a range-partitioner sampling job on top of the collect — the
     r15 profile showed three jobs per sidecar read where one suffices."""
     return sorted(spark.read.schema(schema).parquet(path).collect(), key=lambda r: r[key])
+
+
+def _write_index_schema(spark, path: str, df: DataFrame) -> None:
+    """Record the inverted-list schema (one atomic text file at
+    ``<path>_schema``) so every later data read passes it explicitly
+    instead of paying a parquet footer-inference job per open — the
+    cost the r15 profile measured at ~0.1 s of driver planning plus a
+    1-task job PER READ, and one that grows with the index's file
+    count (the footer scan touches a file per scan task). The r15
+    round left these reads inferred because a WRONG pinned schema is a
+    correctness hazard for readers generic over caller id/vec types;
+    recording the schema of the exact DataFrame being written closes
+    that objection — it IS the footer schema, captured without the
+    scan. Fields are normalized to nullable, matching what inference
+    reports for parquet. Readers fall back to inference when the
+    sidecar is absent (an index written by an older build, or a crash
+    before the schema write — see the build sites: the stale sidecar
+    is deleted BEFORE the data overwrite, so no crash window can pair
+    new data with an old schema)."""
+    fields = StructType([StructField(f.name, f.dataType, True) for f in df.schema.fields])
+    _fs_write_text_atomic(spark, path + "_schema", fields.json())
+
+
+def _drop_index_schema(spark, path: str) -> None:
+    """Remove a stale ``_schema`` sidecar before an overwrite build —
+    between the delete and the post-write re-record, readers fall back
+    to inference (correct on any data), never to a mismatched pin."""
+    fs, hpath = _hadoop_fs(spark, path + "_schema")
+    if fs.exists(hpath):
+        _fs_checked(fs.delete(hpath, False), "delete", path + "_schema")
+
+
+def _read_index(spark, path: str) -> DataFrame:
+    """Open the inverted-list data files with the build-time schema
+    sidecar when present (zero inference jobs), inferred otherwise."""
+    fs, hpath = _hadoop_fs(spark, path + "_schema")
+    if fs.exists(hpath):
+        schema = StructType.fromJson(json.loads(_fs_read_text(spark, path + "_schema")))
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
 
 
 def _write_driver_rows(spark, rows, schema: str, path: str, mode: str = "overwrite") -> None:
@@ -1841,7 +1923,7 @@ def append_to_ivf_index(
     # (_checked_norm) during the append write — no extra guard action
     batch = new_vectors
     if skip_existing_ids:
-        existing = spark.read.parquet(path).select(F.col(id_col))
+        existing = _read_index(spark, path).select(F.col(id_col))
         batch = batch.join(existing, on=id_col, how="left_anti")
     # repartition on the partition column before the partitioned write
     # (the build_ivf_index note): an append otherwise lands
@@ -1973,7 +2055,7 @@ def compact_ivf_index(
     if n_tombs == 0:
         return zero
 
-    idx = spark.read.parquet(path)
+    idx = _read_index(spark, path)
     # ONE column-pruned pass (ids + the cell partition column, never
     # vectors) yields both the affected-cell list AND the matched-row
     # counts — the first cut ran two separate semi-join scans for them
@@ -2144,7 +2226,7 @@ def audit_ivf_tombstones(
     (frac 1.0); trained-but-empty cells have no inverted-list rows and
     never appear — a compaction cannot touch them either, so the
     audit↔compact contract is unaffected."""
-    idx = spark.read.parquet(path).select(id_col, "cell")
+    idx = _read_index(spark, path).select(id_col, "cell")
     tombs = _read_optional_sidecar(spark, path + "_tombstones")
     if tombs is None or not tombs.head(1):
         per_cell = idx.groupBy("cell").agg(
@@ -2243,7 +2325,7 @@ def _update_in_index(
     # (broadcast) batch, so only the pathological near-wipe case scans
     # far.
     survivor = (
-        spark.read.parquet(path)
+        _read_index(spark, path)
         .select(lists_id_col)
         .join(F.broadcast(ids), on=lists_id_col, how="left_anti")
         .limit(1)
@@ -2402,7 +2484,7 @@ def query_ivf_index(
     # materialized above), and .distinct() before the collect costs an
     # extra shuffle + AQE job for a set the driver builds in microseconds
     probed_cells = sorted({r["cell"] for r in q.select("cell").collect()})
-    c = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
+    c = _read_index(spark, path).where(F.col("cell").isin(probed_cells))
     tombs = _read_optional_sidecar(spark, path + "_tombstones")
     if tombs is not None:
         # logical deletes: exclude BEFORE scoring/ranking, so a deleted
@@ -2577,7 +2659,7 @@ def rebalance_ivf_index(
     rebalance recomputes from the converged state.
     """
     recover_ivf_index(spark, path)
-    idx = spark.read.parquet(path)
+    idx = _read_index(spark, path)
     occ = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     counts = {int(r["cell"]): int(r["n"]) for r in occ}
     total, ncells = sum(counts.values()), len(counts)
@@ -2731,7 +2813,7 @@ def rebalance_ivf2_index(spark, path: str) -> dict:
       the new cells automatically because the member table derives
       from the rewritten ``_centroids``."""
     recover_ivf_index(spark, path)
-    idx = spark.read.parquet(path)
+    idx = _read_index(spark, path)
     occ = idx.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     counts = {int(r["cell"]): int(r["n"]) for r in occ}
     total, ncells = sum(counts.values()), len(counts)

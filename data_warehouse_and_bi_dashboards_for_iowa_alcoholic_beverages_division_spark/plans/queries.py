@@ -145,73 +145,84 @@ def register(name: str, oracle: str | None, description: str = ""):
 # losing SURVEY §2 coverage: every swapped-out query's §2 row is still
 # covered by another window slot (q03→q30 for P10, q09→q25 for O3,
 # q15→q14 for U3, q24→q23/q25-q28 for A5, q49→q20/q28 for F4/#6).
-# Round-15 rotation (the r14 verdict's ask #1 — steady-state window
-# 2 of ~4.3): every oracled query holds a driver hash and, after r14,
-# none older than r10 — this window consumes the ENTIRE r10-era queue
-# so the age ceiling marches to r11. The 50:
+# Round-16 rotation (optimization round 2): the r15 verdict's #1
+# correctness ask is to rotate the r15-rewritten-but-not-re-hashed
+# queries into the window, and this optimization round itself touched
+# shared operators — REWRITTEN-SINCE-GREEN outranks plain age. The 50:
 #   (a) SOLE ANCHORS stay, as every round: q05 (sole J3 left-outer),
-#       q06 (sole J4 anti), q07 (sole semi), q08 (sole J7 cross) — in
-#       the raw first-50, so they stay by NOT being swapped out.
-#   (b) ALL 30 r10-era greens (the verdict's queue, incl. the three
-#       q126/q131/q137 deferred from r14): q16 q29 q45 q48 q54 stay in
-#       place (raw first-50); q57 q60 q61 q62 q64 q67 q85 q98 q126
-#       q131 q137 q156 q157 q158 q160 q163 q177 q178 q188 q199 q201
-#       q202 q214 q215 q216 swap in.
-#   (c) the remaining slots go to r11-era names (all equally the next-
-#       oldest tier; the verdict sized this at ~16): the 14 r11-era
-#       names already sitting in the raw first-50 stay in place and
-#       re-hash without costing a swap — q01 q02 q10 q12 q17 q19 q21
-#       q22 q23 q30 q34 q43 q47 q51.
-#   (d) the round's NEW queries ride the window the round they land,
-#       as every round: q228 (flat in-place update — the r14 lifecycle
-#       residual closed), q229 (hierarchical in-place update).
-# Every swapped-out name holds an r12-or-fresher driver green (the 27
-# evicted: q03 r12, q18 r12, q04 r13, q09 r12, q11 r13, q13 r14,
-# q14 r14, q15 r12, q20 r14, q24-q28 r12, q31-q33 r13, q37/q38/q40
-# r14... — recomputed from CORRECTNESS_r*.json, all >= r12), so the
-# age ceiling after this window is exactly r11 (the 32 r11-era names
-# that do not fit; they head the r16 queue with the evicted r12 tier
-# behind them). Swapped-out §2 rows keep in-window coverage: P10 by
-# q30/q84-family, O3/A5 by q91/q132/q133-era hashes + in-window q01
-# dashboards, U1-U3 by q131's table-diff + q14's r14 hash standing,
-# F4/#6 by q20's r14 hash standing, media rows by q45/q151-era greens.
-# Cumulative driver-hash coverage if green: 218 + q228 + q229 = 220
-# of 225 (the 5 rows-only twins stay by design).
+#       q06 (sole J4 anti), q07 (sole semi), q08 (sole J7 cross).
+#   (b) every query whose lineage changed in r15/r16 and is oracled:
+#       q187 q190 (r15 CC rewrite, fell out of the r15 sample — the
+#       verdict's named gap — plus the r16 min-label fusion), q84
+#       (min-label fusion + verify persists), q202 (r16 one-scan
+#       labels), q37 q75 q98 q147 (r16 verify-persist device through
+#       ngram_jaccard_pairs/incremental_dedup; q99's twin q147 carries
+#       the hash — q99 itself is rows-only), q188 (r15 persist
+#       rewrite, also dropped from the r15 sample), q199 q212 q156
+#       (index read path now schema-pinned, lambda vars renamed).
+#   (c) the ENTIRE r11-era tier — the oldest greens (31 names beyond
+#       q75): q100 q101 q102 q103 q104 q116 q117 q118 q128 q134 q138
+#       q148 q149 q155 q165 q170 q189 q191 q192 q194 q197 q198 q200
+#       q217 q218 q219 q220 q221 q222 q39 q76 — so the age ceiling
+#       marches to r12. (q170/q198/q200/q220/q221 double as coverage
+#       of the r16 schema-pinned index read path.)
+#   (d) 3 remaining slots to r12-era names already in the raw
+#       first-50, staying in place: q03 q09 q26 (q26 also re-pins the
+#       decimal-exactness contract BASELINE.md records this round).
+# Every swapped-out name holds an r12-or-fresher green (q15/q18/q24/
+# q25/q27/q28/q49 r12; q04/q11/q31-q33/q44/q52/q53 r13; q13/q14/q20/
+# q38/q40-q42/q46 r14; the rest r15 — recomputed from
+# CORRECTNESS_r*.json). The r12 tier heads the r17 queue.
 # The ACTIVE window is emitted in every bench run ("driver_window" in
 # the bench stats sidecar) alongside the cumulative driver_checked_ever
 # list, so externally-reported verification coverage is auditable
 # round over round without reading this file.
 # ---------------------------------------------------------------------
 _WINDOW_SWAPS: list[tuple[str, str]] = [
-    # (b) the 25 r10-era re-checks not already in the raw first-50
-    ("q03_distinct", "q57_ingest_coercion"),
-    ("q18_null_fill_geo", "q60_same_day_repair"),
-    ("q04_join_inner_agg", "q61_asof_grouped"),
-    ("q09_topn_parts", "q62_full_outer_upsert"),
-    ("q11_order_gaps", "q64_moving_window"),
-    ("q13_union", "q67_knn_ivf"),
-    ("q14_except_all", "q85_decontamination"),
-    ("q15_intersect", "q98_incremental_blocked"),
-    ("q20_date_dim", "q126_bpe_train"),
-    ("q24_star_month", "q131_table_diff"),
-    ("q25_topn_vendors", "q137_event_asof"),
-    ("q26_rollup_geo", "q156_ivf_persisted"),
-    ("q27_kpi_totals", "q157_skew_join_salted"),
-    ("q28_season", "q158_skew_join_aqe"),
-    ("q31_token_stats", "q160_bm25_topk"),
-    ("q32_text_quality", "q163_pagerank"),
-    ("q33_lang_id", "q177_pq_adc"),
-    ("q37_ngram_jaccard", "q178_ivfpq"),
-    ("q38_knn_cosine", "q188_shingle_containment"),
-    ("q40_embedding_near_dup", "q199_ivf_incremental"),
-    ("q41_events_hourly", "q201_personalized_pagerank"),
-    ("q42_json_props", "q202_source_overlap"),
-    ("q44_pivot", "q214_recall_probe_sweep"),
-    ("q46_media_metadata", "q215_ivf2_derived_probes"),
-    ("q49_date_horizon", "q216_mixture_plan"),
-    # (d) the round's NEW queries ride the window the round they land
-    ("q52_grouping_sets", "q228_ivf_update"),
-    ("q53_running_total", "q229_ivf2_update"),
+    # (b) rewritten-since-green, not already in the raw first-50
+    ("q01_pricing_summary", "q187_cluster_canonical"),
+    ("q02_filter_project", "q190_semantic_dedup"),
+    ("q17_case_bucket", "q84_dedup_clusters"),
+    ("q18_null_fill_geo", "q202_source_overlap"),
+    ("q19_derived_measures", "q75_jaccard_blocked"),
+    ("q04_join_inner_agg", "q98_incremental_blocked"),
+    ("q16_count_distinct", "q147_incremental_portable"),
+    ("q10_top_orders_per_customer", "q188_shingle_containment"),
+    ("q11_order_gaps", "q199_ivf_incremental"),
+    ("q12_watermark", "q212_hierarchical_ivf"),
+    ("q13_union", "q156_ivf_persisted"),
+    # (c) the whole r11-era tier (oldest-green-first queue)
+    ("q14_except_all", "q100_sequence_packing"),
+    ("q15_intersect", "q101_denylist_scrub"),
+    ("q20_date_dim", "q102_tfidf_terms"),
+    ("q23_star_weekday", "q103_domain_mixture"),
+    ("q24_star_month", "q104_domain_caps"),
+    ("q25_topn_vendors", "q116_dataset_split"),
+    ("q27_kpi_totals", "q117_corpus_shards"),
+    ("q28_season", "q118_repetition_filter"),
+    ("q21_scd_build", "q128_temperature_sampling"),
+    ("q22_scd_as_of", "q134_doc_chunking"),
+    ("q29_scd_merge_insert", "q138_weighted_sample"),
+    ("q30_dedup_exact", "q148_doc_chunks"),
+    ("q31_token_stats", "q149_bigram_coherence"),
+    ("q32_text_quality", "q155_bpe_batched"),
+    ("q33_lang_id", "q165_boilerplate_ngrams"),
+    ("q34_fingerprint", "q170_filtered_ann"),
+    ("q38_knn_cosine", "q189_vocab_coverage"),
+    ("q40_embedding_near_dup", "q191_pii_redaction"),
+    ("q41_events_hourly", "q192_repeated_spans"),
+    ("q42_json_props", "q194_fim_transform"),
+    ("q43_sessionization", "q197_span_corruption"),
+    ("q44_pivot", "q198_ann_recall"),
+    ("q45_media_features", "q200_ivf_occupancy"),
+    ("q46_media_metadata", "q217_ppm_decode"),
+    ("q47_degenerate_invoice", "q218_wav_decode"),
+    ("q48_wkt_point", "q219_ppm_frame_sample"),
+    ("q49_date_horizon", "q220_ivf2_persisted"),
+    ("q51_null_repair", "q221_ivf2_incremental"),
+    ("q52_grouping_sets", "q222_multimodal_curation"),
+    ("q53_running_total", "q39_knn_lsh"),
+    ("q54_unknown_member", "q76_corpus_curation"),
 ]
 
 
@@ -1157,12 +1168,19 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = docs.select("doc_id", "lang", "source", F.expr("n_chars DIV 16").alias("blk"))
     a = blocked.select(F.col("doc_id").alias("id_a"), "lang", "source", "blk")
     b = blocked.select(F.col("doc_id").alias("id_b"), "lang", "source", "blk")
-    cands = (
+    # candidate + member-shingle tables each feed two consumers inside
+    # ngram_jaccard_pairs (member restriction + verify legs) — cached
+    # eagerly so neither lineage runs twice (the q202/q187 device,
+    # closed for every caller in r16)
+    cands = _persist(
         a.join(b, ["lang", "source", "blk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"),
+        eager=True,
     )
-    return dedup.ngram_jaccard_pairs(docs, cands, "doc_id")
+    return dedup.ngram_jaccard_pairs(
+        docs, cands, "doc_id", persist_fn=lambda df: _persist(df, eager=True)
+    )
 
 
 @register(
@@ -2113,10 +2131,17 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = n.select(F.col("doc_id").alias("id_a"), "blk")
     b = n.select(F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"))
-    pairs = a.join(
-        b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
-    return ngram_jaccard_pairs(docs, pairs, "doc_id")
+    # both tables inside the verify are double-consumed — eager-persist
+    # the pair set and the member shingles (the q202/q187 device)
+    pairs = _persist(
+        a.join(
+            b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+        ).select("id_a", "id_b"),
+        eager=True,
+    )
+    return ngram_jaccard_pairs(
+        docs, pairs, "doc_id", persist_fn=lambda df: _persist(df, eager=True)
+    )
 
 
 # =====================================================================
@@ -2599,10 +2624,19 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = n.select(F.col("doc_id").alias("id_a"), "blk")
     b = n.select(F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b"))
-    cand = a.join(
-        b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
-    matched = ngram_jaccard_pairs(docs, cand, "doc_id").where(F.col("jaccard") >= 0.5)
+    # cand (the blk self-join) and the member shingle table each feed
+    # two consumers inside the verify — the r16 profile measured q84's
+    # pair lineage running twice (a 1-task 2.7 s + a 2-task 2.9 s stage
+    # pair at sf0.1); both cached eagerly (the q202/q187 device)
+    cand = _persist(
+        a.join(
+            b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+        ).select("id_a", "id_b"),
+        eager=True,
+    )
+    matched = ngram_jaccard_pairs(
+        docs, cand, "doc_id", persist_fn=lambda df: _persist(df, eager=True)
+    ).where(F.col("jaccard") >= 0.5)
     return dedup_clusters(docs, matched.select("id_a", "id_b"))
 
 
@@ -3187,10 +3221,14 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     cor = n.where(F.col("doc_id") % 10 != 0).select(
         F.col("doc_id").alias("id_b"), F.col("blk").alias("blk_b")
     )
-    pairs = inc.join(cor, F.col("blk") == F.col("blk_b")).select("id_a", "id_b")
-    return ngram_jaccard_pairs(docs, pairs, "doc_id").select(
-        F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id"), "jaccard"
+    # double-consumed candidate + member tables cached eagerly (the
+    # q202/q187 device, applied to every verify caller in r16)
+    pairs = _persist(
+        inc.join(cor, F.col("blk") == F.col("blk_b")).select("id_a", "id_b"), eager=True
     )
+    return ngram_jaccard_pairs(
+        docs, pairs, "doc_id", persist_fn=lambda df: _persist(df, eager=True)
+    ).select(F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id"), "jaccard")
 
 
 # =====================================================================
@@ -5394,9 +5432,9 @@ def _incremental_dedup_pipeline(spark, sf_dir, **hash_kwargs) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     inc = docs.where(F.col("doc_id") % 10 == 0)
     cor = docs.where(F.col("doc_id") % 10 != 0)
-    return dedup.incremental_dedup(cor, inc, "doc_id", **hash_kwargs).select(
-        "new_id", "old_id", floor_round6(F.col("jaccard")).alias("jaccard")
-    )
+    return dedup.incremental_dedup(
+        cor, inc, "doc_id", persist_fn=lambda df: _persist(df, eager=True), **hash_kwargs
+    ).select("new_id", "old_id", floor_round6(F.col("jaccard")).alias("jaccard"))
 
 
 @register(
@@ -8945,12 +8983,21 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed once, the only shuffle is tiny (blk, doc_id) rows, and
     # the sorted-members pair expansion emits exactly the id_a < id_b
     # pairs the self-join produced.
-    cand = (
+    # eagerly persisted (q202/q188's candidate device, closed here in
+    # r16): ngram_jaccard_pairs consumes the pair set TWICE — the
+    # member-id restriction and the verify join — and uncached, each
+    # consumer re-ran the full md5-normalization + block groupBy
+    # lineage over the corpus. The r16 profile measured it as two
+    # identical ~13 s executor-run stages (0.9 MB shuffle read each) of
+    # q187's 37.6 s total; the persist cuts the pair volume (tiny) into
+    # the cache once and halves that stage.
+    cand = _persist(
         n.groupBy("blk")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("_docs"))
         .where(F.size("_docs") > 1)
         .select(F.explode(dedup._bucket_pairs_expr(F.col("_docs"))).alias("p"))
-        .select("p.id_a", "p.id_b")
+        .select("p.id_a", "p.id_b"),
+        eager=True,
     )
     matched = ngram_jaccard_pairs(
         docs, cand, "doc_id", persist_fn=lambda df: _persist(df, eager=True)
@@ -10676,17 +10723,24 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True,
     )
     j = ngram_jaccard_pairs(docs, pairs, "doc_id", persist_fn=lambda df: _persist(df, eager=True))
+    # ONE corpus label scan instead of two (r16): the former shape
+    # joined a (doc_id, source) projection once per pair column — two
+    # scans of the documents source per run at any scale. Melting each
+    # verified pair into its two members, labeling with a single join,
+    # and folding back with min/max reproduces least/greatest exactly:
+    # the group has exactly two rows (both members exist in docs by
+    # construction — candidates are generated from docs itself), and
+    # min/max over {sa, sb} IS least/greatest(sa, sb). The pair table
+    # is tiny (verified pairs), so the extra group-back shuffle costs
+    # KBs; the saved corpus scan grows with the corpus.
     src = docs.select("doc_id", "source")
     lab = (
-        j.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
-        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            F.least("sa", "sb").alias("source_x"),
-            F.greatest("sa", "sb").alias("source_y"),
+        j.select(
+            "id_a", "id_b", "jaccard", F.explode(F.array("id_a", "id_b")).alias("doc_id")
         )
+        .join(src, "doc_id")
+        .groupBy("id_a", "id_b", "jaccard")
+        .agg(F.min("source").alias("source_x"), F.max("source").alias("source_y"))
     )
     return (
         lab.groupBy("source_x", "source_y")
