@@ -29,7 +29,27 @@ rather than silently returning mislabeled components.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+
+
+def _observed_checkpoint(df: DataFrame, *metric_exprs):
+    """Materialize ``df`` as a localCheckpoint with aggregate metrics
+    riding the SAME pass via ``observe`` (CollectMetrics): the
+    convergence probes below used to be a separate agg whose exchange
+    + collect added two driver jobs per loop round on top of the
+    checkpoint materialization. An observation is computed inside the
+    materializing job itself — zero extra pass, zero extra shuffle,
+    exact (the metrics run the identical aggregate expressions over
+    the identical rows). ``Observation.get`` blocks until an ACTION
+    completes; ``localCheckpoint(eager=True)`` runs through
+    ``Dataset.withAction``, which posts the SQL-execution-end event
+    the observation listens for, so the get below never hangs.
+    r16 interleaved A/B at sf0.1 (5-rep medians, q190's real graph):
+    star loop 3.52 → 3.26 s (55 → 49 jobs), min-label loop
+    3.83 → 3.22 s (62 → 51 jobs); labels identical."""
+    obs = Observation()
+    out = df.observe(obs, *metric_exprs).localCheckpoint(eager=True)
+    return out, obs.get
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
@@ -83,31 +103,24 @@ def _star_components(vertices: DataFrame, edges: DataFrame, max_iter: int) -> Da
     insensitive hash checksum, then a final star-shape assertion that
     every non-center node has exactly one center — so a checksum
     collision cannot return a mislabeled result silently)."""
-    # lazy checkpoint (eager=False): the checksum aggregate right below
-    # is the materializing action — its full-scan agg computes and
-    # caches every partition, and the job-end doCheckpoint truncates
-    # the lineage using those cached blocks. eager=True would run a
-    # SEPARATE materialization job before the checksum's, doubling the
-    # per-round job count; the r15 profile measured the driver gap
-    # between these tiny jobs (planning + submit, ~0.1-0.3 s each) as
-    # the dominant wall of the whole loop (q190: 70 jobs, 4.3 s gap of
-    # a 7.3 s wall).
-    e = _canonical_edges(edges).localCheckpoint(eager=False)
+    # convergence checksum = an OBSERVATION riding the checkpoint
+    # materialization (see _observed_checkpoint): one job per round
+    # materializes the round AND yields the checksum — the former
+    # separate checksum aggregate cost its own exchange + collect jobs
+    # on every round, and at this loop's scale the per-job driver
+    # latency IS the wall (r15/r16 profiles). bit_xor:
+    # order-insensitive and overflow-free under ANSI mode (a SUM of
+    # 64-bit hashes overflows long).
+    _checksum_exprs = (
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+    )
 
-    def checksum(df: DataFrame):
-        # bit_xor: order-insensitive and overflow-free under ANSI mode
-        # (a SUM of 64-bit hashes overflows long)
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h")
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    prev_sum = checksum(e)
+    e, m = _observed_checkpoint(_canonical_edges(edges), *_checksum_exprs)
+    prev_sum = (m["n"], m["h"])
     converged = False
     for _ in range(max_iter):
-        # eager=False: this round's checksum below materializes the
-        # checkpoint in the same job (see the note on `e` above)
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        new_e, m = _observed_checkpoint(_small_star(_large_star(e)), *_checksum_exprs)
         # NB: unpersist() does NOT free localCheckpoint blocks (they
         # live in the checkpoint RDD, not the Dataset cache); it only
         # clears any cache-manager entry. The checkpoint blocks are
@@ -119,7 +132,7 @@ def _star_components(vertices: DataFrame, edges: DataFrame, max_iter: int) -> Da
         # reach into the RDD internals per round.
         e.unpersist()
         e = new_e
-        cur = checksum(e)
+        cur = (m["n"], m["h"])
         if cur == prev_sum:
             converged = True
             break
@@ -129,8 +142,12 @@ def _star_components(vertices: DataFrame, edges: DataFrame, max_iter: int) -> Da
             f"star connected-components did not converge in {max_iter} rounds"
         )
     # star graphs: comp(b) = a; centers and isolated vertices are their
-    # own component. Assert star shape — one center per node.
-    multi = e.groupBy("b").agg(F.count_distinct("a").alias("nc")).where("nc > 1")
+    # own component. Assert star shape — one center per node. Plain
+    # count, not count_distinct: e is a distinct canonical (a, b) set
+    # (every round ends in distinct()), so rows-per-b equals
+    # centers-per-b — same answer without the distinct-agg
+    # Expand + second exchange in the assert's plan.
+    multi = e.groupBy("b").agg(F.count(F.lit(1)).alias("nc")).where("nc > 1")
     if multi.limit(1).count() > 0:
         raise RuntimeError(
             "star contraction checksum converged on a non-star edge set "
@@ -197,43 +214,41 @@ def connected_components(
             vertices.select(F.col("node").alias("src"), F.col("node").alias("dst"))
         )
         .repartition(width, "dst")
-        # edge list is reused every round — materialized once, by the
-        # first round's convergence aggregate (lazy checkpoint; see the
-        # _star_components note on eager=False job fusion)
+        # edge list is reused every round — lazy checkpoint, so it
+        # materializes inside the FIRST round's observed-checkpoint job
+        # rather than as its own up-front pass
         .localCheckpoint(eager=False)
     )
 
-    comp = vertices.select("node", F.col("node").alias("comp")).localCheckpoint(eager=False)
+    # Convergence probe = an OBSERVATION riding each round's checkpoint
+    # materialization (see _observed_checkpoint — no separate aggregate
+    # job). Labels only ever DECREASE (min-fold), so a round changed
+    # nothing iff the label total is unchanged. decimal(38,0) keeps the
+    # sum EXACT (no float drift, no bigint overflow until ~1e38, far
+    # past any id-sum at 100 TB), so the equality is as rigorous as the
+    # former row-by-row join compare.
+    _label_exprs = (
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+    )
 
-    def label_sum(df: DataFrame):
-        # Convergence probe in the SAME job that materializes the
-        # round's checkpoint: labels only ever DECREASE (min-fold), so
-        # a round changed nothing iff the label total is unchanged.
-        # decimal(38,0) keeps the sum EXACT (no float drift, no bigint
-        # overflow until ~1e38, far past any id-sum at 100 TB), so the
-        # equality is as rigorous as the former row-by-row join compare
-        # — at one aggregate instead of a join + count per round (the
-        # r15 profile: the loop's tiny jobs' driver gaps WERE the wall).
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
-        ).collect()[0]
-        return (row["n"], row["s"])
-
-    prev = label_sum(comp)
+    comp, m = _observed_checkpoint(
+        vertices.select("node", F.col("node").alias("comp")), *_label_exprs
+    )
+    prev = (m["n"], m["s"])
     converged = False
     for _ in range(max_iter):
         # min over N(v) ∪ {v}: the self-loops in sym carry each node's
         # own previous label into the fold, so the single groupBy IS the
         # full min-label step (see the sym construction note above)
-        new_comp = (
+        new_comp, m = _observed_checkpoint(
             sym.join(comp, sym["dst"] == comp["node"])
             .groupBy("src")
             .agg(F.min("comp").alias("comp"))
-            .select(F.col("src").alias("node"), "comp")
-            .localCheckpoint(eager=False)
+            .select(F.col("src").alias("node"), "comp"),
+            *_label_exprs,
         )
-        cur = label_sum(new_comp)
+        cur = (m["n"], m["s"])
         comp = new_comp
         if cur == prev:
             converged = True
